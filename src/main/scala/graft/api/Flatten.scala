@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import graft.model._
+import graft.plan.FlattenPlanner
+import graft.meta.Metadata
+import graft.sinks.Sinks
+
+import scala.collection.immutable.ListMap
+
+/** High-level entry point mirroring the reference's `flatterer.flatten`
+  * (`/root/reference/flatterer/__init__.py:58-101`): one call that parses,
+  * plans, materializes tables + metadata, and optionally writes sinks.
+  */
+object Flatten {
+
+  /** Result: table title → DataFrame, plus the analyzed metadata
+    * (fields.csv rows) — the `dataframe=True` analog (K9). */
+  final case class FlattenResult(
+      tables: ListMap[String, DataFrame],
+      fields: Seq[Metadata.FieldMeta],
+      opts: FlattenOptions) {
+
+    def fieldsCsv: String = Metadata.fieldsCsv(fields)
+    def tablesCsv: String = Metadata.tablesCsv(tables.keys.map(t => (t, t)).toSeq)
+    def datapackageJson: String =
+      Metadata.datapackage(groupedFields, opts.mainTableName)
+    def ddl: String = Metadata.ddlScript(groupedFields)
+
+    private def groupedFields: Seq[(String, Seq[Metadata.FieldMeta])] =
+      tables.keys.toSeq.map(t => (t, fields.filter(_.tableName == t)))
+  }
+
+  /** Flatten a parsed DataFrame of documents. `analyze=true` runs the A1/A4
+    * metadata aggregations (one job per table); skip it when only the data
+    * is needed.
+    *
+    * One parse, many tables: the input is persisted (MEMORY_AND_DISK)
+    * while multiple child tables are derived — without this every output
+    * table re-reads and re-parses the source (SURVEY.md §4 watch list).
+    * Caller should `unpersist()` via the returned handle when done; at
+    * 100 TB prefer `persistInput=false` + a columnar source where
+    * re-scanning is cheap and pruned.
+    */
+  def flatten(input: DataFrame, opts: FlattenOptions = FlattenOptions(),
+      analyze: Boolean = false, persistInput: Boolean = true): FlattenResult = {
+    val src =
+      if (persistInput) input.persist(StorageLevel.MEMORY_AND_DISK)
+      else input
+    val tables = FlattenPlanner.flatten(src, opts)
+    val fields =
+      if (analyze) tables.toSeq.flatMap { case (name, df) => Metadata.analyze(name, df) }
+      else Nil
+    FlattenResult(tables, fields, opts)
+  }
+
+  /** Flatten and write the full output directory layout the reference
+    * produces (`docs/outputs.md`): `csv/<table>.csv`, `fields.csv`,
+    * `tables.csv`, `datapackage.json`, DDL + load scripts, and optionally
+    * parquet. `preview` limits sink rows while metadata reflects all data
+    * (`docs/options.md:776-794`).
+    */
+  def flattenToDir(input: DataFrame, outDir: String,
+      opts: FlattenOptions = FlattenOptions(),
+      csv: Boolean = true, parquet: Boolean = false, sqlScripts: Boolean = false): FlattenResult = {
+    val res = flatten(input, opts, analyze = true)
+    res.tables.foreach { case (name, df) =>
+      if (csv) Sinks.csvSingleFile(df, s"$outDir/csv", name, opts.preview)
+      if (parquet) Sinks.parquet(df, s"$outDir/parquet", name, opts.preview)
+    }
+    Sinks.writeString(s"$outDir/fields.csv", res.fieldsCsv)
+    Sinks.writeString(s"$outDir/tables.csv", res.tablesCsv)
+    Sinks.writeString(s"$outDir/datapackage.json", res.datapackageJson)
+    if (sqlScripts) {
+      Sinks.writeString(s"$outDir/postgresql/postgresql_schema.sql", res.ddl)
+      Sinks.writeString(s"$outDir/postgresql/postgresql_load.sql",
+        Metadata.postgresLoadScript(res.tables.keys.toSeq))
+      Sinks.writeString(s"$outDir/sqlite/sqlite_schema.sql", res.ddl)
+      Sinks.writeString(s"$outDir/sqlite/sqlite_load.sql",
+        Metadata.sqliteLoadScript(res.tables.keys.toSeq))
+    }
+    input.unpersist()
+    res
+  }
+}

@@ -1,0 +1,117 @@
+package graft.meta
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TypeGuess
+
+/** Output metadata generators (SURVEY.md §2.9 K6/K7).
+  *
+  * fields.csv / tables.csv / datapackage.json (Tabular Data Package with
+  * primaryKey/foreignKeys) and the SQL DDL + load scripts, all as pure
+  * string generation from the planned DataFrames' schemas plus the A1/A4
+  * aggregations. Shapes follow the reference goldens
+  * (`/root/reference/fixtures/basic_expected/`).
+  */
+object Metadata {
+
+  /** Per-field metadata row (fields.csv line / datapackage field). */
+  final case class FieldMeta(tableName: String, fieldName: String, fieldType: String,
+      fieldTitle: String, count: Long)
+
+  /** A1+A4 in one pass per table: per-field occurrence count (count of
+    * non-null values — the reference counts key presence,
+    * `docs/outputs.md:72-73`) and guessed type. ONE aggregation job per
+    * table: all counts and all type-guess lattice folds together.
+    */
+  def analyze(tableName: String, df: DataFrame): Seq[FieldMeta] = {
+    val fields = df.schema.fields
+    if (fields.isEmpty) return Nil
+    val countAggs = fields.map(f => count(col(s"`${f.name}`")).as(s"c_${f.name}"))
+    val dynFields = fields.filter(f => TypeGuess.staticType(f.dataType).isEmpty)
+    val typeAggs  = dynFields.map(f => TypeGuess.guessAgg(col(s"`${f.name}`")).as(s"t_${f.name}"))
+    val aggs = (countAggs ++ typeAggs).toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val dynIdx = dynFields.map(_.name).zipWithIndex.toMap
+    fields.zipWithIndex.map { case (f, i) =>
+      val tpe = TypeGuess.staticType(f.dataType).getOrElse(row.getString(fields.length + dynIdx(f.name)))
+      // _link/_link_* are always text with count = rows (non-null anyway)
+      FieldMeta(tableName, f.name, if (f.name.startsWith("_link")) TypeGuess.Text else tpe,
+        f.name, row.getLong(i))
+    }.toSeq
+  }
+
+  def fieldsCsv(metas: Seq[FieldMeta]): String = {
+    val sb = new StringBuilder("table_name,field_name,field_type,field_title,count\n")
+    metas.foreach { m =>
+      sb.append(s"${csv(m.tableName)},${csv(m.fieldName)},${csv(m.fieldType)},${csv(m.fieldTitle)},${m.count}\n")
+    }
+    sb.toString
+  }
+
+  def tablesCsv(tables: Seq[(String, String)]): String = {
+    val sb = new StringBuilder("table_name,table_title\n")
+    tables.foreach { case (n, t) => sb.append(s"${csv(n)},${csv(t)}\n") }
+    sb.toString
+  }
+
+  /** datapackage.json — tabular-data-package profile with per-resource
+    * schema, primaryKey `_link`, and `foreignKeys` from `_link_<t>` →
+    * `<t>._link` (`fixtures/pushdown_expected/datapackage.json`;
+    * `docs/changelog.md:203`).
+    */
+  def datapackage(tables: Seq[(String, Seq[FieldMeta])], mainTable: String): String = {
+    val tableNames = tables.map(_._1).toSet
+    val resources = tables.map { case (name, metas) =>
+      val fields = metas.map { m =>
+        s"""{"name":${js(m.fieldName)},"type":${js(m.fieldType)},"count":${m.count}}"""
+      }.mkString("[", ",", "]")
+      val fks = metas.collect {
+        case m if m.fieldName.startsWith("_link_") && tableNames.contains(m.fieldName.stripPrefix("_link_")) =>
+          val ref = m.fieldName.stripPrefix("_link_")
+          s"""{"fields":${js(m.fieldName)},"reference":{"resource":${js(ref)},"fields":"_link"}}"""
+      }
+      val fkPart = if (fks.nonEmpty) s""","foreignKeys":[${fks.mkString(",")}]""" else ""
+      val pk = if (metas.exists(_.fieldName == "_link")) s""","primaryKey":"_link"""" else ""
+      s"""{"profile":"tabular-data-resource","name":${js(name)},"schema":{"fields":$fields$pk$fkPart},"path":${js(s"csv/$name.csv")}}"""
+    }.mkString("[", ",", "]")
+    s"""{"profile":"tabular-data-package","resources":$resources}"""
+  }
+
+  /** SQL type mapping per the reference DDL goldens
+    * (`fixtures/basic_expected/postgresql/postgresql_schema.sql`):
+    * text→TEXT, number→NUMERIC, date/datetime→TIMESTAMP, boolean→BOOLEAN.
+    * Column names lower-cased.
+    */
+  private def sqlType(t: String): String = t match {
+    case TypeGuess.Number              => "NUMERIC"
+    case TypeGuess.Date | TypeGuess.Datetime => "TIMESTAMP"
+    case "boolean"                     => "BOOLEAN"
+    case _                             => "TEXT"
+  }
+
+  /** CREATE TABLE script (postgres and sqlite share the shape). */
+  def ddlScript(tables: Seq[(String, Seq[FieldMeta])]): String =
+    tables.map { case (name, metas) =>
+      val cols = metas.map(m => s"""    "${m.fieldName.toLowerCase}" ${sqlType(m.fieldType)}""")
+      s"""CREATE TABLE "$name"(\n${cols.mkString(",\n")});\n"""
+    }.mkString("\n")
+
+  /** postgres `\copy` loader (`docs/outputs.md:87-161`). */
+  def postgresLoadScript(tables: Seq[String]): String =
+    tables.map(t => s"""\\copy "$t" from 'csv/$t.csv' with CSV HEADER""").mkString("\n") + "\n"
+
+  /** sqlite `.import` loader. */
+  def sqliteLoadScript(tables: Seq[String]): String =
+    ".mode csv\n" +
+      tables.map(t => s""".import --skip 1 'csv/$t.csv' $t""").mkString("\n") + "\n"
+
+  private def csv(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n')) "\"" + s.replace("\"", "\"\"") + "\"" else s
+
+  private def js(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}

@@ -1,0 +1,69 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Output sinks (SURVEY.md §2.9).
+  *
+  * K1 CSV directory (one headerful file per table, like the reference's
+  * `csv/<table>.csv`), K5 parquet, K6 SQL script files. XLSX and direct
+  * DB loads are offline-unreachable here (no POI / JDBC drivers) — the
+  * script form (K6) is the documented equivalent
+  * (`/root/reference/docs/outputs.md:87-161`).
+  */
+object Sinks {
+
+  /** JSON-faithful CSV value rendering: JSON number `1.0` prints as `1`
+    * (reference golden `fixtures/basic_expected/csv/main.csv` renders
+    * input `"id": 1.0` as `1`). Spark would print `1.0`; normalize whole
+    * doubles to integral form. Booleans print as JSON (`true`/`false`).
+    */
+  private def render(c: Column, dt: DataType): Column = dt match {
+    case DoubleType | FloatType =>
+      when(c.isNotNull && c === floor(c) && abs(c) < 1e15,
+        c.cast(DecimalType(30, 0)).cast(StringType)).otherwise(c.cast(StringType))
+    case _ => c
+  }
+
+  /** Write one table as a single `dir/<name>.csv` with header.
+    * `coalesce(1)` is a deliberate single-file barrier for golden parity /
+    * small exports — the distributed path is [[csvDir]] (part files).
+    */
+  def csvSingleFile(df: DataFrame, dir: String, name: String, limit: Int = 0): Unit = {
+    val limited = if (limit > 0) df.limit(limit) else df
+    val rendered = limited.select(limited.schema.fields.map(f =>
+      render(col(s"`${f.name}`"), f.dataType).as(f.name)).toSeq: _*)
+    val tmp = s"$dir/.tmp_$name"
+    rendered.coalesce(1).write.mode("overwrite").option("header", true)
+      .option("emptyValue", "").csv(tmp)
+    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+      .find(p => p.endsWith(".csv")).getOrElse(sys.error(s"no csv part in $tmp"))
+    Files.createDirectories(Paths.get(dir))
+    Files.move(Paths.get(part), Paths.get(s"$dir/$name.csv"), StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursive(Paths.get(tmp))
+  }
+
+  /** Distributed CSV write (part files) — the 100 TB path. */
+  def csvDir(df: DataFrame, dir: String, name: String, limit: Int = 0): Unit = {
+    val limited = if (limit > 0) df.limit(limit) else df
+    limited.write.mode("overwrite").option("header", true).csv(s"$dir/$name")
+  }
+
+  /** K5: parquet sink (native). */
+  def parquet(df: DataFrame, dir: String, name: String, limit: Int = 0): Unit = {
+    val limited = if (limit > 0) df.limit(limit) else df
+    limited.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  }
+
+  def writeString(path: String, content: String): Unit = {
+    Files.createDirectories(Paths.get(path).getParent)
+    Files.writeString(Paths.get(path), content)
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursive _)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Input readers (SURVEY.md §2.1 S1-S8).
+  *
+  * All readers return a DataFrame of parsed documents ready for
+  * [[graft.plan.FlattenPlanner]]. They build on Spark's native JSON source
+  * wherever possible (parallel splits, schema inference, pushdown-friendly);
+  * only the "JSON stream" form (concatenated objects, not line-aligned —
+  * `/root/reference/docs/options.md:309-341`) needs a custom splitter since
+  * no Spark reader understands it.
+  *
+  * gzip (`/root/reference/docs/inputs.md:34-40`) is free: Hadoop's codec
+  * layer decompresses `.gz` for both `text` and `json` sources.
+  */
+object JsonInput {
+
+  /** S1: file(s) containing one top-level JSON array of objects
+    * (`docs/options.md:229-251`). multiLine mode: one file = one value.
+    */
+  def jsonArray(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("multiLine", true).json(paths: _*)
+
+  /** S2: the array of objects lives under a (possibly nested) key path
+    * (`docs/options.md:253-281`). e.g. path=Seq("games").
+    */
+  def jsonArrayAt(spark: SparkSession, path: Seq[String], paths: String*): DataFrame = {
+    val df = spark.read.option("multiLine", true).json(paths: _*)
+    val arr = path.tail.foldLeft(col(path.head))(_.getField(_))
+    df.select(explode(arr).as("doc")).select("doc.*")
+  }
+
+  /** S3: newline-delimited JSON (`docs/options.md:284-307`) — Spark's
+    * default JSON mode; parallel line splits, the scale path. Multi-file
+    * union (S6) is the same call with several paths.
+    */
+  def ndjson(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.json(paths: _*)
+
+  /** S4: concatenated "JSON stream" — whitespace-separated top-level
+    * objects, not line-aligned (`docs/options.md:309-341`). No native Spark
+    * reader exists; we read file-per-row (`wholetext`) and split documents
+    * with a linear brace-depth scanner (string/escape aware), then parse
+    * each with `from_json`-free `spark.read.json(Dataset[String])` so
+    * schema inference matches the other sources.
+    *
+    * The splitter is a per-file linear scan — fine for the reference's
+    * workload shape (many modest files); NDJSON remains the recommended
+    * format at 100 TB (as the reference itself documents,
+    * `docs/options.md:796-804`).
+    */
+  def jsonStream(spark: SparkSession, paths: String*): DataFrame = {
+    import spark.implicits._
+    val whole: Dataset[String] = spark.read.option("wholetext", true).textFile(paths: _*)
+    val docs = whole.flatMap(splitTopLevel _)
+    spark.read.json(docs)
+  }
+
+  /** S5: driver-side iterator/collection ingest
+    * (`flatterer/__init__.py:48-55`; `docs/library.md:10-44`). Strings must
+    * each be a standalone JSON document.
+    */
+  def fromIterator(spark: SparkSession, docs: Iterator[String], parallelism: Int = 0): DataFrame = {
+    import spark.implicits._
+    val seq = docs.toSeq
+    val par = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.read.json(spark.createDataset(seq).repartition(par))
+  }
+
+  /** Split a string of concatenated top-level JSON values into documents.
+    * Handles strings/escapes; tolerates whitespace and commas between docs.
+    */
+  private[sources] def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var start = -1
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' =>
+          if (depth == 0) start = i
+          depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += s.substring(start, i + 1); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+}

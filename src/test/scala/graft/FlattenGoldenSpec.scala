@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.Flatten
+import graft.model._
+import graft.plan.FlattenPlanner
+import graft.sources.JsonInput
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Golden-output parity against the reference's committed fixtures
+  * (`/root/reference/fixtures/basic_expected`, `pushdown_expected`) —
+  * the reference's own dominant test strategy
+  * (`/root/reference/flatterer/tests.py:25-44`).
+  */
+class FlattenGoldenSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private val fixtures = "/root/reference/fixtures"
+
+  /** Pin golden column order (the reference's IndexMap swap-remove quirk —
+    * SURVEY.md §1.3 says pin explicitly rather than re-derive). */
+  private def basicFieldOrder: Seq[FieldSpec] = Seq(
+    FieldSpec("main", "_link"), FieldSpec("main", "id"), FieldSpec("main", "title"),
+    FieldSpec("main", "releaseDate"), FieldSpec("main", "rating_code"), FieldSpec("main", "rating_name"),
+    FieldSpec("developer", "_link"), FieldSpec("developer", "_link_main"), FieldSpec("developer", "name"),
+    FieldSpec("platforms", "_link"), FieldSpec("platforms", "_link_main"), FieldSpec("platforms", "name"))
+
+  private def readGolden(path: String): String =
+    Files.readString(Paths.get(path)).trim
+
+  private def writtenCsv(dir: String, table: String): String =
+    Files.readString(Paths.get(s"$dir/csv/$table.csv")).trim
+
+  test("basic.json matches basic_expected goldens (S1+P1+P2+P7+K1+K7+A1+A4)") {
+    val input = JsonInput.jsonArray(spark, s"$fixtures/basic.json")
+    val out = Files.createTempDirectory("graft_basic").toString
+    val res = Flatten.flattenToDir(input, out,
+      FlattenOptions(fields = basicFieldOrder), sqlScripts = true)
+
+    for (t <- Seq("main", "developer", "platforms")) {
+      assert(writtenCsv(out, t) == readGolden(s"$fixtures/basic_expected/csv/$t.csv"), s"table $t")
+    }
+    assert(readGolden(s"$out/fields.csv") == readGolden(s"$fixtures/basic_expected/fields.csv"))
+    assert(readGolden(s"$out/tables.csv") == readGolden(s"$fixtures/basic_expected/tables.csv"))
+    assert(readGolden(s"$out/postgresql/postgresql_schema.sql") ==
+      readGolden(s"$fixtures/basic_expected/postgresql/postgresql_schema.sql"))
+    assert(res.tables.keySet == Set("main", "developer", "platforms"))
+  }
+
+  test("basic.jl (pretty-printed JSON stream, S4) matches goldens — ingest-form invariance") {
+    val input = JsonInput.jsonStream(spark, s"$fixtures/basic.jl")
+    val out = Files.createTempDirectory("graft_jl").toString
+    Flatten.flattenToDir(input, out, FlattenOptions(fields = basicFieldOrder))
+    for (t <- Seq("main", "developer", "platforms")) {
+      assert(writtenCsv(out, t) == readGolden(s"$fixtures/basic_expected/csv/$t.csv"), s"table $t")
+    }
+  }
+
+  test("NDJSON source (S3) matches goldens — ingest-form invariance") {
+    // Minify basic.json docs into true line-delimited JSON.
+    val compact = JsonInput.jsonArray(spark, s"$fixtures/basic.json").toJSON.collect()
+    val tmp = Files.createTempFile("graft_ndjson", ".jl")
+    Files.writeString(tmp, compact.mkString("\n"))
+    val input = JsonInput.ndjson(spark, tmp.toString)
+    val out = Files.createTempDirectory("graft_ndjson").toString
+    Flatten.flattenToDir(input, out, FlattenOptions(fields = basicFieldOrder))
+    for (t <- Seq("main", "developer", "platforms")) {
+      assert(writtenCsv(out, t) == readGolden(s"$fixtures/basic_expected/csv/$t.csv"), s"table $t")
+    }
+  }
+
+  test("pushdown matches pushdown_expected goldens (P6)") {
+    val input = JsonInput.jsonArray(spark, s"$fixtures/basic.json")
+    val out = Files.createTempDirectory("graft_pushdown").toString
+    Flatten.flattenToDir(input, out,
+      FlattenOptions(fields = basicFieldOrder, pushdown = Seq("id", "title")))
+    for (t <- Seq("main", "developer", "platforms")) {
+      assert(writtenCsv(out, t) == readGolden(s"$fixtures/pushdown_expected/csv/$t.csv"), s"table $t")
+    }
+    assert(readGolden(s"$out/fields.csv") == readGolden(s"$fixtures/pushdown_expected/fields.csv"))
+  }
+
+  test("json-stream source (S4) produces the same tables as the array source") {
+    // Build a json-stream file (concatenated objects) from basic.json docs.
+    val docs = Files.readString(Paths.get(s"$fixtures/basic.jl")).linesIterator
+      .filter(_.nonEmpty).mkString(" \n ")
+    val tmp = Files.createTempFile("graft_stream", ".json")
+    Files.writeString(tmp, docs)
+    val input = JsonInput.jsonStream(spark, tmp.toString)
+    val tables = FlattenPlanner.flatten(input, FlattenOptions(fields = basicFieldOrder))
+    assert(tables("main").count() == 2)
+    assert(tables("platforms").count() == 3)
+    assert(tables("main").columns.toSeq ==
+      Seq("_link", "id", "title", "releaseDate", "rating_code", "rating_name"))
+  }
+
+  test("iterator ingest (S5) matches file ingest") {
+    val lines = JsonInput.jsonArray(spark, s"$fixtures/basic.json").toJSON.collect()
+    val input = JsonInput.fromIterator(spark, lines.iterator, parallelism = 2)
+    val tables = FlattenPlanner.flatten(input, FlattenOptions(fields = basicFieldOrder))
+    assert(tables("main").count() == 2)
+    assert(tables("developer").count() == 2)
+    assert(tables("platforms").count() == 3)
+  }
+
+  test("multi-file union (S6/U1): counts double") {
+    val input = JsonInput.jsonArray(spark, s"$fixtures/basic.json", s"$fixtures/basic.json")
+    // multiLine json with 2 identical files → 4 docs
+    val tables = FlattenPlanner.flatten(input, FlattenOptions())
+    assert(tables("main").count() == 4)
+    assert(tables("platforms").count() == 6)
+  }
+}

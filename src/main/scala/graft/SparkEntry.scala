@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.immutable.ListMap
+
+import graft.api.Flatten
+import graft.model._
+import graft.plan.FlattenPlanner
+import graft.sources.JsonInput
+import graft.functions.JsonPathFilter
+import graft.meta.Metadata
+import graft.operators.Evolve
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+
+/** Driver contract — one named query per implemented operator (SURVEY.md §2),
+  * each with a DuckDB oracle in [[oracleSql]] where SQL-expressible.
+  *
+  * Numeric discipline for oracle parity: aggregates over doubles go through
+  * DECIMAL (exact, order-independent) and are cast to DOUBLE at the end;
+  * per-row double arithmetic (products, divisions) is identical IEEE ops on
+  * identical inputs in both engines. Every query is deterministically
+  * ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long and truncate to micros (integer division —
+    * ns values exceed 2^53 so double math would lose precision).
+    */
+  private def rdEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rd(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** lineitems nested under orders — the engine's "documents": one nested
+    * record per order with an `items` array, built deterministically
+    * (sorted by l_linenumber). Exercises the flatten planner on real data.
+    */
+  private def nestedOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = rd(s, dir, "orders")
+    val li = rd(s, dir, "lineitem")
+    val items = li.groupBy(col("l_orderkey")).agg(
+      sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag")))).as("items"))
+    o.join(items, o("o_orderkey") === items("l_orderkey"), "left")
+      .select(o("o_orderkey"), o("o_custkey"), o("o_orderstatus"),
+        o("o_totalprice"), o("o_orderpriority"), col("items"))
+  }
+
+  private val flattenOpts = FlattenOptions(
+    linkMode = LinkMode.NaturalKey("o_orderkey"), dropEmptyObjects = false)
+
+  /** Flagship: full flatten of the nested order documents — returns the
+    * exploded items child table. Driver smoke-checks rows > 0 on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val tables = FlattenPlanner.flatten(nestedOrders(spark, "/root/testdata/sf0.001"), flattenOpts)
+    tables("items")
+  }
+
+  // ----------------------------------------------------------------- //
+  // queries
+  // ----------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // --- relational core ------------------------------------------- //
+    "q1_pricing_summary" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(25, 6))).cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q2_filter_project" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+          col("l_shipdate") < lit("1995-04-01").cast(TimestampType) &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 10.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    "q3_join_revenue" -> ((s, dir) => {
+      val c = rd(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem")
+      // dimension side broadcast; fact table never shuffled before the agg
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(25, 6))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    "q4_top_orders" -> ((s, dir) =>
+      rd(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    "q5_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DoubleType).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    "q6_group_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      rd(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
+    // --- flatten operator family (P1-P8, S3/S4, A1/A4, U1/U2, F1/F2) -- //
+    "f1_flatten_main" -> ((s, dir) => {
+      FlattenPlanner.flatten(nestedOrders(s, dir), flattenOpts)("main")
+        .select(col("_link"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f2_flatten_child" -> ((s, dir) => {
+      FlattenPlanner.flatten(nestedOrders(s, dir), flattenOpts)("items")
+        .orderBy(col("_link"))
+    }),
+
+    "f3_subobject_promote" -> ((s, dir) => {
+      val c = rd(s, dir, "customer")
+        .select(col("c_custkey"),
+          struct(col("c_name").as("name"), col("c_acctbal").as("acctbal")).as("profile"),
+          col("c_mktsegment"))
+      FlattenPlanner.flatten(c, FlattenOptions(linkMode = LinkMode.NaturalKey("c_custkey")))("main")
+        .select(col("c_custkey"), col("profile_name"), col("profile_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "f4_pushdown" -> ((s, dir) => {
+      FlattenPlanner.flatten(nestedOrders(s, dir),
+        flattenOpts.copy(pushdown = Seq("o_orderstatus")))("items")
+        .select(col("_link"), col("_link_main"), col("l_linenumber"), col("main_o_orderstatus"))
+        .orderBy(col("_link"))
+    }),
+
+    "f5_scalar_array_json" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val nested = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"))
+      FlattenPlanner.flatten(nested, FlattenOptions(linkMode = LinkMode.NaturalKey("l_orderkey")))("main")
+        .select(col("l_orderkey"), col("linenumbers"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    "f6_arrays_new_table" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val nested = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("nums"))
+      FlattenPlanner.flatten(nested,
+        FlattenOptions(linkMode = LinkMode.NaturalKey("l_orderkey"), arraysNewTable = true))("nums")
+        .orderBy(col("_link"))
+    }),
+
+    "f7_field_control" -> ((s, dir) => {
+      val fields = Seq(
+        FieldSpec("main", "o_orderkey", Some("order_id")),
+        FieldSpec("main", "o_totalprice", Some("total")))
+      FlattenPlanner.flatten(
+        rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        FlattenOptions(linkMode = LinkMode.NaturalKey("o_orderkey"),
+          noLink = true, onlyFields = true, fields = fields))("main")
+        .orderBy(col("order_id"))
+    }),
+
+    "f8_preview_limit" -> ((s, dir) =>
+      FlattenPlanner.flatten(nestedOrders(s, dir), flattenOpts)("main")
+        .orderBy(col("o_orderkey")).limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))),
+
+    "f9_field_counts" -> ((s, dir) => {
+      import s.implicits._
+      val metas = Metadata.analyze("orders", rd(s, dir, "orders"))
+      metas.map(m => (m.fieldName, m.fieldType, m.count))
+        .toDF("field_name", "field_type", "cnt")
+        .orderBy(col("field_name"))
+    }),
+
+    "f10_union_evolve" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val part1 = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val part2 = o.where(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      Evolve.unionEvolve(Seq(part1, part2)).orderBy(col("o_orderkey"))
+    }),
+
+    "f11_jsonpath_filter" -> ((s, dir) => {
+      val ev = rdEvents(s, dir)
+        .select(col("event_id"), col("event_type"),
+          from_json(col("props"), StructType(Seq(StructField("k", LongType)))).as("props"))
+      JsonPathFilter(ev, "$[?(@.props.k >= 50 && @.event_type == 'click')]")
+        .select(col("event_id"), col("props").getField("k").as("k"))
+        .orderBy(col("event_id"))
+    }),
+
+    "f12_ndjson_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ndjson").toString
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").json(tmp)
+      JsonInput.ndjson(s, tmp)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // --- training-data pipeline ops -------------------------------- //
+    "x1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(rd(s, dir, "documents"), "text", "doc_id")
+        .select(col("fingerprint"), col("n_members"), col("keep_id"))
+        .orderBy(col("fingerprint"))
+    }),
+
+    "x2_token_stats" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
+        TextAnalysis.tokenCountRegex(col("text")).as("n_tokens_re"),
+        length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x3_fingerprint" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "x4_quality" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysis.stopwordRatio(col("text"), TextAnalysis.EnglishStopwords).as("stopword_ratio"),
+          TextAnalysis.meanWordLen(col("text")).as("mean_word_len"))
+        .orderBy(col("doc_id"))),
+
+    "x5_lang_id" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "x6_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(rd(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.3, numHashes = 32, bands = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x7_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDedupPairs(rd(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x8_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2, shingleSize = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "x9_ann_bruteforce" -> ((s, dir) => {
+      // double-precision vectors so the oracle's math is comparable
+      val emb = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x10_ann_lsh" -> ((s, dir) => {
+      val emb = rd(s, dir, "embeddings")
+      val queries = emb.where(col("vec_id") < 5)
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "x11_cosine_dedup" -> ((s, dir) => {
+      // Plant exact near-duplicates (same direction, scaled 1.001×) so the
+      // operator has known positives: every (v, v+100000) pair must come
+      // back with cosine 1.0, and nothing else clears the 0.9 bar (max
+      // natural pairwise cosine in the synthetic embeddings is < 0.5).
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      Similarity.cosineDedupPairs(emb.select("vec_id", "embedding").unionAll(planted),
+          "vec_id", "embedding", threshold = 0.9, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x12_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val media = Multimodal.syntheticFromDocuments(s, s"$dir/documents.parquet")
+      Multimodal.extractFeatures(media)()
+        .select(col("media_id"), col("kind"), col("byte_len"))
+        .orderBy(col("media_id"))
+    }),
+
+    "x13_event_window" -> ((s, dir) =>
+      rdEvents(s, dir)
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+        .orderBy(col("window_start"), col("event_type")))
+  )
+
+  // ----------------------------------------------------------------- //
+  // DuckDB oracles
+  // ----------------------------------------------------------------- //
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-04-01'
+        |  AND l_discount >= 0.05 AND l_quantity < 10.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_revenue" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_totalprice
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q4_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q6_group_topn" ->
+      """SELECT c_mktsegment, rnk, c_custkey, c_acctbal FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "f1_flatten_main" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS _link, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f2_flatten_child" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '.items.' ||
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_returnflag) - 1 AS VARCHAR) AS _link,
+        |  CAST(l_orderkey AS VARCHAR) AS _link_main,
+        |  l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem ORDER BY _link""".stripMargin,
+
+    "f3_subobject_promote" ->
+      """SELECT c_custkey, c_name AS profile_name, c_acctbal AS profile_acctbal, c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f4_pushdown" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '.items.' ||
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS VARCHAR) AS _link,
+        |  CAST(l_orderkey AS VARCHAR) AS _link_main,
+        |  l_linenumber, o_orderstatus AS main_o_orderstatus
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY _link""".stripMargin,
+
+    "f5_scalar_array_json" ->
+      """SELECT l_orderkey,
+        |  '[' || string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) || ']' AS linenumbers
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "f6_arrays_new_table" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) || '.nums.' ||
+        |    CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS VARCHAR) AS _link,
+        |  CAST(l_orderkey AS VARCHAR) AS _link_main,
+        |  CAST(l_linenumber AS VARCHAR) AS value
+        |FROM lineitem ORDER BY _link""".stripMargin,
+
+    "f7_field_control" ->
+      """SELECT o_orderkey AS order_id, o_totalprice AS total
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "f8_preview_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20""",
+
+    "f9_field_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS field_name, 'number' AS field_type, count(o_orderkey) AS cnt FROM orders
+        |  UNION ALL SELECT 'o_custkey', 'number', count(o_custkey) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', 'text', count(o_orderstatus) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', 'number', count(o_totalprice) FROM orders
+        |  UNION ALL SELECT 'o_orderdate', 'datetime', count(o_orderdate) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', 'text', count(o_orderpriority) FROM orders
+        |) t ORDER BY field_name""".stripMargin,
+
+    "f10_union_evolve" ->
+      """SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT o_orderkey, NULL, o_totalprice FROM orders WHERE o_orderkey % 2 = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f11_jsonpath_filter" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50 AND event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "f12_ndjson_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey""",
+
+    "x1_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  count(*) AS n_members, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "x2_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_re,
+        |  len(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x3_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x4_quality" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(text) = 0 THEN 0.0
+        |       ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be','are'], t))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+        |  CASE WHEN len(toks) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END AS mean_word_len
+        |FROM (SELECT doc_id, text,
+        |        list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+        |      FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+
+    "x5_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, list_sort([
+        |      {'hits': len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','ich'], t))), 'lang': 'de'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','it','for','with'], t))), 'lang': 'en'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['el','la','los','las','es','una','para','con','por','como'], t))), 'lang': 'es'},
+        |      {'hits': len(list_filter(toks, t -> list_contains(['le','la','les','et','est','pas','une','pour','dans','que'], t))), 'lang': 'fr'}
+        |    ])[-1] AS best
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+        |        FROM documents) d) s
+        |ORDER BY doc_id""".stripMargin,
+
+    "x9_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, neighbor_id, score,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, round(score, 4) AS score_r
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x11_cosine_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS score_r
+        |FROM embeddings ORDER BY id_a""".stripMargin,
+
+    "x12_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |  octet_length(encode(text)) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "x13_event_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+    // x6/x7/x8 (hash-based near-dup), x9/x10/x11 (ANN/cosine) are not
+    // SQL-expressible in DuckDB (xxhash64 signatures) or approximate →
+    // rows-only checks.
+  )
 }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: treat image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed in partition-sized
+  * batches.
+  *
+  * The actual media codecs are NOT available in this environment, so the
+  * decode step is a clearly-marked deterministic STUB (`decodeStub`) — but
+  * everything Spark-side is real and tested: the schema convention, the
+  * batched `mapPartitions` execution (the Scala analog of `mapInPandas` —
+  * one iterator per partition, amortizing per-batch setup like model
+  * loading), partition sizing, and the typed output surface.
+  *
+  * Swap `decodeStub` for a real JNI/ffmpeg/jpeg decoder without touching
+  * the plumbing: the contract is `Array[Byte] => MediaFeatures`.
+  */
+object Multimodal {
+
+  /** Schema convention for a multimodal row: id + opaque payload + typed
+    * metadata the pipeline can partition/filter on WITHOUT decoding.
+    */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      source: String)
+
+  /** Decoded/extracted features. Fixed-width so downstream is columnar. */
+  final case class MediaFeatures(media_id: Long, kind: String, byte_len: Int,
+      width: Int, height: Int, n_frames: Int, feature: Array[Float])
+
+  /** STUB decoder — deterministic fake standing in for the real codec.
+    * Real implementation would decode `payload` (jpeg/wav/mp4) here.
+    * The fake derives stable pseudo-dimensions and a pseudo-feature vector
+    * from the payload bytes so tests are reproducible.
+    */
+  def decodeStub(r: MediaRow): MediaFeatures = {
+    val h = java.util.Arrays.hashCode(r.payload)
+    val rnd = new scala.util.Random(h) // seeded by content → deterministic
+    MediaFeatures(
+      media_id = r.media_id,
+      kind = r.kind,
+      byte_len = r.payload.length,
+      width = 16 + math.abs(h % 1024),
+      height = 16 + math.abs((h / 1024) % 1024),
+      n_frames = if (r.kind == "video") 1 + math.abs(h % 300) else 1,
+      feature = Array.fill(8)(rnd.nextFloat()))
+  }
+
+  /** Batched feature extraction over a multimodal Dataset.
+    *
+    * `mapPartitions` (not `map`): per-partition setup (decoder init, model
+    * load) happens once per task, mirroring `mapInPandas` batch semantics.
+    * Partition size is the memory knob — media payloads are large, so
+    * repartition upstream such that (rows per partition × payload size)
+    * fits the executor (e.g. `spark.sql.files.maxPartitionBytes` for file
+    * sources, or an explicit `repartition(n)` after a filter).
+    */
+  def extractFeatures(ds: Dataset[MediaRow])(
+      decode: MediaRow => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder/model initialization would go here (once)
+      it.map(decode)
+    }
+  }
+
+  /** Frame sampling plan for video rows: returns (media_id, frame_idx)
+    * pairs for every `stride`-th frame, WITHOUT decoding — demonstrates
+    * metadata-only planning over multimodal tables.
+    */
+  def sampleFrames(features: DataFrame, stride: Int = 10): DataFrame =
+    features.where(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Build a synthetic multimodal Dataset from the documents table (the
+    * test environment has no real media files): payload = utf-8 bytes of
+    * the text, kind round-robins image/audio/video. Deterministic.
+    */
+  def syntheticFromDocuments(spark: SparkSession, documentsParquet: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(documentsParquet)
+      .select(col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+        col("text").cast(BinaryType).as("payload"),
+        col("source"))
+      .as[MediaRow]
+  }
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All pure column expressions (`org.apache.spark.sql.functions`) — fully
+  * codegen'd, no UDFs, so they run at scan speed over 100 TB of documents
+  * and push down through Catalyst like any built-in.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-ish token count: words and individual punctuation
+    * marks counted separately (a cheap proxy for tokenizer cost — the
+    * standard pretraining heuristic when the real tokenizer is too slow
+    * for a first pass).
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+
+  /** Tokens as an array column (lowercased words). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast(DoubleType) / length(text))
+
+  /** Ratio of whitespace-separated tokens that are in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast(DoubleType) / size(toks))
+  }
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) / size(toks))
+  }
+
+  /** Composite quality score in [0,1] — the usual cheap pretraining filter:
+    * penalize extreme lengths, high punctuation, low stopword incidence.
+    * Thresholds follow the published C4/Gopher-style heuristics (public
+    * papers), not any particular implementation.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenOk   = (length(text) >= 50 && length(text) <= 100000).cast(DoubleType)
+    val punctOk = (punctRatio(text) < 0.2).cast(DoubleType)
+    val stopOk  = (stopwordRatio(text, stopwords) > 0.01).cast(DoubleType)
+    val wordOk  = (meanWordLen(text).between(2.0, 12.0)).cast(DoubleType)
+    (lenOk + punctOk + stopOk + wordOk) / 4.0
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * Stable across engines (md5 is md5 everywhere) — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
+
+  /** N-gram language ID heuristic: score each candidate language by hits of
+    * its most-frequent function words in the token stream; pick the argmax.
+    * Pure column expressions (one pass, codegen'd); `und` when nothing hits.
+    */
+  def langId(text: Column, profiles: Map[String, Seq[String]] = LangProfiles): Column = {
+    val toks = tokens(text)
+    val scored = profiles.toSeq.sortBy(_._1).map { case (langName, words) =>
+      val ws = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(ws, t))).as("hits"), lit(langName).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Rolling-hash shingle fingerprints: 64-bit hash per `n`-token shingle.
+    * The building block for MinHash / n-gram Jaccard dedup.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
+      .otherwise(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "from", "this", "be", "are")
+
+  /** Tiny function-word profiles for the lang-ID heuristic. */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "ich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "las", "es", "una", "para", "con", "por", "como"))
+}

@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Compiled per-row hashing kernels for dedup signatures: shingle hashes,
+  * MinHash, SimHash.
+  *
+  * Why UDFs and not column expressions: a MinHash signature is `numHashes`
+  * minima over the shingle set. Expressed as a Catalyst expression tree,
+  * each of the N signature elements embeds its own copy of the whole
+  * tokenize→shingle→hash pipeline (Catalyst's CollapseProject inlines every
+  * intermediate projection), which blows the generated code up by N× and
+  * measured 300+ seconds for 500 documents. A single JIT-compiled Scala
+  * function computes the same signature in one pass over the tokens —
+  * microseconds per row. This is the documented "genuine per-row imperative
+  * kernel" exception to the functions-over-UDFs rule; everything around it
+  * (banding, joins, jaccard verification) stays declarative DataFrame ops.
+  *
+  * All hashing is deterministic (FNV-1a 64 + splitmix64 finalizer — public
+  * constants), so signatures are reproducible across runs and executors.
+  */
+object TextHash {
+
+  def tokenize(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** FNV-1a 64-bit over UTF-8 bytes, finalized with splitmix64. */
+  def hashString(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    mix(h)
+  }
+
+  /** splitmix64 finalizer — full avalanche. */
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash per n-token shingle (whole text if shorter than n). */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length <= n) Array(hashString(toks.mkString(" ")))
+    else Array.tabulate(toks.length - n + 1)(i => hashString(toks.slice(i, i + n).mkString(" ")))
+  }
+
+  /** MinHash signature: per seed, min over shingles of mix(h ^ seed'). */
+  def minhash(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val sh = shingleHashes(text, shingleSize)
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      val seed = mix(s.toLong)
+      var m = Long.MaxValue
+      var i = 0
+      while (i < sh.length) { val v = mix(sh(i) ^ seed); if (v < m) m = v; i += 1 }
+      sig(s) = m
+      s += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over token hashes: each bit votes ±1, sign wins. */
+  def simhash(text: String): Long = {
+    val toks = tokenize(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashString(toks(i))
+      var b = 0
+      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  // --- Column-level wrappers -------------------------------------------
+
+  def shingleHashesUdf(n: Int): Column => Column = {
+    val f = udf((t: String) => shingleHashes(t, n)); c => f(c)
+  }
+  def minhashUdf(numHashes: Int, shingleSize: Int): Column => Column = {
+    val f = udf((t: String) => minhash(t, numHashes, shingleSize)); c => f(c)
+  }
+  val simhashUdf: Column => Column = {
+    val f = udf((t: String) => simhash(t)); c => f(c)
+  }
+}

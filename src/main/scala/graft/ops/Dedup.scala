@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.TextHash
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
@@ -36,17 +37,12 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_members"), min(col(idCol)).as("keep_id"))
 
-  /** MinHash signature: `numHashes` minima over the shingle-hash set, using
-    * seeded re-hashing (`xxhash64(seed, shingleHash)`) — deterministic, no
-    * fitted model. Returns an array<long> column expression.
+  /** MinHash signature as a column: `numHashes` minima over the shingle
+    * hash set, computed by the compiled kernel ([[TextHash.minhash]] — see
+    * there for why this is not an expression tree). Deterministic.
     */
-  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column = {
-    val shingles = TextAnalysis.shingleHashes(text, shingleSize)
-    val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(shingles, h => xxhash64(lit(seed), h)))
-    }
-    array(sigs: _*)
-  }
+  def minhashSignature(text: Column, numHashes: Int = 64, shingleSize: Int = 3): Column =
+    TextHash.minhashUdf(numHashes, shingleSize)(text)
 
   /** LSH banding: candidate near-dup pairs via equality of any band of the
     * MinHash signature. `bands` × `rowsPerBand` must equal the signature
@@ -83,7 +79,7 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("sh"))
+      array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -94,19 +90,9 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token stream. Per-token 64-bit hash; each bit
-    * votes ±1; the sign vector is the fingerprint. Expressed as a
-    * higher-order aggregate over 64 bit-positions — stays in codegen.
-    */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    val bitIdx = sequence(lit(0), lit(63))
-    val bits = transform(bitIdx, i =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        call_function("shiftleft", lit(1L), i)).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
-  }
+  /** 64-bit SimHash of the token stream: per-token hash, each bit votes
+    * ±1, sign wins ([[TextHash.simhash]] compiled kernel). */
+  def simhash64(text: Column): Column = TextHash.simhashUdf(text)
 
   /** SimHash near-dup candidate pairs: block on 4×16-bit chunks (two docs
     * within Hamming distance ≤ 3 of a 64-bit fingerprint must share at
@@ -140,7 +126,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, shingleSize: Int = 3, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingleHashes(col(textCol), shingleSize)).as("sh"))
+      array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
     val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
     val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf && col("df") >= 2)

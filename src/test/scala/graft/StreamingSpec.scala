@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.FlattenOptions
+import graft.streaming.StreamingFlatten
+import java.nio.file.Files
+
+/** Structured Streaming ingest: NDJSON files → flattened parquet tables,
+  * driven synchronously with Trigger.AvailableNow. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("streaming flatten appends each micro-batch with batch-prefixed links") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("kids", ArrayType(StructType(Seq(StructField("n", LongType)))))))
+
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch0.jl"),
+      """{"id": 1, "kids": [{"n": 10}, {"n": 11}]}
+        |{"id": 2, "kids": [{"n": 20}]}""".stripMargin)
+
+    val q1 = StreamingFlatten.start(spark, in, out, schema, FlattenOptions())
+    q1.awaitTermination()
+
+    val main1 = spark.read.parquet(s"$out/main")
+    val kids1 = spark.read.parquet(s"$out/kids")
+    assert(main1.count() == 2)
+    assert(kids1.count() == 3)
+
+    // second batch arrives → appended, links unique via batch prefix
+    Files.writeString(java.nio.file.Paths.get(s"$in/batch1.jl"),
+      """{"id": 3, "kids": [{"n": 30}]}""")
+    val q2 = StreamingFlatten.start(spark, in, out, schema, FlattenOptions())
+    q2.awaitTermination()
+
+    val main2 = spark.read.parquet(s"$out/main")
+    assert(main2.count() == 3)
+    val links = main2.select("_link").collect().map(_.getString(0))
+    assert(links.distinct.length == 3)
+    val kidRow = spark.read.parquet(s"$out/kids")
+      .where(col("n") === 30).collect()(0)
+    assert(kidRow.getAs[String]("_link_main").startsWith("1."))
+  }
+
+  test("windowed aggregation with watermark over a rate-like stream") {
+    import spark.implicits._
+    val events = Seq(
+      ("2024-01-01 00:10:00", "click", 1.0),
+      ("2024-01-01 00:20:00", "click", 2.0),
+      ("2024-01-01 01:10:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast(TimestampType).as("ts"), col("event_type"), col("value"))
+    val agg = StreamingFlatten.windowedCounts(events, "ts", "event_type")
+      .select(col("window.start").cast(StringType).as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type").collect()
+    assert(agg.length == 2)
+    assert(agg(0).getLong(2) == 2) // two clicks in hour 0
+  }
+}

@@ -40,6 +40,30 @@ object Metadata {
     }.toSeq
   }
 
+  /** A2 `stats` (`/root/reference/docs/options.md:758-774`): per-field
+    * min/max/distinct-count, embedded in datapackage.json when requested.
+    * ONE aggregation job per table; distinct counts use HyperLogLog
+    * (`approx_count_distinct`) — at 100 TB an exact distinct per field is a
+    * full shuffle per column, and the reference's use is descriptive.
+    */
+  final case class FieldStats(fieldName: String, min: Option[String],
+      max: Option[String], approxDistinct: Long)
+
+  def analyzeStats(df: DataFrame): Seq[FieldStats] = {
+    val fields = df.schema.fields
+    if (fields.isEmpty) return Nil
+    val aggs = fields.flatMap { f =>
+      val c = col(s"`${f.name}`")
+      Seq(min(c).cast("string"), max(c).cast("string"), approx_count_distinct(c))
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    fields.zipWithIndex.map { case (f, i) =>
+      FieldStats(f.name,
+        Option(row.getString(i * 3)), Option(row.getString(i * 3 + 1)),
+        row.getLong(i * 3 + 2))
+    }.toSeq
+  }
+
   def fieldsCsv(metas: Seq[FieldMeta]): String = {
     val sb = new StringBuilder("table_name,field_name,field_type,field_title,count\n")
     metas.foreach { m =>

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 import graft.api.Flatten
 import graft.model._
 import graft.sources.JsonInput
+import graft.functions.JsonPathFilter
+import graft.meta.SpecsCsv
 
 /** Command-line entry point mirroring the reference CLI
   * (`/root/reference/src/main.rs:8-123` / `flatterer INPUT OUT_DIR`).
@@ -16,7 +18,8 @@ import graft.sources.JsonInput
   */
 object Cli {
   private val valueFlags = Set("--path", "--pushdown", "--main-table-name",
-    "--path-separator", "--table-prefix", "--id-prefix", "--preview")
+    "--path-separator", "--table-prefix", "--id-prefix", "--preview",
+    "--json-path", "--fields-csv", "--tables-csv")
 
   def main(args: Array[String]): Unit = {
     // Separate positional args from flags, consuming each value flag's value.
@@ -57,13 +60,17 @@ object Cli {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
-      val input =
+      val parsed =
         if (has("--ndjson")) JsonInput.ndjson(spark, inputs: _*)
         else if (has("--json-stream")) JsonInput.jsonStream(spark, inputs: _*)
         else flagVal("--path") match {
           case Some(p) => JsonInput.jsonArrayAt(spark, p.split('.').toSeq, inputs: _*)
           case None    => JsonInput.jsonArray(spark, inputs: _*)
         }
+      // document filter before flatten — sits under the explode chain
+      val input = flagVal("--json-path").map(JsonPathFilter(parsed, _)).getOrElse(parsed)
+
+      def readFile(p: String) = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
 
       val opts = FlattenOptions(
         mainTableName = flagVal("--main-table-name").getOrElse("main"),
@@ -74,7 +81,11 @@ object Cli {
         pushdown = flagVal("--pushdown").map(_.split(',').toSeq).getOrElse(Nil),
         arraysNewTable = has("--arrays-new-table"),
         inlineOneToOne = has("--inline-one-to-one"),
-        preview = flagVal("--preview").map(_.toInt).getOrElse(0))
+        preview = flagVal("--preview").map(_.toInt).getOrElse(0),
+        fields = flagVal("--fields-csv").map(p => SpecsCsv.parseFieldsCsv(readFile(p))).getOrElse(Nil),
+        tables = flagVal("--tables-csv").map(p => SpecsCsv.parseTablesCsv(readFile(p))).getOrElse(Nil),
+        onlyFields = has("--only-fields"),
+        onlyTables = has("--only-tables"))
 
       val res = Flatten.flattenToDir(input, outDir, opts,
         parquet = has("--parquet"), sqlScripts = has("--sql-scripts"))

@@ -88,7 +88,8 @@ object Cli {
         onlyTables = has("--only-tables"))
 
       val res = Flatten.flattenToDir(input, outDir, opts,
-        parquet = has("--parquet"), sqlScripts = has("--sql-scripts"))
+        parquet = has("--parquet"), sqlScripts = has("--sql-scripts"),
+        xlsx = has("--xlsx"))
       println(s"tables: ${res.tables.keys.mkString(", ")}")
     } finally spark.stop()
   }

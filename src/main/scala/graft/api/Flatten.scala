@@ -63,11 +63,18 @@ object Flatten {
     */
   def flattenToDir(input: DataFrame, outDir: String,
       opts: FlattenOptions = FlattenOptions(),
-      csv: Boolean = true, parquet: Boolean = false, sqlScripts: Boolean = false): FlattenResult = {
+      csv: Boolean = true, parquet: Boolean = false, sqlScripts: Boolean = false,
+      xlsx: Boolean = false): FlattenResult = {
     val res = flatten(input, opts, analyze = true)
     res.tables.foreach { case (name, df) =>
       if (csv) Sinks.csvSingleFile(df, s"$outDir/csv", name, opts.preview)
       if (parquet) Sinks.parquet(df, s"$outDir/parquet", name, opts.preview)
+    }
+    if (xlsx) {
+      val limited = res.tables.toSeq.map { case (n, df) =>
+        n -> (if (opts.preview > 0) df.limit(opts.preview) else df)
+      }
+      graft.sinks.XlsxSink.write(limited, s"$outDir/output.xlsx")
     }
     Sinks.writeString(s"$outDir/fields.csv", res.fieldsCsv)
     Sinks.writeString(s"$outDir/tables.csv", res.tablesCsv)

@@ -42,7 +42,7 @@ object SparkEntry {
     * record per order with an `items` array, built deterministically
     * (sorted by l_linenumber). Exercises the flatten planner on real data.
     */
-  private def nestedOrders(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def nestedOrders(s: SparkSession, dir: String): DataFrame = {
     val o = rd(s, dir, "orders")
     val li = rd(s, dir, "lineitem")
     val items = li.groupBy(col("l_orderkey")).agg(

@@ -22,9 +22,23 @@ import org.apache.spark.sql.functions.udf
   */
 object TextHash {
 
-  def tokenize(text: String): Array[String] =
-    if (text == null) Array.empty
-    else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+  def tokenize(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    // manual scan — no regex compilation, no intermediate empty tokens
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = text.length
+    var i = 0
+    val sb = new java.lang.StringBuilder(16)
+    while (i < n) {
+      val c0 = text.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length() > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length() > 0) out += sb.toString
+    out.toArray
+  }
 
   /** FNV-1a 64-bit over UTF-8 bytes, finalized with splitmix64. */
   def hashString(s: String): Long = {
@@ -43,11 +57,35 @@ object TextHash {
     x ^ (x >>> 31)
   }
 
-  /** 64-bit hash per n-token shingle (whole text if shorter than n). */
+  /** 64-bit hash per n-token shingle (whole text if shorter than n).
+    * Shingle hash = mixed combination of the token hashes — no shingle
+    * string is ever materialized (each token hashed exactly once).
+    */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     val toks = tokenize(text)
-    if (toks.length <= n) Array(hashString(toks.mkString(" ")))
-    else Array.tabulate(toks.length - n + 1)(i => hashString(toks.slice(i, i + n).mkString(" ")))
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
+    combineShingles(th, n)
+  }
+
+  private def combineShingles(th: Array[Long], n: Int): Array[Long] = {
+    if (th.length <= n) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < th.length) { h = mix(h ^ th(i)); i += 1 }
+      return Array(h)
+    }
+    val out = new Array[Long](th.length - n + 1)
+    var i = 0
+    while (i < out.length) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) { h = mix(h ^ th(i + j)); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
   }
 
   /** MinHash signature: per seed, min over shingles of mix(h ^ seed'). */
@@ -83,6 +121,26 @@ object TextHash {
     out
   }
 
+  /** Band hashes of the MinHash signature in one pass: `bands` values,
+    * each hashing `numHashes / bands` consecutive signature minima —
+    * what LSH banding actually joins on. Avoids re-hashing signature
+    * slices in expression space (array→string casts per row).
+    */
+  def minhashBands(text: String, numHashes: Int, bands: Int, shingleSize: Int): Array[Long] = {
+    val sig = minhash(text, numHashes, shingleSize)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < rows) { h = mix(h ^ sig(b * rows + j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
   // --- Column-level wrappers -------------------------------------------
 
   def shingleHashesUdf(n: Int): Column => Column = {
@@ -90,6 +148,9 @@ object TextHash {
   }
   def minhashUdf(numHashes: Int, shingleSize: Int): Column => Column = {
     val f = udf((t: String) => minhash(t, numHashes, shingleSize)); c => f(c)
+  }
+  def minhashBandsUdf(numHashes: Int, bands: Int, shingleSize: Int): Column => Column = {
+    val f = udf((t: String) => minhashBands(t, numHashes, bands, shingleSize)); c => f(c)
   }
   val simhashUdf: Column => Column = {
     val f = udf((t: String) => simhash(t)); c => f(c)

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.TextHash
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -51,23 +52,43 @@ object Dedup {
     * Plan shape: project signature → explode bands (numBands× row growth of
     * 16-byte rows, not documents) → shuffle on (band, hash) → self-join
     * within buckets. No cross join anywhere.
+    *
+    * `maxBucket` is the skew guard: a band bucket with more than that many
+    * members generates |bucket|² candidate pairs while carrying almost no
+    * signal (it is dominated by near-universal shingles — on short texts a
+    * handful of ubiquitous shingles can put half the corpus in one bucket,
+    * turning the join quadratic). Oversized buckets are dropped before the
+    * self-join; recall for genuinely similar pairs survives via their other
+    * bands. Same idea as the `maxDf` guard in [[ngramJaccardPairs]].
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val sig = minhashSignature(col(textCol), numHashes, shingleSize)
     val banded = df
-      .select(col(idCol).as("id"), sig.as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)).cast(StringType)))
-      ).as(Seq("band", "bandHash")))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bandHash") === col("b.bandHash") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col(idCol).as("id"),
+        TextHash.minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "bandHash")))
+    // ONE shuffle: group each bucket, then emit its pairs directly from the
+    // collected id array (the cap bounds both memory and pair count — a
+    // bucket of n ids emits n·(n-1)/2 pairs, so ≤ maxBucket²/2). This
+    // replaces the bucket-count + semi-join + sorted self-join shape (4
+    // shuffles of the banded set) with groupBy + explode + distinct.
+    bucketPairs(banded.groupBy("band", "bandHash")
+      .agg(collect_list(col("id")).as("ids")), maxBucket)
+  }
+
+  /** Emit all ordered id pairs from per-bucket id arrays, dropping buckets
+    * larger than `maxBucket` (skew guard) or smaller than 2. */
+  private def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+    val ids = sort_array(col("ids"))
+    val pairs = flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    buckets
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(pairs).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -76,10 +97,11 @@ object Dedup {
     */
   def minhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
-      shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize)
+      shingleSize: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, maxBucket)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused on both join sides
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -99,19 +121,19 @@ object Dedup {
     * least one 16-bit chunk — pigeonhole), verify exact Hamming distance.
     */
   def simhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val chunked = withSig.select(col("id"), col("sig"),
+      .persist(StorageLevel.MEMORY_AND_DISK) // chunk explode + 2 verify joins
+    val chunked = withSig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "chunkVal")))
-    val a = chunked.alias("a")
-    val b = chunked.alias("b")
-    val popcountXor = bit_count(col("a.sig").bitwiseXOR(col("b.sig")))
-    a.join(b, col("a.chunk") === col("b.chunk") && col("a.chunkVal") === col("b.chunkVal") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        popcountXor.as("hamming"))
-      .distinct()
+    val cands = bucketPairs(chunked.groupBy("chunk", "chunkVal")
+      .agg(collect_list(col("id")).as("ids")), maxBucket)
+    val sigA = withSig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
+    val sigB = withSig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
+    cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
@@ -127,14 +149,10 @@ object Dedup {
       threshold: Double = 0.5, shingleSize: Int = 3, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // posting list + both verify sides
     val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val rare = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf && col("df") >= 2)
-    val filtered = posting.join(rare, Seq("shingle"), "left_semi")
-    val a = filtered.alias("a")
-    val b = filtered.alias("b")
-    val cands = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val cands = bucketPairs(posting.groupBy("shingle")
+      .agg(collect_list(col("id")).as("ids")), maxDf)
     cands
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))

@@ -37,7 +37,9 @@ object Sinks {
       render(col(s"`${f.name}`"), f.dataType).as(f.name)).toSeq: _*)
     val tmp = s"$dir/.tmp_$name"
     rendered.coalesce(1).write.mode("overwrite").option("header", true)
-      .option("emptyValue", "").csv(tmp)
+      .option("emptyValue", "")
+      .option("escape", "\"") // RFC-4180 quote doubling, like the reference
+      .csv(tmp)
     val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
       .find(p => p.endsWith(".csv")).getOrElse(sys.error(s"no csv part in $tmp"))
     Files.createDirectories(Paths.get(dir))
@@ -48,7 +50,8 @@ object Sinks {
   /** Distributed CSV write (part files) — the 100 TB path. */
   def csvDir(df: DataFrame, dir: String, name: String, limit: Int = 0): Unit = {
     val limited = if (limit > 0) df.limit(limit) else df
-    limited.write.mode("overwrite").option("header", true).csv(s"$dir/$name")
+    limited.write.mode("overwrite").option("header", true)
+      .option("escape", "\"").csv(s"$dir/$name")
   }
 
   /** K5: parquet sink (native). */

@@ -53,4 +53,64 @@ object StreamingFlatten {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  // --- custom state: sessionization ------------------------------------
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  final case class Session(user_id: Long, start: java.sql.Timestamp,
+      end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
+    * per-key state shape Structured Streaming supports and plain windowing
+    * can't express (session end depends on the NEXT event's timestamp).
+    * A session closes after `gapMs` of user inactivity (state timeout in a
+    * live stream; end-of-group in batch mode, where Spark feeds all events
+    * of a key to one call — both paths covered).
+    *
+    * State per key is O(1) (no event buffering), so the operator's memory
+    * is bounded by the number of ACTIVE users, not traffic.
+    */
+  def sessionize(events: org.apache.spark.sql.Dataset[Event], gapMs: Long = 30 * 60 * 1000L):
+      org.apache.spark.sql.Dataset[Session] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val isStream = events.isStreaming // capture the Boolean, not the Dataset
+
+    def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+      var st = state.getOption.orNull
+      it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        st match {
+          case null =>
+            st = SessionState(t, t, 1, e.value)
+          case s if t - s.lastSeen > gapMs =>
+            out += Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.n, s.total)
+            st = SessionState(t, t, 1, e.value)
+          case s =>
+            st = s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value)
+        }
+      }
+      if (state.hasTimedOut || !isStream) {
+        // close the open session (timeout in streaming; end-of-input in batch)
+        if (st != null) {
+          out += Session(userId, new java.sql.Timestamp(st.start),
+            new java.sql.Timestamp(st.lastSeen), st.n, st.total)
+          state.remove()
+          st = null
+        }
+      }
+      if (st != null) {
+        state.update(st)
+        if (isStream)
+          state.setTimeoutTimestamp(st.lastSeen + gapMs)
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -48,6 +48,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(kidRow.getAs[String]("_link_main").startsWith("1."))
   }
 
+  test("sessionization: gap-based sessions via flatMapGroupsWithState") {
+    import spark.implicits._
+    import graft.streaming.StreamingFlatten.{Event, sessionize}
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val events = Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0),   // session 1 (gap 10m)
+      Event(1L, ts(40), 3.0),                          // session 2
+      Event(2L, ts(0), 5.0))                           // user 2, one session
+      .toDS()
+    val sessions = sessionize(events, gapMs = 10 * 60 * 1000L)
+      .collect().sortBy(s => (s.user_id, s.start.getTime))
+    assert(sessions.length == 3)
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    assert(sessions(0).end.getTime - sessions(0).start.getTime == 5 * 60000L)
+    assert(sessions(1).n_events == 1 && sessions(1).total_value == 3.0)
+    assert(sessions(2).user_id == 2L && sessions(2).n_events == 1)
+  }
+
   test("windowed aggregation with watermark over a rate-like stream") {
     import spark.implicits._
     val events = Seq(

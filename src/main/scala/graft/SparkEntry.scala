@@ -327,7 +327,44 @@ object SparkEntry {
           col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
-        .orderBy(col("window_start"), col("event_type")))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    "x14_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFlatten
+      val ev = rdEvents(s, dir)
+        .select(col("user_id"), col("ts"), col("value")).as[StreamingFlatten.Event]
+      StreamingFlatten.sessionize(ev, gapMs = 60 * 60 * 1000L)
+        .toDF()
+        .select(col("user_id"), col("start"), col("end"), col("n_events"),
+          // total in cents (long): session sums are tiny (<100 events) but
+          // float addition order inside a session is fixed (sorted), so a
+          // rounded integral form keeps the oracle comparison exact
+          round(col("total_value") * 100).cast(LongType).as("total_cents"))
+        .orderBy(col("user_id"), col("start"))
+    }),
+
+    "q7_semi_anti_join" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val li = rd(s, dir, "lineitem").where(col("l_quantity") >= 45)
+      val semi = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), lit("has_bulk").as("kind"))
+      val anti = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+        .select(col("o_orderkey"), lit("no_bulk").as("kind"))
+      semi.unionAll(anti).orderBy(col("o_orderkey"))
+    }),
+
+    "f13_variant" -> ((s, dir) => {
+      // Spark 4 VariantType: schemaless ingest of the raw JSON props —
+      // parse once to variant, extract typed paths lazily (shredded access
+      // without a declared schema).
+      rdEvents(s, dir)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.k", "bigint").as("k"))
+        .where(col("k") > 80)
+        .orderBy(col("event_id"))
+    })
   )
 
   // ----------------------------------------------------------------- //
@@ -523,7 +560,40 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "x14_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 1 HOUR THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |grouped AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS start, max(ts) AS "end",
+        |  count(*) AS n_events,
+        |  CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+        |FROM grouped GROUP BY user_id, sess
+        |ORDER BY user_id, start""".stripMargin,
+
+    "q7_semi_anti_join" ->
+      """SELECT o_orderkey, 'has_bulk' AS kind FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |UNION ALL
+        |SELECT o_orderkey, 'no_bulk' AS kind FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "f13_variant" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 80
+        |ORDER BY event_id""".stripMargin
     // x6/x7/x8 (hash-based near-dup), x9/x10/x11 (ANN/cosine) are not
     // SQL-expressible in DuckDB (xxhash64 signatures) or approximate →
     // rows-only checks.

@@ -57,9 +57,15 @@ object StreamingFlatten {
   // --- custom state: sessionization ------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class SessionState(start: Long, lastSeen: Long, n: Int, total: Double)
+  final case class SessionState(start: java.sql.Timestamp, lastSeen: java.sql.Timestamp,
+      n: Int, total: Double)
   final case class Session(user_id: Long, start: java.sql.Timestamp,
       end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Epoch micros of a Timestamp — getTime() alone is millis and would
+    * round gap comparisons on micro-precision event streams. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
 
   /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
     * per-key state shape Structured Streaming supports and plain windowing
@@ -77,27 +83,25 @@ object StreamingFlatten {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val isStream = events.isStreaming // capture the Boolean, not the Dataset
 
+    val gapUs = gapMs * 1000L
     def fn(userId: Long, it: Iterator[Event], state: GroupState[SessionState]): Iterator[Session] = {
       val out = scala.collection.mutable.ArrayBuffer.empty[Session]
       var st = state.getOption.orNull
-      it.toSeq.sortBy(_.ts.getTime).foreach { e =>
-        val t = e.ts.getTime
+      it.toSeq.sortBy(e => micros(e.ts)).foreach { e =>
         st match {
           case null =>
-            st = SessionState(t, t, 1, e.value)
-          case s if t - s.lastSeen > gapMs =>
-            out += Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.lastSeen), s.n, s.total)
-            st = SessionState(t, t, 1, e.value)
+            st = SessionState(e.ts, e.ts, 1, e.value)
+          case s if micros(e.ts) - micros(s.lastSeen) > gapUs =>
+            out += Session(userId, s.start, s.lastSeen, s.n, s.total)
+            st = SessionState(e.ts, e.ts, 1, e.value)
           case s =>
-            st = s.copy(lastSeen = t, n = s.n + 1, total = s.total + e.value)
+            st = s.copy(lastSeen = e.ts, n = s.n + 1, total = s.total + e.value)
         }
       }
       if (state.hasTimedOut || !isStream) {
         // close the open session (timeout in streaming; end-of-input in batch)
         if (st != null) {
-          out += Session(userId, new java.sql.Timestamp(st.start),
-            new java.sql.Timestamp(st.lastSeen), st.n, st.total)
+          out += Session(userId, st.start, st.lastSeen, st.n, st.total)
           state.remove()
           st = null
         }
@@ -105,7 +109,7 @@ object StreamingFlatten {
       if (st != null) {
         state.update(st)
         if (isStream)
-          state.setTimeoutTimestamp(st.lastSeen + gapMs)
+          state.setTimeoutTimestamp(st.lastSeen.getTime + gapMs)
       }
       out.iterator
     }

@@ -292,11 +292,18 @@ object SparkEntry {
     }),
 
     "x10_ann_lsh" -> ((s, dir) => {
+      // Planted twins (same direction ⇒ identical hyperplane signature ⇒
+      // same bucket): LSH must return the twin as rank-1 with cosine 1.0,
+      // making the approximate path oracle-checkable on its guarantees.
       val emb = rd(s, dir, "embeddings")
-      val queries = emb.where(col("vec_id") < 5)
-      Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5, nBits = 8)
-        .select(col("query_id"), col("rank"), col("neighbor_id"))
-        .orderBy(col("query_id"), col("rank"))
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+      Similarity.lshTopK(corpus, planted, "vec_id", "embedding", k = 1, nBits = 8)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score_r"))
+        .orderBy(col("query_id"))
     }),
 
     "x11_cosine_dedup" -> ((s, dir) => {
@@ -352,6 +359,25 @@ object SparkEntry {
       val anti = o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
         .select(col("o_orderkey"), lit("no_bulk").as("kind"))
       semi.unionAll(anti).orderBy(col("o_orderkey"))
+    }),
+
+    "q8_rollup" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("rf"), col("ls"))),
+
+    "x15_exact_dedup_keep" -> ((s, dir) => {
+      // Plant exact duplicates (same text, higher ids): dedup must keep
+      // exactly the original 500 minimal ids.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dupes = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.exactDedup(d.unionAll(dupes), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
     "f13_variant" -> ((s, dir) => {
@@ -588,6 +614,22 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
         |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "x10_ann_lsh" ->
+      """SELECT vec_id + 100000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
+        |  1.0 AS score_r
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "q8_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "x15_exact_dedup_keep" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
 
     "f13_variant" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

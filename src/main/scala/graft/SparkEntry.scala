@@ -132,6 +132,39 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
 
+    "q9_distinct_agg" -> ((s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy(col("l_suppkey"))),
+
+    "q10_above_avg" -> ((s, dir) => {
+      // orders above their customer's average — decorrelated as an
+      // aggregate + re-join (what Catalyst does to the correlated form)
+      val o = rd(s, dir, "orders")
+      // exact average: decimal sum / count, both to double — identical in
+      // DuckDB regardless of accumulation order
+      val avgByCust = o.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_price"))
+      o.join(avgByCust, o("o_custkey") === col("ck"))
+        .where(col("o_totalprice") > col("avg_price") * 1.5)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "q11_top_parts" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val p = rd(s, dir, "part")
+      li.groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(25, 6))).cast(DoubleType).as("revenue"))
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("p_partkey")).limit(25)
+    }),
+
     // --- flatten operator family (P1-P8, S3/S4, A1/A4, U1/U2, F1/F2) -- //
     "f1_flatten_main" -> ((s, dir) => {
       FlattenPlanner.flatten(nestedOrders(s, dir), flattenOpts)("main")
@@ -441,6 +474,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer) t
         |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "q9_distinct_agg" ->
+      """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "q10_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) /
+        |         CAST(count(*) AS DOUBLE)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q11_top_parts" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT p_partkey, p_name, revenue
+        |FROM rev JOIN part ON l_partkey = p_partkey
+        |ORDER BY revenue DESC, p_partkey LIMIT 25""".stripMargin,
 
     "f1_flatten_main" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS _link, o_orderkey, o_custkey,

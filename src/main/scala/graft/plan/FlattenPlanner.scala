@@ -224,7 +224,15 @@ object FlattenPlanner {
       if (opts.noLink) Nil
       else col(LINK).as("_link") +: ancestors.map(a => col(quoted(s"_link_$a")))
 
-    val scalarCols = walk.scalars.map { case (name, path) =>
+    // Promoted names can collide with literal keys (`{"a":{"b":1},"a_b":2}`
+    // both yield `a_b`): suffix later occurrences — duplicate column names
+    // would poison every sink and downstream select.
+    val seenNames = mutable.Set.empty[String]
+    val scalarCols = walk.scalars.map { case (name0, path) =>
+      var name = name0
+      var k = 2
+      while (seenNames.contains(name)) { name = s"${name0}_$k"; k += 1 }
+      seenNames += name
       val c = fieldType(path) match {
         case _: ArrayType | _: MapType => to_json(leaf(path))
         case _                         => leaf(path)
@@ -249,7 +257,10 @@ object FlattenPlanner {
       val named =
         if (tableName == opts.mainTableName) base
         else s"$tableName${opts.pathSeparator}$base"
-      opts.tablePrefix + named
+      var name = opts.tablePrefix + named
+      var k = 2
+      while (out.exists(_.name == name)) { name = opts.tablePrefix + named + "_" + k; k += 1 }
+      name
     }
 
     def emitChild(keyPath: Seq[String], elemType: DataType, oneToOneObj: Boolean): Unit = {

@@ -692,8 +692,8 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 80
         |ORDER BY event_id""".stripMargin
-    // x6/x7/x8 (hash-based near-dup), x9/x10/x11 (ANN/cosine) are not
-    // SQL-expressible in DuckDB (xxhash64 signatures) or approximate →
-    // rows-only checks.
+    // x6/x7/x8 (hash-signature near-dup) are not SQL-expressible in
+    // DuckDB (no matching hash kernel) → rows-only checks; their semantics
+    // are covered by planted-ground-truth specs in OpsSpec.
   )
 }

@@ -15,21 +15,27 @@ import scala.collection.immutable.ListMap
   */
 object Flatten {
 
-  /** Result: table title → DataFrame, plus the analyzed metadata
-    * (fields.csv rows) — the `dataframe=True` analog (K9). */
+  /** Result: output table title → DataFrame, plus the analyzed metadata
+    * (fields.csv rows) — the `dataframe=True` analog (K9).
+    *
+    * Metadata keys by the table NAME (the planner's identity, which FK
+    * columns `_link_<name>` and control-file specs reference); `names`
+    * maps name → output title, so a tables.csv rename round-trips.
+    */
   final case class FlattenResult(
       tables: ListMap[String, DataFrame],
+      names: Seq[(String, String)], // (name, title) in table order
       fields: Seq[Metadata.FieldMeta],
       opts: FlattenOptions) {
 
     def fieldsCsv: String = Metadata.fieldsCsv(fields)
-    def tablesCsv: String = Metadata.tablesCsv(tables.keys.map(t => (t, t)).toSeq)
+    def tablesCsv: String = Metadata.tablesCsv(names)
     def datapackageJson: String =
-      Metadata.datapackage(groupedFields, opts.mainTableName)
+      Metadata.datapackage(groupedFields, opts.mainTableName, names.toMap)
     def ddl: String = Metadata.ddlScript(groupedFields)
 
     private def groupedFields: Seq[(String, Seq[Metadata.FieldMeta])] =
-      tables.keys.toSeq.map(t => (t, fields.filter(_.tableName == t)))
+      names.map { case (n, _) => (n, fields.filter(_.tableName == n)) }
   }
 
   /** Flatten a parsed DataFrame of documents. `analyze=true` runs the A1/A4
@@ -48,11 +54,12 @@ object Flatten {
     val src =
       if (persistInput) input.persist(StorageLevel.MEMORY_AND_DISK)
       else input
-    val tables = FlattenPlanner.flatten(src, opts)
+    val planned = FlattenPlanner.plan(src, opts)
+    val tables = ListMap(planned.map(t => t.title -> t.df): _*)
     val fields =
-      if (analyze) tables.toSeq.flatMap { case (name, df) => Metadata.analyze(name, df) }
+      if (analyze) planned.flatMap(t => Metadata.analyze(t.name, t.df))
       else Nil
-    FlattenResult(tables, fields, opts)
+    FlattenResult(tables, planned.map(t => (t.name, t.title)), fields, opts)
   }
 
   /** Flatten and write the full output directory layout the reference

@@ -83,9 +83,11 @@ object Metadata {
     * `<t>._link` (`fixtures/pushdown_expected/datapackage.json`;
     * `docs/changelog.md:203`).
     */
-  def datapackage(tables: Seq[(String, Seq[FieldMeta])], mainTable: String): String = {
+  def datapackage(tables: Seq[(String, Seq[FieldMeta])], mainTable: String,
+      titles: Map[String, String] = Map.empty): String = {
     val tableNames = tables.map(_._1).toSet
     val resources = tables.map { case (name, metas) =>
+      val outFile = titles.getOrElse(name, name)
       val fields = metas.map { m =>
         s"""{"name":${js(m.fieldName)},"type":${js(m.fieldType)},"count":${m.count}}"""
       }.mkString("[", ",", "]")
@@ -96,7 +98,7 @@ object Metadata {
       }
       val fkPart = if (fks.nonEmpty) s""","foreignKeys":[${fks.mkString(",")}]""" else ""
       val pk = if (metas.exists(_.fieldName == "_link")) s""","primaryKey":"_link"""" else ""
-      s"""{"profile":"tabular-data-resource","name":${js(name)},"schema":{"fields":$fields$pk$fkPart},"path":${js(s"csv/$name.csv")}}"""
+      s"""{"profile":"tabular-data-resource","name":${js(name)},"schema":{"fields":$fields$pk$fkPart},"path":${js(s"csv/$outFile.csv")}}"""
     }.mkString("[", ",", "]")
     s"""{"profile":"tabular-data-package","resources":$resources}"""
   }

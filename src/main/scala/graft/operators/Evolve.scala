@@ -50,7 +50,10 @@ object Evolve {
     case (x: NumericType, y: NumericType) =>
       val rank = Seq[DataType](ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
       val ia = rank.indexOf(x); val ib = rank.indexOf(y)
-      if (ia >= 0 && ib >= 0) Some(rank(math.max(ia, ib))) else Some(DoubleType)
+      // Decimals (or anything off the simple widening chain) fall through
+      // to the string relaxation — casting DECIMAL(38,0) ids to double
+      // would silently corrupt them.
+      if (ia >= 0 && ib >= 0) Some(rank(math.max(ia, ib))) else None
     case _ => None
   }
 }

@@ -9,6 +9,12 @@ import graft.functions.TextHash
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
+  * Caching note: the near-dup operators persist their signature/shingle
+  * intermediates (MEMORY_AND_DISK) because they feed multiple join sides;
+  * the cache is session-scoped and LRU-evicted. Long-lived sessions
+  * running dedup over many corpora should `spark.catalog.clearCache()`
+  * between runs (or unpersist via the returned plan's dependencies).
+  *
   * Design for 100 TB:
   *   - Exact dedup groups by an 8-byte hash of the normalized text, not the
   *     text itself — the shuffle moves 8-byte keys, not documents.

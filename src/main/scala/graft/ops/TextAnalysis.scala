@@ -84,14 +84,12 @@ object TextAnalysis {
   }
 
   /** Rolling-hash shingle fingerprints: 64-bit hash per `n`-token shingle.
-    * The building block for MinHash / n-gram Jaccard dedup.
+    * The building block for MinHash / n-gram Jaccard dedup. Delegates to
+    * the compiled kernel so values are consistent with every Dedup stage
+    * (an expression-tree variant here once produced disjoint hash spaces).
     */
-  def shingleHashes(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    when(size(toks) < n, array(xxhash64(concat_ws(" ", toks))))
-      .otherwise(transform(idx, i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.TextHash.shingleHashesUdf(n)(text)
 
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",

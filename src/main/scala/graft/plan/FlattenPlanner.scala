@@ -95,9 +95,18 @@ object FlattenPlanner {
     // --- tables.csv control (P8): titles + only_tables ------------------
     val titleByName = opts.tables.map(t => t.tableName -> t.tableTitle).toMap
     val listed = opts.tables.map(_.tableName).toSet
-    out.toSeq
+    val titled = out.toSeq
       .filter(t => !opts.onlyTables || opts.tables.isEmpty || listed.contains(t.name))
       .map(t => t.copy(title = titleByName.getOrElse(t.name, t.name)))
+    // duplicate titles would silently drop tables from the result map
+    val seenTitles = mutable.Set.empty[String]
+    titled.map { t =>
+      var title = t.title
+      var k = 2
+      while (seenTitles.contains(title)) { title = s"${t.title}_$k"; k += 1 }
+      seenTitles += title
+      t.copy(title = title)
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -225,9 +234,12 @@ object FlattenPlanner {
       else col(LINK).as("_link") +: ancestors.map(a => col(quoted(s"_link_$a")))
 
     // Promoted names can collide with literal keys (`{"a":{"b":1},"a_b":2}`
-    // both yield `a_b`): suffix later occurrences — duplicate column names
-    // would poison every sink and downstream select.
+    // both yield `a_b`) or with the link/pushdown columns (a data field
+    // literally named `_link`): suffix later occurrences — duplicate
+    // column names would poison every sink and downstream select.
     val seenNames = mutable.Set.empty[String]
+    if (!opts.noLink) { seenNames += "_link"; ancestors.foreach(a => seenNames += s"_link_$a") }
+    seenNames ++= pushdownIn
     val scalarCols = walk.scalars.map { case (name0, path) =>
       var name = name0
       var k = 2

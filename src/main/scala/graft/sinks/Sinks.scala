@@ -40,8 +40,11 @@ object Sinks {
       .option("emptyValue", "")
       .option("escape", "\"") // RFC-4180 quote doubling, like the reference
       .csv(tmp)
-    val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
-      .find(p => p.endsWith(".csv")).getOrElse(sys.error(s"no csv part in $tmp"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.toArray.map(_.toString).find(_.endsWith(".csv"))
+        .getOrElse(sys.error(s"no csv part in $tmp"))
+      finally listing.close()
     Files.createDirectories(Paths.get(dir))
     Files.move(Paths.get(part), Paths.get(s"$dir/$name.csv"), StandardCopyOption.REPLACE_EXISTING)
     deleteRecursive(Paths.get(tmp))
@@ -66,7 +69,10 @@ object Sinks {
   }
 
   private def deleteRecursive(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursive _)
+    if (Files.isDirectory(p)) {
+      val listing = Files.list(p)
+      try listing.forEach(deleteRecursive _) finally listing.close()
+    }
     Files.deleteIfExists(p)
   }
 }

@@ -49,12 +49,14 @@ object XlsxSink {
     raw.map { n =>
       val clean0 = n.replaceAll("[\\[\\]:*?/\\\\]", "_")
       val clean = (if (clean0.isEmpty) "sheet" else clean0).take(31)
-      seen.get(clean.toLowerCase) match {
-        case None => seen(clean.toLowerCase) = 1; clean
-        case Some(k) =>
-          seen(clean.toLowerCase) = k + 1
-          (clean.take(28) + "~" + k).take(31)
+      var name = clean
+      var k = 1
+      while (seen.contains(name.toLowerCase)) {
+        name = (clean.take(28) + "~" + k).take(31)
+        k += 1
       }
+      seen(name.toLowerCase) = 1
+      name
     }
   }
 

@@ -36,9 +36,11 @@ object StreamingFlatten {
         val batchOpts = opts.copy(
           linkMode = LinkMode.Monotonic,
           idPrefix = s"$batchId.${opts.idPrefix}")
-        FlattenPlanner.flatten(batch, batchOpts).foreach { case (name, df) =>
+        // N table writes from one micro-batch — parse the batch once
+        batch.persist()
+        try FlattenPlanner.flatten(batch, batchOpts).foreach { case (name, df) =>
           df.write.mode("append").parquet(s"$outDir/$name")
-        }
+        } finally batch.unpersist()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -65,7 +67,7 @@ object StreamingFlatten {
   /** Epoch micros of a Timestamp — getTime() alone is millis and would
     * round gap comparisons on micro-precision event streams. */
   private def micros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000 * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** Gap-based sessionization with `flatMapGroupsWithState` — the custom
     * per-key state shape Structured Streaming supports and plain windowing

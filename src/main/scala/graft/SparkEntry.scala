@@ -313,6 +313,28 @@ object SparkEntry {
         threshold = 0.2, shingleSize = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    "x16_minhash_planted" -> ((s, dir) => {
+      // Exact copies (jaccard 1.0, identical signatures ⇒ recall 1): the
+      // pipeline must return exactly the planted pairs — no distinct
+      // natural doc pair reaches jaccard ≥ 0.99 (one differing token drops
+      // shingle jaccard to ≈0.9).
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.minhashDedupPairs(d.unionAll(copies), "text", "doc_id",
+        threshold = 0.99, numHashes = 32, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jac_r"))
+        .orderBy(col("id_a"))
+    }),
+
+    "x17_ngram_planted" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.ngramJaccardPairs(d.unionAll(copies), "text", "doc_id",
+        threshold = 0.99, shingleSize = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jac_r"))
+        .orderBy(col("id_a"))
+    }),
+
     "x9_ann_bruteforce" -> ((s, dir) => {
       // double-precision vectors so the oracle's math is comparable
       val emb = rd(s, dir, "embeddings")
@@ -611,6 +633,14 @@ object SparkEntry {
         |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
         |        FROM documents) d) s
         |ORDER BY doc_id""".stripMargin,
+
+    "x16_minhash_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jac_r
+        |FROM documents ORDER BY id_a""".stripMargin,
+
+    "x17_ngram_planted" ->
+      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jac_r
+        |FROM documents ORDER BY id_a""".stripMargin,
 
     "x9_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -15,40 +15,50 @@ import graft.meta.SpecsCsv
   *     [--pushdown f1,f2] [--main-table-name n] [--path-separator s]
   *     [--table-prefix p] [--id-prefix p] [--no-link] [--preview N]
   *     [--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts]
+  *
+  * An INPUT of `-` reads stdin (`/root/reference/docs/inputs.md:7-14` —
+  * `curl ... | flatterer - out`): the pipe is staged to a temp file so the
+  * normal (seekable, splittable) readers apply. HTTP(S) URL inputs are
+  * documented by the reference but need egress, which this environment
+  * lacks; s3a/gs/hdfs URIs work through the Hadoop filesystem layer as-is.
   */
 object Cli {
   private val valueFlags = Set("--path", "--pushdown", "--main-table-name",
     "--path-separator", "--table-prefix", "--id-prefix", "--preview",
     "--json-path", "--fields-csv", "--tables-csv")
 
-  def main(args: Array[String]): Unit = {
-    // Separate positional args from flags, consuming each value flag's value.
+  /** Parsed command line: positionals plus boolean and valued flags. */
+  private[graft] final case class Args(positional: Vector[String],
+      flags: Set[String], values: Map[String, String])
+
+  /** One pass over argv: a value flag consumes the NEXT token as its value
+    * (never re-resolved by position, so `--pushdown x --no-link` parses and
+    * a positional that looks like a flag name cannot shift resolution).
+    */
+  private[graft] def parseArgs(args: Array[String]): Args = {
     val positional = Vector.newBuilder[String]
     val flags = Set.newBuilder[String]
+    val values = Map.newBuilder[String, String]
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (a.startsWith("--")) { flags += a; if (valueFlags.contains(a)) i += 1 }
-      else positional += a
+      if (a.startsWith("--")) {
+        flags += a
+        if (valueFlags.contains(a) && i + 1 < args.length) { values += a -> args(i + 1); i += 1 }
+      } else positional += a
       i += 1
     }
-    val pos = positional.result()
-    if (pos.length < 2) {
+    Args(positional.result(), flags.result(), values.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val parsedArgs = parseArgs(args)
+    if (parsedArgs.positional.length < 2) {
       System.err.println("usage: graft.Cli INPUT... OUT_DIR [--ndjson|--json-stream] [--path k] " +
         "[--pushdown f1,f2] [--main-table-name n] [--no-link] [--preview N] " +
         "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts]")
       sys.exit(2)
     }
-    val inputs = pos.dropRight(1).toSeq
-    val outDir = pos.last
-
-    def flagVal(name: String): Option[String] = {
-      val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
-    }
-    val flagSet = flags.result()
-    def has(name: String): Boolean = flagSet.contains(name)
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft")
@@ -58,8 +68,32 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, parsedArgs, System.in)
+    finally spark.stop()
+  }
 
-    try {
+  /** Stage stdin to a temp file so `-` inputs go through the same seekable
+    * readers as paths (the reference does the same buffering for stdin,
+    * `src/main.rs` input handling).
+    */
+  private def stageStdin(stdin: java.io.InputStream): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_stdin", ".json")
+    tmp.toFile.deleteOnExit()
+    java.nio.file.Files.copy(stdin, tmp,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    tmp.toString
+  }
+
+  /** Body of the CLI against a provided session + stdin (testable — specs
+    * call this with the shared test session; `main` owns session lifecycle).
+    */
+  private[graft] def run(spark: SparkSession, a: Args, stdin: java.io.InputStream): Unit = {
+    val inputs = a.positional.dropRight(1).map(p => if (p == "-") stageStdin(stdin) else p).toSeq
+    val outDir = a.positional.last
+    def flagVal(name: String): Option[String] = a.values.get(name)
+    def has(name: String): Boolean = a.flags.contains(name)
+
+    {
       val parsed =
         if (has("--ndjson")) JsonInput.ndjson(spark, inputs: _*)
         else if (has("--json-stream")) JsonInput.jsonStream(spark, inputs: _*)
@@ -91,6 +125,6 @@ object Cli {
         parquet = has("--parquet"), sqlScripts = has("--sql-scripts"),
         xlsx = has("--xlsx"))
       println(s"tables: ${res.tables.keys.mkString(", ")}")
-    } finally spark.stop()
+    }
   }
 }

@@ -29,6 +29,9 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** RE2 spelling of the fingerprint whitespace class, for DuckDB oracles. */
+  private val FpWs = TextAnalysis.FingerprintWsRe2
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and truncate to micros (integer division —
     * ns values exceed 2^53 so double math would lose precision).
@@ -299,16 +302,41 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
-    "x6_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashDedupPairs(rd(s, dir, "documents"), "text", "doc_id",
-        threshold = 0.3, numHashes = 32, bands = 16)
-        .orderBy(col("id_a"), col("id_b"))),
+    "x6_minhash_pairs" -> ((s, dir) => {
+      // Near-dup (not identical) positives: every doc plus a mutated copy
+      // with a 4-token tail, so planted pairs land at shingle-Jaccard
+      // (m-2)/(m+2) ∈ [0.67, 0.97] and only docs with ≥ 18 tokens clear
+      // the 0.8 bar — the SAME truth the DuckDB oracle computes exactly
+      // over all pairs. 32 bands × 4 rows: P(miss | j ≥ 0.8) < 5e-8, and
+      // deterministic seeded hashing makes the outcome fixed, so this
+      // checks signature, banding, and verify end-to-end against ground
+      // truth (not just planted identity like x16).
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mutated = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" graft appended tail marker")).as("text"))
+      Dedup.minhashDedupPairs(d.unionAll(mutated), "text", "doc_id",
+        threshold = 0.8, numHashes = 128, bands = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
-    "x7_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashDedupPairs(rd(s, dir, "documents"), "text", "doc_id", maxHamming = 16)
-        .orderBy(col("id_a"), col("id_b"))),
+    "x7_simhash_pairs" -> ((s, dir) => {
+      // maxHamming = 3 ⇒ 4-chunk pigeonhole blocking with complete recall
+      // (chunk count is derived from maxHamming since round 3). The oracle
+      // recomputes the md5-token-hash SimHash in SQL and takes the exact
+      // full-pairs Hamming truth — including the natural vote-tie pairs
+      // this tiny-vocabulary corpus produces (3 pairs at Hamming 0 that
+      // are NOT identical texts), which a planted-only oracle would miss.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.simhashDedupPairs(d.unionAll(copies), "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "x8_ngram_jaccard" -> ((s, dir) =>
+      // Posting-list blocking is exact (a pair with j > 0 shares a
+      // shingle, and the default maxDf exceeds the doc count at this SF so
+      // nothing is dropped), so DuckDB all-pairs Jaccard is the precise
+      // oracle.
       Dedup.ngramJaccardPairs(rd(s, dir, "documents"), "text", "doc_id",
         threshold = 0.2, shingleSize = 2)
         .orderBy(col("id_a"), col("id_b"))),
@@ -589,8 +617,11 @@ object SparkEntry {
     "f12_ndjson_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders ORDER BY o_orderkey""",
 
+    // fingerprint whitespace class: TextAnalysis.FingerprintWsRe2 — one
+    // explicit class in both engines (bare \s differs between java.util
+    // .regex and RE2 on U+000B and misses Unicode spaces entirely)
     "x1_exact_dedup" ->
-      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      s"""SELECT md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint,
         |  count(*) AS n_members, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
 
@@ -603,7 +634,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x3_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x4_quality" ->
@@ -721,9 +752,78 @@ object SparkEntry {
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events
         |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 80
-        |ORDER BY event_id""".stripMargin
-    // x6/x7/x8 (hash-signature near-dup) are not SQL-expressible in
-    // DuckDB (no matching hash kernel) → rows-only checks; their semantics
-    // are covered by planted-ground-truth specs in OpsSpec.
+        |ORDER BY event_id""".stripMargin,
+
+    // Exact ground truth for the near-dup operators. Jaccard oracles
+    // compare string shingles where the engine compares 64-bit FNV shingle
+    // hashes — identical sets modulo hash collisions (P < 1e-9 at this
+    // scale). The simhash oracle recomputes the signature itself: the
+    // engine's token hash is md5-derived precisely so SQL can replicate it.
+    "x6_minhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text || ' graft appended tail marker' FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS t
+        |  FROM docs),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) <= 3 THEN [array_to_string(t, chr(31))]
+        |         ELSE list_distinct(list_transform(range(1, len(t) - 1),
+        |                i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x7_simhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS tok
+        |  FROM docs),
+        |th AS (
+        |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  bit_count(xor(a.sig, b.sig)) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "x8_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) <= 2 THEN [array_to_string(t, chr(31))]
+        |         ELSE list_distinct(list_transform(range(1, len(t)),
+        |                i -> t[i] || chr(31) || t[i+1])) END AS s
+        |  FROM toks)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

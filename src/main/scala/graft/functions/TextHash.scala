@@ -104,13 +104,36 @@ object TextHash {
     sig
   }
 
-  /** 64-bit SimHash over token hashes: each bit votes ±1, sign wins. */
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(UTF-8 bytes), big-endian — the SimHash token
+    * hash. md5-derived (instead of FNV like the shingle hashes) so the
+    * whole SimHash pipeline is reproducible by ANY engine with an md5
+    * function: `('0x' || substr(md5(tok),1,16))::UBIGINT` in DuckDB is
+    * bit-identical, which is what lets the x7 correctness oracle compute
+    * the exact pair ground truth in SQL. Hashing cost is ~2× FNV, but
+    * SimHash is dominated by the 64 vote updates per token anyway.
+    */
+  def md5Hash64(s: String): Long = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (h(i) & 0xffL); i += 1 }
+    out
+  }
+
+  /** 64-bit SimHash over md5 token hashes: each bit votes ±1, sign wins. */
   def simhash(text: String): Long = {
     val toks = tokenize(text)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {
-      val h = hashString(toks(i))
+      val h = md5Hash64(toks(i))
       var b = 0
       while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
       i += 1

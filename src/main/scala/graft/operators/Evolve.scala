@@ -46,14 +46,20 @@ object Evolve {
     aligned.reduce(_.unionAll(_))
   }
 
-  private def numericMerge(a: DataType, b: DataType): Option[DataType] = (a, b) match {
-    case (x: NumericType, y: NumericType) =>
-      val rank = Seq[DataType](ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
-      val ia = rank.indexOf(x); val ib = rank.indexOf(y)
-      // Decimals (or anything off the simple widening chain) fall through
-      // to the string relaxation — casting DECIMAL(38,0) ids to double
-      // would silently corrupt them.
+  /** Widen only within the integral chain or within the fractional chain.
+    * A cross-kind merge (Long ⊔ Double, Int ⊔ Float, …) falls through to
+    * the string relaxation: casting Long ids to Double silently corrupts
+    * values above 2^53 (2^24 for Float) — the same corruption the decimal
+    * rule below avoids, and the reference's behavior for conflicting
+    * types is relax-to-text anyway (`docs/options.md:425-443`). Decimals
+    * (or anything off the two chains) also fall through.
+    */
+  private def numericMerge(a: DataType, b: DataType): Option[DataType] = {
+    def within(rank: Seq[DataType]): Option[DataType] = {
+      val ia = rank.indexOf(a); val ib = rank.indexOf(b)
       if (ia >= 0 && ib >= 0) Some(rank(math.max(ia, ib))) else None
-    case _ => None
+    }
+    within(Seq(ByteType, ShortType, IntegerType, LongType))
+      .orElse(within(Seq(FloatType, DoubleType)))
   }
 }

@@ -9,11 +9,13 @@ import graft.functions.TextHash
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
-  * Caching note: the near-dup operators persist their signature/shingle
-  * intermediates (MEMORY_AND_DISK) because they feed multiple join sides;
-  * the cache is session-scoped and LRU-evicted. Long-lived sessions
-  * running dedup over many corpora should `spark.catalog.clearCache()`
-  * between runs (or unpersist via the returned plan's dependencies).
+  * Caching note: the near-dup pair operators persist their signature/shingle
+  * intermediate (it feeds multiple join sides), eagerly materialize the
+  * (small) verified pair set via `localCheckpoint`, and unpersist the
+  * intermediate before returning — nothing stays cached after the call, so
+  * long-lived sessions can run dedup over many corpora without cached
+  * blocks accumulating. The returned DataFrame is backed by the
+  * checkpointed blocks (lineage truncated).
   *
   * Design for 100 TB:
   *   - Exact dedup groups by an 8-byte hash of the normalized text, not the
@@ -75,27 +77,62 @@ object Dedup {
       .select(col(idCol).as("id"),
         TextHash.minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "bandHash")))
-    // ONE shuffle: group each bucket, then emit its pairs directly from the
-    // collected id array (the cap bounds both memory and pair count — a
-    // bucket of n ids emits n·(n-1)/2 pairs, so ≤ maxBucket²/2). This
-    // replaces the bucket-count + semi-join + sorted self-join shape (4
-    // shuffles of the banded set) with groupBy + explode + distinct.
-    bucketPairs(banded.groupBy("band", "bandHash")
-      .agg(collect_list(col("id")).as("ids")), maxBucket)
+    bucketPairs(banded, Seq("band", "bandHash"), maxBucket)
   }
 
-  /** Emit all ordered id pairs from per-bucket id arrays, dropping buckets
-    * larger than `maxBucket` (skew guard) or smaller than 2. */
-  private def bucketPairs(buckets: DataFrame, maxBucket: Int): DataFrame = {
+  /** Emit all ordered id pairs from co-bucketed rows (`keyCols` identify the
+    * bucket), dropping buckets larger than `maxBucket` (skew guard) or
+    * smaller than 2.
+    *
+    * Skew safety at scale: bucket sizes are counted FIRST (an aggregation
+    * over small fixed-width keys) and only buckets with 2..maxBucket
+    * members reach `collect_list`, so a degenerate bucket — a
+    * near-universal shingle or signature chunk with 10^8 members — is
+    * dropped before any id array materializes in an aggregation buffer.
+    * Both aggregations and the join hash-partition on the same keys, so
+    * Catalyst reuses one exchange of the bucketed rows; the only extra
+    * traffic is the (band, count) keys themselves.
+    */
+  private def bucketPairs(rows: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val keys = keyCols.map(col)
+    val surviving = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n").between(2, maxBucket))
+      .select(keys: _*)
     val ids = sort_array(col("ids"))
     val pairs = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    buckets
-      .where(size(col("ids")).between(2, maxBucket))
+    rows.join(surviving, keyCols)
+      .groupBy(keys: _*).agg(collect_list(col("id")).as("ids"))
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** Verify candidate pairs by exact shingle-set Jaccard ≥ `threshold`.
+    * `sh` must have columns (id, sh) and be persisted by the caller (it is
+    * read on both join sides).
+    */
+  private def jaccardVerify(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** Run `body` with `cached` persisted, eagerly materialize the result
+    * (`localCheckpoint` — the pair sets these operators return are tiny
+    * next to the corpus), then unpersist. No cached blocks outlive the
+    * call; the checkpoint blocks are reclaimed when the returned frame is
+    * garbage-collected (ContextCleaner).
+    */
+  private def withCached(cached: DataFrame)(body: => DataFrame): DataFrame = {
+    cached.persist(StorageLevel.MEMORY_AND_DISK)
+    try body.localCheckpoint(true)
+    finally cached.unpersist()
   }
 
   /** MinHash near-dup pairs with their estimated AND exact Jaccard: LSH
@@ -107,40 +144,50 @@ object Dedup {
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, maxBucket)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // reused on both join sides
-    cands
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    withCached(sh)(jaccardVerify(cands, sh, threshold))
   }
 
   /** 64-bit SimHash of the token stream: per-token hash, each bit votes
     * ±1, sign wins ([[TextHash.simhash]] compiled kernel). */
   def simhash64(text: Column): Column = TextHash.simhashUdf(text)
 
-  /** SimHash near-dup candidate pairs: block on 4×16-bit chunks (two docs
-    * within Hamming distance ≤ 3 of a 64-bit fingerprint must share at
-    * least one 16-bit chunk — pigeonhole), verify exact Hamming distance.
+  /** SimHash near-dup candidate pairs: block on `maxHamming + 1` bit chunks
+    * of the 64-bit fingerprint (pigeonhole: two signatures within Hamming
+    * distance ≤ maxHamming must agree on at least one chunk — so recall is
+    * complete BY CONSTRUCTION for the requested distance, not just for a
+    * fixed chunking), then verify exact Hamming distance. `maxHamming` is
+    * capped at 15 (16 chunks of ≥ 4 bits); beyond that, chunks get so
+    * narrow that every bucket holds a constant fraction of the corpus and
+    * the blocking join degenerates to quadratic — use MinHash instead.
     */
   def simhashDedupPairs(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] for complete ≥4-bit chunk blocking, got $maxHamming")
+    val chunks = maxHamming + 1
+    // distribute 64 bits as evenly as possible over the chunks
+    val widths  = Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK) // chunk explode + 2 verify joins
-    val chunked = withSig.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        i => call_function("shiftright", col("sig"), i * 16).bitwiseAND(0xFFFFL))).as(Seq("chunk", "chunkVal")))
-    val cands = bucketPairs(chunked.groupBy("chunk", "chunkVal")
-      .agg(collect_list(col("id")).as("ids")), maxBucket)
-    val sigA = withSig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
-    val sigB = withSig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
-    cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
+    try {
+      val chunkVals = (0 until chunks).map { i =>
+        val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask)).as("chunkVal"))
+      }
+      val chunked = withSig
+        .select(col("id"), explode(array(chunkVals: _*)).as("c"))
+        .select(col("id"), col("c.chunk"), col("c.chunkVal"))
+      val cands = bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
+      val sigA = withSig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
+      val sigB = withSig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
+      cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .localCheckpoint(true)
+    } finally withSig.unpersist()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`,
@@ -155,17 +202,9 @@ object Dedup {
       threshold: Double = 0.5, shingleSize: Int = 3, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // posting list + both verify sides
-    val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
-    val cands = bucketPairs(posting.groupBy("shingle")
-      .agg(collect_list(col("id")).as("ids")), maxDf)
-    cands
-      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
-      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    withCached(sh) {
+      val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      jaccardVerify(bucketPairs(posting, Seq("shingle"), maxDf), sh, threshold)
+    }
   }
 }

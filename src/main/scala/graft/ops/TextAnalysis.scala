@@ -63,11 +63,24 @@ object TextAnalysis {
     (lenOk + punctOk + stopOk + wordOk) / 4.0
   }
 
+  /** Whitespace class for fingerprint normalization, spelled out explicitly
+    * (ASCII whitespace incl. vertical tab U+000B, NEL, and the Unicode space separators)
+    * so every engine agrees: a bare `\s` means different sets in
+    * java.util.regex (includes U+000B) vs RE2/DuckDB (does not), and both
+    * miss Unicode spaces — real-world text with an NBSP would fingerprint
+    * differently per engine. [[FingerprintWsRe2]] is the same class in RE2
+    * syntax for oracle/DuckDB use.
+    */
+  val FingerprintWsJava: String =
+    "[ \\t\\n\\u000B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+  val FingerprintWsRe2: String =
+    "[ \\t\\n\\x{000B}\\f\\r\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.
     * Stable across engines (md5 is md5 everywhere) — the exact-dedup key.
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast(BinaryType))
+    md5(regexp_replace(lower(trim(text)), FingerprintWsJava, " ").cast(BinaryType))
 
   /** N-gram language ID heuristic: score each candidate language by hits of
     * its most-frequent function words in the token stream; pick the argmax.

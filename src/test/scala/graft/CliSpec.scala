@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** CLI argument parsing and the stdin (`-`) input path
+  * (`/root/reference/docs/inputs.md:7-14`). `Cli.run` is exercised with the
+  * shared test session (Cli.main owns its own session lifecycle, which
+  * would tear down TestSpark's).
+  */
+class CliSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  test("value flags parse in one pass; flag-like values cannot shift resolution") {
+    val a = Cli.parseArgs(Array("in.json", "out", "--pushdown", "id,title", "--no-link"))
+    assert(a.positional == Vector("in.json", "out"))
+    assert(a.values.get("--pushdown").contains("id,title"))
+    assert(a.flags.contains("--no-link"))
+
+    // a value that looks like a flag name is consumed as the value, not
+    // re-resolved as a flag, and doesn't shift any later flag's value
+    val b = Cli.parseArgs(Array("--table-prefix", "--pushdown", "in.json", "out", "--preview", "5"))
+    assert(b.values.get("--table-prefix").contains("--pushdown"))
+    assert(!b.values.contains("--pushdown"))
+    assert(b.values.get("--preview").contains("5"))
+    assert(b.positional == Vector("in.json", "out"))
+  }
+
+  test("stdin input `-` stages the pipe and flattens like a file input") {
+    val out = Files.createTempDirectory("graft_cli_stdin").toString
+    val doc = """[{"id":1,"name":"stdin doc"},{"id":2,"name":"another"}]"""
+    val in = new java.io.ByteArrayInputStream(doc.getBytes("UTF-8"))
+    Cli.run(spark, Cli.parseArgs(Array("-", out)), in)
+    val main = Files.readString(Paths.get(s"$out/csv/main.csv"))
+    assert(main.contains("stdin doc") && main.contains("another"))
+    assert(main.linesIterator.size == 3) // header + 2 rows
+  }
+}

@@ -152,6 +152,63 @@ class OpsSpec extends AnyFunSuite {
     assert(JsonPathFilter(df, "$.type").count() == 3)
   }
 
+  test("simhash pair blocking is complete: matches brute-force hamming join") {
+    // self-consistency against ground truth: every pair the brute-force
+    // O(n²) hamming join finds at ≤ maxHamming must come out of the
+    // chunk-blocked operator (pigeonhole completeness), and nothing extra.
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sig").as("sb"))
+    for (maxH <- Seq(0, 3, 7)) {
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .where(bit_count(col("sa").bitwiseXOR(col("sb"))) <= maxH)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val blocked = Dedup.simhashDedupPairs(corpus, "text", "doc_id", maxHamming = maxH)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(blocked == brute, s"maxHamming=$maxH")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simhashDedupPairs(corpus, "text", "doc_id", maxHamming = 16)
+    }
+  }
+
+  test("degenerate LSH bucket is dropped before any id array materializes") {
+    // 3000 byte-identical one-token docs put the whole corpus in every
+    // band bucket; the pre-count filter must drop those buckets (no pairs,
+    // no giant collect_list buffer) while a small distinct near-pair in
+    // the same corpus still comes through via its own buckets.
+    import spark.implicits._
+    val degenerate = (0L until 3000L).map(i => (i, "spark spark spark spark"))
+    val survivors = Seq(900001L -> "a genuinely unique document about graft engines",
+      900002L -> "a genuinely unique document about graft engines")
+    val df = (degenerate ++ survivors).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairs(df, "text", "doc_id",
+      threshold = 0.9, numHashes = 32, bands = 8, maxBucket = 100)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((900001L, 900002L)))
+  }
+
+  test("fingerprint whitespace class: vertical tab and NBSP normalize like space") {
+    val d = docsDf(Seq(
+      1L -> "a b",
+      2L -> "a\u000Bb",       // java \s includes U+000B, RE2 does not — explicit class covers it
+      3L -> "a\u00A0b",       // NBSP — neither engine's \s covers it
+      4L -> "a  \t b"))
+    val fps = d.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) == fps(3L) && fps(1L) == fps(4L))
+  }
+
+  test("unionEvolve: integral x fractional conflict relaxes to string, ids above 2^53 survive") {
+    import spark.implicits._
+    val bigId = (1L << 53) + 3L // not representable as Double
+    val a = Seq(Tuple1(bigId)).toDF("id")
+    val b = Seq(Tuple1(1.5)).toDF("id")
+    val u = Evolve.unionEvolve(Seq(a, b)).orderBy("id")
+    assert(u.schema("id").dataType.typeName == "string")
+    assert(u.collect().map(_.getString(0)).toSet == Set(bigId.toString, "1.5"))
+  }
+
   test("unionEvolve: missing cols NULL-fill, conflicting types relax, numerics widen") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "v")

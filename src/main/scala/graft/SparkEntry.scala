@@ -11,7 +11,7 @@ import graft.model._
 import graft.plan.FlattenPlanner
 import graft.sources.JsonInput
 import graft.functions.JsonPathFilter
-import graft.meta.Metadata
+import graft.meta.{Metadata, SchemaFields}
 import graft.operators.Evolve
 import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
 
@@ -473,8 +473,139 @@ object SparkEntry {
           try_variant_get(col("v"), "$.k", "bigint").as("k"))
         .where(col("k") > 80)
         .orderBy(col("event_id"))
+    }),
+
+    // --- source-format roundtrips (S1/S2/S4/S5/S6) ------------------ //
+    // Each stages known rows into the wire format on disk (or a driver
+    // iterator), reads them back through the JsonInput reader under test,
+    // and compares against the original table as the oracle.
+    "f14_json_array" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempFile("graft_arr", ".json")
+      java.nio.file.Files.writeString(tmp, custJson(s, dir).mkString("[", ",", "]"))
+      JsonInput.jsonArray(s, tmp.toString)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "f15_json_array_path" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempFile("graft_arrpath", ".json")
+      java.nio.file.Files.writeString(tmp,
+        s"""{"meta": {"version": 1}, "data": {"rows": ${custJson(s, dir).mkString("[", ",", "]")}}}""")
+      JsonInput.jsonArrayAt(s, Seq("data", "rows"), tmp.toString)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "f16_json_stream" -> ((s, dir) => {
+      // concatenated top-level objects with NO separators — the brace
+      // splitter, not line alignment, must find document boundaries
+      val tmp = java.nio.file.Files.createTempFile("graft_stream", ".json")
+      java.nio.file.Files.writeString(tmp, custJson(s, dir).mkString(""))
+      JsonInput.jsonStream(s, tmp.toString)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "f17_iterator" -> ((s, dir) =>
+      JsonInput.fromIterator(s, custJson(s, dir).iterator)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))),
+
+    "f18_multifile_union" -> ((s, dir) => {
+      // same content staged as two NDJSON files: the multi-path read must
+      // double every row (reference semantics, flatterer/tests.py:91-100)
+      val docs = custJson(s, dir).mkString("\n")
+      val t1 = java.nio.file.Files.createTempFile("graft_u1", ".jsonl")
+      val t2 = java.nio.file.Files.createTempFile("graft_u2", ".jsonl")
+      java.nio.file.Files.writeString(t1, docs)
+      java.nio.file.Files.writeString(t2, docs)
+      JsonInput.ndjson(s, t1.toString, t2.toString)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // --- remaining flatten-planner options (P3/P4/P9/P10) ----------- //
+    "f19_inline_one_to_one" -> ((s, dir) => {
+      // arrays that never exceed one element (incl. empty for every 10th
+      // order) inline into the parent as promoted columns, NULL where the
+      // array is empty
+      val o = rd(s, dir, "orders")
+      val nested = o.select(col("o_orderkey"), col("o_custkey"),
+        when(col("o_orderkey") % 10 === 0,
+          array().cast("array<struct<price:double,status:string>>"))
+          .otherwise(array(struct(col("o_totalprice").as("price"),
+            col("o_orderstatus").as("status")))).as("detail"))
+      FlattenPlanner.flatten(nested, FlattenOptions(
+        linkMode = LinkMode.NaturalKey("o_orderkey"), inlineOneToOne = true))("main")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("detail_price"), col("detail_status"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "f20_emit_obj" -> ((s, dir) => {
+      // a 1:1 sub-object forced out as its own child table (position 0)
+      val c = rd(s, dir, "customer").select(col("c_custkey"),
+        struct(col("c_name").as("name"), col("c_acctbal").as("bal")).as("profile"))
+      FlattenPlanner.flatten(c, FlattenOptions(
+        linkMode = LinkMode.NaturalKey("c_custkey"),
+        emitObj = Seq(Seq("profile"))))("profile")
+        .orderBy(col("_link"))
+    }),
+
+    "f21_schema_order" -> ((s, dir) => {
+      // JSONSchema property order + titles drive field selection/renaming
+      val schema =
+        """{"properties": {
+          |  "o_orderkey": {"type": "integer", "title": "Order Key"},
+          |  "o_totalprice": {"type": "number", "title": "Total Price"}}}""".stripMargin
+      val fields = SchemaFields.fromJsonSchema(schema,
+        titleMode = SchemaFields.UnderscoreSlug)
+      FlattenPlanner.flatten(
+        rd(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        FlattenOptions(linkMode = LinkMode.NaturalKey("o_orderkey"), noLink = true,
+          onlyFields = true, fields = fields))("main")
+        .orderBy(col("order_key"))
+    }),
+
+    "f22_naming" -> ((s, dir) => {
+      // naming controls together: path separator "__" in promoted names,
+      // table prefix on the child table, id prefix in every link value
+      val c = rd(s, dir, "customer").select(col("c_custkey"),
+        array(struct(struct(col("c_mktsegment").as("seg")).as("m"))).as("tags"))
+      FlattenPlanner.flatten(c, FlattenOptions(
+        linkMode = LinkMode.NaturalKey("c_custkey"),
+        pathSeparator = "__", tablePrefix = "t_", idPrefix = "cust-"))("t_tags")
+        .orderBy(col("_link"))
+    }),
+
+    // --- metadata analyses (A2/A3) ---------------------------------- //
+    "f23_stats" -> ((s, dir) => {
+      import s.implicits._
+      Metadata.analyzeStats(
+          rd(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority")), exact = true)
+        .map(f => (f.fieldName, f.min.orNull, f.max.orNull, f.approxDistinct))
+        .toDF("field_name", "min_v", "max_v", "n_distinct")
+        .orderBy(col("field_name"))
+    }),
+
+    "f24_one_to_one" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val nested = li.groupBy(col("l_orderkey")).agg(
+        collect_list(struct(col("l_linenumber"))).as("items"),
+        slice(sort_array(collect_list(struct(col("l_partkey")))), 1, 1).as("first_item"))
+      FlattenPlanner.oneToOneAnalysis(nested).orderBy(col("array_path"))
     })
   )
+
+  /** Deterministic JSON docs (one string per customer row, 3 fields) used
+    * by the source-roundtrip queries f14-f18. Driver-side collect of 1.5k
+    * rows at sf0.01 — these queries test the readers, not scan scale.
+    */
+  private def custJson(s: SparkSession, dir: String): Array[String] =
+    rd(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey")).toJSON.collect()
 
   // ----------------------------------------------------------------- //
   // DuckDB oracles
@@ -753,6 +884,70 @@ object SparkEntry {
         |FROM events
         |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 80
         |ORDER BY event_id""".stripMargin,
+
+    // source roundtrips: reading the staged wire format must reproduce
+    // the original rows exactly
+    "f14_json_array" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "f15_json_array_path" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "f16_json_stream" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "f17_iterator" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey""",
+
+    "f18_multifile_union" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f19_inline_one_to_one" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_totalprice END AS detail_price,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderstatus END AS detail_status
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f20_emit_obj" ->
+      """SELECT CAST(c_custkey AS VARCHAR) || '.profile.0' AS _link,
+        |  CAST(c_custkey AS VARCHAR) AS _link_main,
+        |  c_name AS name, c_acctbal AS bal
+        |FROM customer ORDER BY _link""".stripMargin,
+
+    "f21_schema_order" ->
+      """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+        |FROM orders ORDER BY order_key""".stripMargin,
+
+    "f22_naming" ->
+      """SELECT 'cust-' || CAST(c_custkey AS VARCHAR) || '.tags.0' AS _link,
+        |  'cust-' || CAST(c_custkey AS VARCHAR) AS _link_main,
+        |  c_mktsegment AS m__seg
+        |FROM customer ORDER BY _link""".stripMargin,
+
+    "f23_stats" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS field_name, CAST(min(o_orderkey) AS VARCHAR) AS min_v,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS max_v, count(DISTINCT o_orderkey) AS n_distinct
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', min(o_orderstatus), max(o_orderstatus),
+        |    count(DISTINCT o_orderstatus) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', min(o_orderpriority), max(o_orderpriority),
+        |    count(DISTINCT o_orderpriority) FROM orders) t
+        |ORDER BY field_name""".stripMargin,
+
+    "f24_one_to_one" ->
+      """WITH m AS (SELECT max(cnt) AS mx FROM (
+        |  SELECT count(*) AS cnt FROM lineitem GROUP BY l_orderkey) g)
+        |SELECT * FROM (
+        |  SELECT 'first_item' AS array_path, 1 AS max_size, true AS one_to_one
+        |  UNION ALL
+        |  SELECT 'items', (SELECT mx FROM m), (SELECT mx FROM m) <= 1) t
+        |ORDER BY array_path""".stripMargin,
 
     // Exact ground truth for the near-dup operators. Jaccard oracles
     // compare string shingles where the engine compares 64-bit FNV shingle

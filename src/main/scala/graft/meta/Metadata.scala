@@ -42,19 +42,22 @@ object Metadata {
 
   /** A2 `stats` (`/root/reference/docs/options.md:758-774`): per-field
     * min/max/distinct-count, embedded in datapackage.json when requested.
-    * ONE aggregation job per table; distinct counts use HyperLogLog
-    * (`approx_count_distinct`) — at 100 TB an exact distinct per field is a
-    * full shuffle per column, and the reference's use is descriptive.
+    * ONE aggregation job per table; by default distinct counts use
+    * HyperLogLog (`approx_count_distinct`) — at 100 TB an exact distinct
+    * per field is a full shuffle per column, and the reference's use is
+    * descriptive. `exact = true` switches to exact `count_distinct` for
+    * small tables or when the numbers feed a correctness check.
     */
   final case class FieldStats(fieldName: String, min: Option[String],
       max: Option[String], approxDistinct: Long)
 
-  def analyzeStats(df: DataFrame): Seq[FieldStats] = {
+  def analyzeStats(df: DataFrame, exact: Boolean = false): Seq[FieldStats] = {
     val fields = df.schema.fields
     if (fields.isEmpty) return Nil
     val aggs = fields.flatMap { f =>
       val c = col(s"`${f.name}`")
-      Seq(min(c).cast("string"), max(c).cast("string"), approx_count_distinct(c))
+      Seq(min(c).cast("string"), max(c).cast("string"),
+        if (exact) count_distinct(c) else approx_count_distinct(c))
     }.toSeq
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     fields.zipWithIndex.map { case (f, i) =>

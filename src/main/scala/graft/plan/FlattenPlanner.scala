@@ -109,6 +109,29 @@ object FlattenPlanner {
     }
   }
 
+  /** A3: report every top-level array-of-struct path's global max
+    * cardinality and whether it qualifies for `inline_one_to_one`
+    * (`/root/reference/docs/options.md:624-642`) — the same analysis the
+    * planner runs internally, surfaced as a one-row-per-array DataFrame.
+    * One aggregation job regardless of array count.
+    */
+  def oneToOneAnalysis(input: DataFrame, opts: FlattenOptions = FlattenOptions()): DataFrame = {
+    import input.sparkSession.implicits._
+    val walk = walkStruct(input.schema, Nil, opts)
+    val cands = walk.children.filter(_._2.elementType.isInstanceOf[StructType])
+    if (cands.isEmpty) return Seq.empty[(String, Int, Boolean)]
+      .toDF("array_path", "max_size", "one_to_one")
+    def field(path: Seq[String]): Column =
+      path.tail.foldLeft(col(quoted(path.head)))(_.getField(_))
+    val aggs = cands.zipWithIndex.map { case ((p, _), i) =>
+      coalesce(max(size(field(p))), lit(0)).as(s"m$i") }
+    val row = input.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cands.zipWithIndex.map { case ((p, _), i) =>
+      val m = row.getInt(i)
+      (p.mkString(opts.pathSeparator), m, m <= 1)
+    }.toDF("array_path", "max_size", "one_to_one")
+  }
+
   // ---------------------------------------------------------------------
   // Schema walk
   // ---------------------------------------------------------------------
@@ -200,9 +223,12 @@ object FlattenPlanner {
       } else Set.empty
 
     // Resolve a leaf column, descending through inlined arrays via item 0.
+    // `get` (not `getItem`): an inlined array may be EMPTY on a given row
+    // (the 1:1 analysis only bounds it above), which must yield NULL, not
+    // an ANSI INVALID_ARRAY_INDEX error.
     def leaf(path: Seq[String]): Column = {
       inlined.toSeq.filter(path.startsWith(_)).sortBy(-_.length).headOption match {
-        case Some(p) => path.drop(p.length).foldLeft(field(p).getItem(0))(_.getField(_))
+        case Some(p) => path.drop(p.length).foldLeft(get(field(p), lit(0)))(_.getField(_))
         case None    => field(path)
       }
     }

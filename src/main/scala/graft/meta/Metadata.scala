@@ -125,6 +125,64 @@ object Metadata {
       s"""CREATE TABLE "$name"(\n${cols.mkString(",\n")});\n"""
     }.mkString("\n")
 
+  /** Evolve-into-existing-store DDL delta (`/root/reference/docs/options
+    * .md:425-458`): reconcile the newly planned tables against the schema
+    * already in the database (e.g. [[parseDatapackage]] of the prior
+    * run's datapackage.json) per the reference's rules:
+    *   - table missing from the store → CREATE TABLE
+    *   - existing table, new field → ALTER TABLE ... ADD COLUMN
+    *   - same field with a conflicting guessed type → postgres: ALTER the
+    *     column to TEXT (all types coerce to text); sqlite: keep the
+    *     original type (sqlite cannot alter column types, and its dynamic
+    *     typing accepts the inserts anyway) — emitted as a comment so the
+    *     divergence is visible in the script
+    *   - store fields absent from the new data → untouched (NULL-filled
+    *     on insert)
+    */
+  def evolveScript(existing: Seq[(String, Seq[FieldMeta])],
+      target: Seq[(String, Seq[FieldMeta])], postgres: Boolean = true): String = {
+    val existingByTable = existing.toMap
+    target.map { case (name, metas) =>
+      existingByTable.get(name) match {
+        case None => ddlScript(Seq(name -> metas))
+        case Some(have) =>
+          val haveTypes = have.map(m => m.fieldName -> m.fieldType).toMap
+          val stmts = metas.flatMap { m =>
+            haveTypes.get(m.fieldName) match {
+              case None =>
+                Some(s"""ALTER TABLE "$name" ADD COLUMN "${m.fieldName.toLowerCase}" ${sqlType(m.fieldType)};""")
+              case Some(t) if sqlType(t) != sqlType(m.fieldType) =>
+                if (postgres)
+                  Some(s"""ALTER TABLE "$name" ALTER COLUMN "${m.fieldName.toLowerCase}" TYPE TEXT;""")
+                else
+                  Some(s"""-- "$name"."${m.fieldName.toLowerCase}": type ${sqlType(m.fieldType)} conflicts with existing ${sqlType(t)}; sqlite keeps the original type""")
+              case _ => None
+            }
+          }
+          if (stmts.isEmpty) "" else stmts.mkString("", "\n", "\n")
+      }
+    }.filter(_.nonEmpty).mkString("\n")
+  }
+
+  /** Parse a datapackage.json (ours or the reference's — same profile)
+    * back into per-table field metadata, for [[evolveScript]] against a
+    * store created by a previous run.
+    */
+  def parseDatapackage(json: String): Seq[(String, Seq[FieldMeta])] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    Option(root.get("resources")).toSeq.flatMap(_.elements().asScala).map { res =>
+      val name = res.get("name").asText()
+      val fields = Option(res.get("schema")).flatMap(s => Option(s.get("fields"))).toSeq
+        .flatMap(_.elements().asScala).map { f =>
+          FieldMeta(name, f.get("name").asText(), f.get("type").asText(),
+            f.get("name").asText(),
+            Option(f.get("count")).map(_.asLong()).getOrElse(0L))
+        }
+      name -> fields
+    }
+  }
+
   /** postgres `\copy` loader (`docs/outputs.md:87-161`). */
   def postgresLoadScript(tables: Seq[String]): String =
     tables.map(t => s"""\\copy "$t" from 'csv/$t.csv' with CSV HEADER""").mkString("\n") + "\n"

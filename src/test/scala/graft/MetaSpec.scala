@@ -59,6 +59,44 @@ class MetaSpec extends AnyFunSuite {
     assert(dp.contains(""""foreignKeys":[{"fields":"_link_main","reference":{"resource":"main","fields":"_link"}}"""))
   }
 
+  test("evolveScript: new table CREATEs, new field ALTERs, conflict relaxes (pg) or comments (sqlite)") {
+    import Metadata.FieldMeta
+    val existingDp =
+      """{"profile":"tabular-data-package","resources":[
+        |  {"profile":"tabular-data-resource","name":"main","schema":{"fields":[
+        |    {"name":"_link","type":"text","count":2},
+        |    {"name":"id","type":"number","count":2},
+        |    {"name":"note","type":"text","count":2}]},"path":"csv/main.csv"}]}""".stripMargin
+    val existing = Metadata.parseDatapackage(existingDp)
+    assert(existing.map(_._1) == Seq("main"))
+    assert(existing.head._2.map(_.fieldName) == Seq("_link", "id", "note"))
+
+    val target = Seq(
+      "main" -> Seq(
+        FieldMeta("main", "_link", "text", "_link", 3),
+        FieldMeta("main", "id", "text", "id", 3),      // number → text conflict
+        FieldMeta("main", "extra", "number", "extra", 3)), // new field
+      "kids" -> Seq(                                    // new table
+        FieldMeta("kids", "_link", "text", "_link", 1),
+        FieldMeta("kids", "n", "number", "n", 1)))
+
+    val pg = Metadata.evolveScript(existing, target, postgres = true)
+    assert(pg ==
+      """ALTER TABLE "main" ALTER COLUMN "id" TYPE TEXT;
+        |ALTER TABLE "main" ADD COLUMN "extra" NUMERIC;
+        |
+        |CREATE TABLE "kids"(
+        |    "_link" TEXT,
+        |    "n" NUMERIC);
+        |""".stripMargin)
+
+    val lite = Metadata.evolveScript(existing, target, postgres = false)
+    assert(lite.contains("""-- "main"."id": type TEXT conflicts with existing NUMERIC"""))
+    assert(lite.contains("""ALTER TABLE "main" ADD COLUMN "extra" NUMERIC;"""))
+    // unchanged fields produce no statements
+    assert(!pg.contains("note") && !pg.contains("""ALTER TABLE "main" ADD COLUMN "_link""""))
+  }
+
   test("gzip NDJSON source decompresses transparently (S8)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_gz")
     val gz = tmp.resolve("part.jl.gz")

@@ -95,18 +95,67 @@ object Dedup {
     */
   private def bucketPairs(rows: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val surviving = rows.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
-      .where(col("__n").between(2, maxBucket))
-      .select(keys: _*)
+    val buckets =
+      if (rows.schema("id").dataType == LongType) {
+        // Single pass, single shuffle: a capped typed aggregator collects
+        // at most maxBucket+1 ids per bucket — a degenerate bucket stops
+        // accumulating at the cap (bounded buffer memory, unlike
+        // collect_list) and finishes as empty, which the size filter
+        // drops. This is the hot path; every engine id column is long.
+        val capped = udaf(new CappedIds(maxBucket))
+        rows.groupBy(keys: _*).agg(capped(col("id")).as("ids"))
+          .where(size(col("ids")) >= 2)
+      } else {
+        // Generic-id fallback: pre-count buckets (cheap fixed-width agg),
+        // keep only 2..maxBucket, then collect — two extra passes over
+        // the exchanged rows, but the same bounded-memory guarantee. The
+        // explicit repartition pins ONE exchange shared by the count and
+        // join branches (AQE's broadcast of the filtered counts would
+        // otherwise re-scan and recompute every signature).
+        val parted = rows.repartition(keys: _*)
+        val surviving = parted.groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n").between(2, maxBucket))
+          .select(keys: _*)
+        parted.join(surviving, keyCols)
+          .groupBy(keys: _*).agg(collect_list(col("id")).as("ids"))
+      }
     val ids = sort_array(col("ids"))
     val pairs = flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    rows.join(surviving, keyCols)
-      .groupBy(keys: _*).agg(collect_list(col("id")).as("ids"))
+    buckets
       .select(explode(pairs).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+  }
+
+  /** Typed aggregator collecting at most `cap + 1` long ids per group.
+    * The buffer never grows past cap+1 elements, so a bucket with 10^8
+    * members costs cap+1 longs of memory, not 10^8; reaching cap+1 marks
+    * overflow and [[finish]] returns an empty array (caller drops it).
+    * Supports partial aggregation (map-side combine) like any
+    * TypedImperativeAggregate.
+    */
+  private final class CappedIds(cap: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Long, scala.collection.mutable.ArrayBuffer[Long], Array[Long]] {
+    import scala.collection.mutable.ArrayBuffer
+    override def zero: ArrayBuffer[Long] = ArrayBuffer.empty[Long]
+    override def reduce(b: ArrayBuffer[Long], a: Long): ArrayBuffer[Long] = {
+      if (b.length <= cap) b += a
+      b
+    }
+    override def merge(x: ArrayBuffer[Long], y: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      val room = cap + 1 - x.length
+      if (room > 0) x ++= y.take(room)
+      x
+    }
+    override def finish(b: ArrayBuffer[Long]): Array[Long] =
+      if (b.length > cap) Array.emptyLongArray else b.toArray
+    override def bufferEncoder: org.apache.spark.sql.Encoder[ArrayBuffer[Long]] =
+      org.apache.spark.sql.Encoders.kryo[ArrayBuffer[Long]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
   /** Verify candidate pairs by exact shingle-set Jaccard ≥ `threshold`.

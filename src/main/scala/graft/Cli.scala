@@ -53,6 +53,12 @@ object Cli {
 
   def main(args: Array[String]): Unit = {
     val parsedArgs = parseArgs(args)
+    if (parsedArgs.flags.contains("--web")) {
+      // `flatterer --web` equivalent (`docs/web.md`): serve the playground
+      // instead of running a batch flatten
+      graft.web.Playground.main(Array.empty)
+      return
+    }
     if (parsedArgs.positional.length < 2) {
       System.err.println("usage: graft.Cli INPUT... OUT_DIR [--ndjson|--json-stream] [--path k] " +
         "[--pushdown f1,f2] [--main-table-name n] [--no-link] [--preview N] " +

@@ -70,6 +70,12 @@ object JsonInput {
     spark.read.json(spark.createDataset(seq).repartition(par))
   }
 
+  /** Split an in-memory string of concatenated top-level JSON values into
+    * documents (NDJSON, pretty-printed streams, and mixes all work) — the
+    * driver-side counterpart of [[jsonStream]], used by the web playground
+    * on request bodies. */
+  def splitDocuments(s: String): Seq[String] = splitTopLevel(s)
+
   /** Split a string of concatenated top-level JSON values into documents.
     * Handles strings/escapes; tolerates whitespace and commas between docs.
     */

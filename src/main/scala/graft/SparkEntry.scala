@@ -389,6 +389,27 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x18_ann_ivf" -> ((s, dir) => {
+      // IVF path on the same planted-twin contract as x10: a scaled twin
+      // shares its original's direction, hence its coarse cell, and the
+      // probe set always contains the query's own cell — so IVF must
+      // return the original as rank-1 with cosine 1.0.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+      Similarity.ivfTopK(corpus, planted, "vec_id", "embedding", k = 1, nlist = 16, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score_r"))
+        .orderBy(col("query_id"))
+    }),
+
+    "x19_quality_score" -> ((s, dir) =>
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
       // operator has known positives: every (v, v+100000) pair must come
@@ -823,6 +844,30 @@ object SparkEntry {
     "x11_cosine_dedup" ->
       """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS score_r
         |FROM embeddings ORDER BY id_a""".stripMargin,
+
+    "x18_ann_ivf" ->
+      """SELECT vec_id + 100000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
+        |  1.0 AS score_r
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "x19_quality_score" ->
+      """SELECT doc_id,
+        |  (CAST(len(text) BETWEEN 50 AND 100000 AS INT)
+        |   + CAST(punct_ratio < 0.2 AS INT)
+        |   + CAST(stopword_ratio > 0.01 AS INT)
+        |   + CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS INT)) / 4.0 AS quality
+        |FROM (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(text) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be','are'], t))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+        |    CASE WHEN len(toks) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END AS mean_word_len
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS toks
+        |        FROM documents) d) q
+        |ORDER BY doc_id""".stripMargin,
 
     "x12_multimodal" ->
       """SELECT doc_id AS media_id,

@@ -88,6 +88,65 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    * into `nlist` cells around deterministic centroids, then probe only
+    * the `nprobe` nearest cells per query — the standard IVF-Flat layout
+    * minus k-means refinement. Centroids are a deterministic
+    * pseudo-random corpus sample — the nlist vectors with the smallest
+    * xxhash64(id), a distributed top-k (TakeOrdered), never a global
+    * sort. No RNG, no trained model object to version or ship —
+    * executors get them as a broadcast of nlist × dim floats.
+    *
+    * Scale shape: one pass assigns each corpus vector to its cell (the
+    * shuffle key); queries explode to nprobe cells and equi-join on the
+    * cell id, so the join is corpus-partition-local — no cross join, and
+    * the scanned fraction is ≈ nprobe / nlist of the corpus.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nlist: Int = 64,
+      nprobe: Int = 8): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val spark = corpus.sparkSession
+    // deterministic coarse centroids: nlist smallest-hash vectors
+    // (distributed TakeOrdered — per-partition top-k then merge)
+    val centroids: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("v"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nlist)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    // compiled per-row kernel (TextHash-style exception): an argmin over
+    // nlist centroids as an expression tree would inline nlist copies of
+    // the vector pipeline
+    val nearCells = udf { (v: Seq[Float], m: Int) =>
+      val cs = bc.value
+      val scored = cs.indices.map { c =>
+        val cv = cs(c)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        val d = math.min(v.length, cv.length)
+        while (i < d) { dot += v(i) * cv(i); nv += v(i) * v(i); nc += cv(i) * cv(i); i += 1 }
+        c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
+      }
+      scored.sortBy(_._2).take(m).map(_._1).toArray
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("cv"))
+      .withColumn("cell", element_at(nearCells(col("cv"), lit(1)), 1))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("qv"))
+      .withColumn("cell", explode(nearCells(col("qv"), lit(nprobe))))
+    val scored = q.join(c, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv").cast(ArrayType(DoubleType)), col("cv").cast(ArrayType(DoubleType))).as("score"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs: corpus self-join via LSH buckets,
     * cosine ≥ threshold. The embedding analog of MinHash near-dup.
     */

@@ -89,6 +89,20 @@ class OpsSpec extends AnyFunSuite {
     assert(res.nonEmpty && res(0).getAs[Long]("neighbor_id") == 7L)
   }
 
+  test("IVF ANN recalls the planted twin (same direction ⇒ same coarse cell)") {
+    import spark.implicits._
+    val base = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val planted = (1000L, base(7)._2.map(v => v * 1.01f))
+    val emb = (base :+ planted).toDF("vec_id", "embedding")
+    val res = Similarity.ivfTopK(emb, emb.where($"vec_id" === 1000L),
+      "vec_id", "embedding", k = 1, nlist = 8, nprobe = 2).collect()
+    assert(res.nonEmpty && res(0).getAs[Long]("neighbor_id") == 7L)
+    assert(res(0).getAs[Double]("score") > 0.999)
+  }
+
   test("language ID picks the planted language") {
     val d = docsDf(Seq(
       10L -> "the cat and the dog went to the park with a ball it is fun",

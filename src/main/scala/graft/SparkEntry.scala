@@ -440,6 +440,22 @@ object SparkEntry {
           sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    "x20_interval_join" -> ((s, dir) => {
+      // stream-stream interval join shape, verified in batch mode (same
+      // plan semantics minus watermark state): clicks enriched with the
+      // same user's views within ±4h of event time
+      import graft.streaming.StreamingFlatten
+      val ev = rdEvents(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      StreamingFlatten.intervalJoin(clicks, views, "user_id", "ts", "ts",
+        joinWindow = "4 hours")
+        .select(col("event_id"), col("r_event_id"))
+        .orderBy(col("event_id"), col("r_event_id"))
+    }),
+
     "x14_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingFlatten
@@ -880,6 +896,15 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "x20_interval_join" ->
+      """SELECT c.event_id AS event_id, v.event_id AS r_event_id
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND CAST(v.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP) - INTERVAL 4 HOUR
+        | AND CAST(v.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 4 HOUR
+        |ORDER BY event_id, r_event_id""".stripMargin,
 
     "x14_sessionize" ->
       """WITH marked AS (

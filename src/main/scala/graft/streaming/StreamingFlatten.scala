@@ -56,6 +56,30 @@ object StreamingFlatten {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
+  /** Stream-stream interval join: enrich a fact stream with a second
+    * stream (e.g. click events joined to the impressions that caused
+    * them) within `joinWindow` of event time. Both sides carry
+    * watermarks so Spark can bound the join state and evict rows whose
+    * match window has passed — the canonical Structured Streaming
+    * stream-stream equi-join with a time-bound condition. Also works on
+    * batch frames (the time condition is just a predicate there).
+    *
+    * Columns from `right` are prefixed `<rightPrefix>` to avoid
+    * collisions; the join key columns keep the left names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      joinWindow: String = "15 minutes", watermark: String = "30 minutes",
+      rightPrefix: String = "r_"): DataFrame = {
+    val l = (if (left.isStreaming) left.withWatermark(leftTsCol, watermark) else left)
+    val r0 = (if (right.isStreaming) right.withWatermark(rightTsCol, watermark) else right)
+    val r = r0.columns.foldLeft(r0)((df, c) => df.withColumnRenamed(c, s"$rightPrefix$c"))
+    l.join(r,
+      col(keyCol) === col(s"$rightPrefix$keyCol") &&
+        col(s"$rightPrefix$rightTsCol") >= col(leftTsCol) - expr(s"INTERVAL $joinWindow") &&
+        col(s"$rightPrefix$rightTsCol") <= col(leftTsCol) + expr(s"INTERVAL $joinWindow"))
+  }
+
   // --- custom state: sessionization ------------------------------------
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -66,6 +66,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(2).user_id == 2L && sessions(2).n_events == 1)
   }
 
+  test("stream-stream interval join: watermarked state join over MemoryStream sides") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    clicks.addData((1L, ts(10), "c1"), (1L, ts(100), "c2"), (2L, ts(10), "c3"))
+    views.addData((1L, ts(12), "v1"), (1L, ts(300), "v2"), (3L, ts(10), "v3"))
+
+    val joined = StreamingFlatten.intervalJoin(
+      clicks.toDF.toDF("user_id", "ts", "event_id"),
+      views.toDF.toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "ts", joinWindow = "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("ssj")
+        .select("event_id", "r_event_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // only (c1, v1) is same-user within ±15m; c2/v2 are 200m apart,
+      // c3/v3 are different users
+      assert(rows == Set(("c1", "v1")))
+    } finally q.stop()
+  }
+
   test("windowed aggregation with watermark over a rate-like stream") {
     import spark.implicits._
     val events = Seq(

@@ -48,6 +48,8 @@ object B2Probe {
         .orderBy("bucketsz").show(10, false)
     }
     val cands = Dedup.minhashCandidates(docs, "text", "doc_id", 32, 4, 3, 1000).persist()
+    println("=== candidates physical plan (expect ONE Exchange of banded rows) ===")
+    cands.explain("formatted")
     val nc = t("candidates")(cands.count())
     println(s"candidate pairs: $nc")
     t("verify jaccard") {

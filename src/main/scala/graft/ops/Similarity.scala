@@ -138,11 +138,13 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast(ArrayType(FloatType)).as("qv"))
       .withColumn("cell", explode(nearCells(col("qv"), lit(nprobe))))
+    // no distinct needed: each corpus vector lives in exactly one cell and
+    // a query's probe cells are distinct, so each (query, neighbor) pair
+    // joins at most once — a dedup here would be a second full shuffle
     val scored = q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv").cast(ArrayType(DoubleType)), col("cv").cast(ArrayType(DoubleType))).as("score"))
-      .distinct()
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

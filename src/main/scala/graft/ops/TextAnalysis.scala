@@ -30,10 +30,21 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Non-punctuation class (alphanumerics + the explicit whitespace set of
+    * [[FingerprintWsJava]]) — same cross-engine rationale: a bare `\s`
+    * here would count U+000B as whitespace in Spark but as punctuation in
+    * an RE2 oracle, flipping quality gates near the threshold.
+    * [[PunctExcludeRe2]] is the RE2 spelling for DuckDB oracles.
+    */
+  val PunctExcludeJava: String =
+    "[A-Za-z0-9 \\t\\n\\u000B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
+  val PunctExcludeRe2: String =
+    "[A-Za-z0-9 \\t\\n\\x{000B}\\f\\r\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, 0.0).otherwise(
-      length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast(DoubleType) / length(text))
+      length(regexp_replace(text, PunctExcludeJava, "")).cast(DoubleType) / length(text))
 
   /** Ratio of whitespace-separated tokens that are in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -108,10 +108,14 @@ object Playground {
     import spark.implicits._
     val docs: Seq[String] =
       if (json.trim.startsWith("[")) {
-        // top-level array: explode to element documents
+        // top-level array: explode to element documents (collect is eager,
+        // so the staging file can be deleted before returning — a
+        // long-running server must not accumulate request bodies on disk)
         val tmp = java.nio.file.Files.createTempFile("graft_web", ".json")
-        java.nio.file.Files.writeString(tmp, json)
-        JsonInput.jsonArray(spark, tmp.toString).toJSON.collect().toSeq
+        try {
+          java.nio.file.Files.writeString(tmp, json)
+          JsonInput.jsonArray(spark, tmp.toString).toJSON.collect().toSeq
+        } finally java.nio.file.Files.deleteIfExists(tmp)
       } else JsonInput.splitDocuments(json)
     val input = spark.read.json(spark.createDataset(docs))
     val opts = FlattenOptions(

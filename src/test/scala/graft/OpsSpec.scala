@@ -221,6 +221,13 @@ class OpsSpec extends AnyFunSuite {
     val u = Evolve.unionEvolve(Seq(a, b)).orderBy("id")
     assert(u.schema("id").dataType.typeName == "string")
     assert(u.collect().map(_.getString(0)).toSet == Set(bigId.toString, "1.5"))
+    // lossless cross-kind merges still widen: every Int is exact in Double
+    val c = Seq(Tuple1(7)).toDF("id")
+    val d = Seq(Tuple1(2.5)).toDF("id")
+    assert(Evolve.unionEvolve(Seq(c, d)).schema("id").dataType.typeName == "double")
+    // ...but Int x Float is lossy (24-bit mantissa) and relaxes to string
+    val e = Seq(Tuple1(2.5f)).toDF("id")
+    assert(Evolve.unionEvolve(Seq(c, e)).schema("id").dataType.typeName == "string")
   }
 
   test("unionEvolve: missing cols NULL-fill, conflicting types relax, numerics widen") {

@@ -17,10 +17,10 @@ import graft.meta.SpecsCsv
   *     [--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts]
   *
   * An INPUT of `-` reads stdin (`/root/reference/docs/inputs.md:7-14` —
-  * `curl ... | flatterer - out`): the pipe is staged to a temp file so the
-  * normal (seekable, splittable) readers apply. HTTP(S) URL inputs are
-  * documented by the reference but need egress, which this environment
-  * lacks; s3a/gs/hdfs URIs work through the Hadoop filesystem layer as-is.
+  * `curl ... | flatterer - out`) and an `http(s)://` INPUT is downloaded
+  * first (`docs/inputs.md:16-33`); both are staged to a temp file so the
+  * normal (seekable, splittable) readers apply. s3a/gs/hdfs URIs work
+  * through the Hadoop filesystem layer as-is.
   */
 object Cli {
   private val valueFlags = Set("--path", "--pushdown", "--main-table-name",
@@ -90,11 +90,34 @@ object Cli {
     tmp.toString
   }
 
+  /** Stage an http(s) URL input to a temp file
+    * (`/root/reference/docs/inputs.md:16-33` — `flatterer URL out`). The
+    * CLI downloads once and the library reads a local, splittable file,
+    * matching the reference's download-then-flatten behavior.
+    */
+  private def stageUrl(url: String): String = {
+    val tmp = java.nio.file.Files.createTempFile("graft_url", ".json")
+    tmp.toFile.deleteOnExit()
+    val client = java.net.http.HttpClient.newBuilder()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+    val resp = client.send(
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+    require(resp.statusCode() / 100 == 2, s"GET $url returned ${resp.statusCode()}")
+    tmp.toString
+  }
+
   /** Body of the CLI against a provided session + stdin (testable — specs
     * call this with the shared test session; `main` owns session lifecycle).
     */
   private[graft] def run(spark: SparkSession, a: Args, stdin: java.io.InputStream): Unit = {
-    val inputs = a.positional.dropRight(1).map(p => if (p == "-") stageStdin(stdin) else p).toSeq
+    val inputs = a.positional.dropRight(1).map {
+      case "-" => stageStdin(stdin)
+      case p if p.startsWith("http://") || p.startsWith("https://") => stageUrl(p)
+      case p => p
+    }.toSeq
     val outDir = a.positional.last
     def flagVal(name: String): Option[String] = a.values.get(name)
     def has(name: String): Boolean = a.flags.contains(name)

@@ -27,6 +27,27 @@ class CliSpec extends AnyFunSuite {
     assert(b.positional == Vector("in.json", "out"))
   }
 
+  test("http URL input downloads, stages, and flattens like a file input") {
+    // serve a JSON doc from a local JDK HttpServer — exercises the real
+    // download path with zero egress
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val doc = """[{"id": 9, "name": "from http"}]""".getBytes("UTF-8")
+    server.createContext("/docs.json", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.sendResponseHeaders(200, doc.length)
+      ex.getResponseBody.write(doc)
+      ex.close()
+    })
+    server.start()
+    try {
+      val out = Files.createTempDirectory("graft_cli_http").toString
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/docs.json"
+      Cli.run(spark, Cli.parseArgs(Array(url, out)), System.in)
+      val main = Files.readString(Paths.get(s"$out/csv/main.csv"))
+      assert(main.contains("from http"))
+    } finally server.stop(0)
+  }
+
   test("stdin input `-` stages the pipe and flattens like a file input") {
     val out = Files.createTempDirectory("graft_cli_stdin").toString
     val doc = """[{"id":1,"name":"stdin doc"},{"id":2,"name":"another"}]"""

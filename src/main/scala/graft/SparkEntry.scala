@@ -418,6 +418,19 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
+    "x21_dup_lines" -> ((s, dir) =>
+      // every 5th document gets its text duplicated onto a second line —
+      // planted repetition the ratio must flag at exactly 0.5
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.dupLineRatio(
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit("\n"), col("text")))
+              .otherwise(col("text"))).as("dup_line_ratio"))
+        .orderBy(col("doc_id"))),
+
+    "x22_top_tokens" -> ((s, dir) =>
+      TextAnalysis.topTokens(rd(s, dir, "documents"), "text", k = 50)),
+
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
       // operator has known positives: every (v, v+PlantedOffset) pair must come
@@ -873,6 +886,27 @@ object SparkEntry {
       """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
         |  1.0 AS score_r
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "x21_dup_lines" ->
+      """SELECT doc_id,
+        |  CASE WHEN len(l) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) END AS dup_line_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(
+        |      regexp_split_to_array(
+        |        CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text ELSE text END,
+        |        chr(10)),
+        |      x -> trim(x)), x -> len(x) > 0) AS l
+        |  FROM documents) d
+        |ORDER BY doc_id""".stripMargin,
+
+    "x22_top_tokens" ->
+      """SELECT tok AS token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    t -> len(t) > 0)) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     "x19_quality_score" ->
       s"""SELECT doc_id,

@@ -93,6 +93,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), FingerprintWsJava, " ").cast(BinaryType))
 
+  /** Non-empty trimmed lines of a document. */
+  def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+
+  /** Fraction of lines that repeat an earlier line — the Gopher-style
+    * repetition signal (published heuristic: high duplicate-line fraction
+    * marks boilerplate/spam). 0 for empty or all-unique documents.
+    */
+  def dupLineRatio(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(ls)).cast(DoubleType) / size(ls))
+  }
+
+  /** Corpus-level top-k vocabulary: token → document-stream frequency,
+    * deterministically ordered (count desc, token asc). Partial map-side
+    * aggregation then one shuffle of (token, count) pairs — the token
+    * stream itself never shuffles; top-k folds per-partition
+    * (TakeOrdered). The first pass of any vocabulary/stopword analysis.
+    */
+  def topTokens(df: DataFrame, textCol: String, k: Int = 100): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
   /** N-gram language ID heuristic: score each candidate language by hits of
     * its most-frequent function words in the token stream; pick the argmax.
     * Pure column expressions (one pass, codegen'd); `und` when nothing hits.

@@ -431,6 +431,19 @@ object SparkEntry {
     "x22_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", k = 50)),
 
+    "x23_near_dedup_apply" -> ((s, dir) => {
+      // the full near-dedup pipeline end-to-end: find pairs (planted
+      // exact copies), close them into components, drop non-representative
+      // members — exactly the natural corpus must survive
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
+      val corpus = d.unionAll(copies)
+      val pairs = Dedup.minhashDedupPairs(corpus, "text", "doc_id",
+        threshold = 0.99, numHashes = 32, bands = 8)
+      Dedup.dedupByPairs(corpus, "doc_id", pairs)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
       // operator has known positives: every (v, v+PlantedOffset) pair must come
@@ -907,6 +920,9 @@ object SparkEntry {
         |    t -> len(t) > 0)) AS tok
         |  FROM documents) t
         |GROUP BY tok ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    "x23_near_dedup_apply" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
 
     "x19_quality_score" ->
       s"""SELECT doc_id,

@@ -129,6 +129,60 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over a near-dup pair set: every id is labeled
+    * with the minimum id reachable through the pairs (transitive closure —
+    * a~b and b~c put a,b,c in one component even if (a,c) was never
+    * emitted). Iterative min-label propagation: each round joins labels
+    * across edges and keeps the minimum; converges in O(component
+    * diameter) rounds — near-dup clusters are shallow, so typically 2-4.
+    * Each round's frame is persisted and the previous round released; the
+    * final labels are truncated via localCheckpoint because an iterative
+    * plan's lineage doubles per round (the standard Spark practice for
+    * loops — unlike the single-pass operators above, which stay lazy).
+    *
+    * Returns (id, label) for every id that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // small (the pair set), read every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy("src").agg(min(col("nl")).as("nbrMin"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Apply a near-dup pair set to the corpus: within each connected
+    * component of `pairs`, keep only the minimum id; rows never mentioned
+    * in a pair pass through untouched. The step that turns pair FINDING
+    * into actual DEDUPLICATION. The loser set is component members minus
+    * representatives — typically a small fraction of the corpus — so the
+    * anti-join broadcasts under AQE and the document payload never
+    * shuffles.
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Typed aggregator collecting at most `cap + 1` long ids per group.
     * The buffer never grows past cap+1 elements, so a bucket with 10^8
     * members costs cap+1 longs of memory, not 10^8; reaching cap+1 marks

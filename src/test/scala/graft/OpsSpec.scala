@@ -202,6 +202,19 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((900001L, 900002L)))
   }
 
+  test("connected components close pair chains transitively; dedupByPairs keeps one per cluster") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component, min 1); isolated pair 10-11; 99 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    val corpus = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val kept = Dedup.dedupByPairs(corpus, "doc_id", pairs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L))
+  }
+
   test("fingerprint whitespace class: vertical tab and NBSP normalize like space") {
     val d = docsDf(Seq(
       1L -> "a b",

@@ -63,6 +63,22 @@ object Sinks {
     limited.write.mode("overwrite").parquet(s"$dir/$name.parquet")
   }
 
+  /** Bucketed + sorted parquet table — the co-located-join layout for
+    * repeated joins/aggregations on the same key at 100 TB: two tables
+    * bucketed the same way join with ZERO exchange (each bucket pair is
+    * joined in place; with `sortBy` the join is a merge without even a
+    * sort). Registered through the session catalog (`saveAsTable` —
+    * bucket metadata lives in the catalog, which is what makes Catalyst
+    * trust the layout; a plain path write cannot carry it).
+    */
+  def parquetBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   def writeString(path: String, content: String): Unit = {
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), content)

@@ -152,7 +152,7 @@ object Cli {
 
       val res = Flatten.flattenToDir(input, outDir, opts,
         parquet = has("--parquet"), sqlScripts = has("--sql-scripts"),
-        xlsx = has("--xlsx"))
+        xlsx = has("--xlsx"), evolve = has("--evolve"))
       println(s"tables: ${res.tables.keys.mkString(", ")}")
     }
   }

@@ -431,6 +431,21 @@ object SparkEntry {
     "x22_top_tokens" -> ((s, dir) =>
       TextAnalysis.topTokens(rd(s, dir, "documents"), "text", k = 50)),
 
+    "x24_incremental_dedup" -> ((s, dir) => {
+      // daily-batch shape: the incoming batch carries (a) copies of docs
+      // the corpus already holds — all dropped, (b) genuinely new docs —
+      // all kept, (c) an in-batch duplicate of each new doc — min id wins
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
+      val fresh = d.select((col("doc_id") + 2 * PlantedOffset).as("doc_id"),
+        concat(col("text"), lit(" graft increment marker")).as("text"))
+      val freshDup = d.select((col("doc_id") + 3 * PlantedOffset).as("doc_id"),
+        concat(col("text"), lit(" graft increment marker")).as("text"))
+      val incoming = copies.unionAll(fresh).unionAll(freshDup)
+      Dedup.dedupIncrement(d, incoming, "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x23_near_dedup_apply" -> ((s, dir) => {
       // the full near-dedup pipeline end-to-end: find pairs (planted
       // exact copies), close them into components, drop non-representative
@@ -923,6 +938,9 @@ object SparkEntry {
 
     "x23_near_dedup_apply" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
+
+    "x24_incremental_dedup" ->
+      """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
 
     "x19_quality_score" ->
       s"""SELECT doc_id,

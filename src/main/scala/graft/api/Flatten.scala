@@ -71,8 +71,21 @@ object Flatten {
   def flattenToDir(input: DataFrame, outDir: String,
       opts: FlattenOptions = FlattenOptions(),
       csv: Boolean = true, parquet: Boolean = false, sqlScripts: Boolean = false,
-      xlsx: Boolean = false): FlattenResult = {
+      xlsx: Boolean = false, evolve: Boolean = false): FlattenResult = {
     val res = flatten(input, opts, analyze = true)
+    // --evolve (`docs/options.md:425-458`): reconcile against the schema a
+    // previous run left in this directory — emit the DDL delta (CREATE for
+    // new tables, ALTER ADD COLUMN / relax for existing ones) so the new
+    // load applies onto the existing store instead of recreating it
+    val priorDp = java.nio.file.Paths.get(s"$outDir/datapackage.json")
+    if (evolve && java.nio.file.Files.exists(priorDp)) {
+      val existing = Metadata.parseDatapackage(java.nio.file.Files.readString(priorDp))
+      val target = res.names.map { case (n, _) => (n, res.fields.filter(_.tableName == n)) }
+      Sinks.writeString(s"$outDir/postgresql/postgresql_evolve.sql",
+        Metadata.evolveScript(existing, target, postgres = true))
+      Sinks.writeString(s"$outDir/sqlite/sqlite_evolve.sql",
+        Metadata.evolveScript(existing, target, postgres = false))
+    }
     res.tables.foreach { case (name, df) =>
       if (csv) Sinks.csvSingleFile(df, s"$outDir/csv", name, opts.preview)
       if (parquet) Sinks.parquet(df, s"$outDir/parquet", name, opts.preview)

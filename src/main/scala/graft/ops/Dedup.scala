@@ -41,6 +41,23 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup for continuous ingestion: drop incoming
+    * rows whose normalized text already exists in `existing`, then keep
+    * the minimum id per duplicate group WITHIN the incoming batch. Only
+    * the existing corpus's 16-byte fingerprints are read and shuffled —
+    * its payload is untouched, so appending a daily batch against a
+    * 100 TB corpus costs one fingerprint scan of each side, not a
+    * corpus rewrite.
+    */
+  def dedupIncrement(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val seen = existing.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
+    val fresh = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+      .join(seen, Seq("__fp"), "left_anti")
+    val keep = fresh.groupBy("__fp").agg(min(col(idCol)).as(idCol)).select(idCol)
+    fresh.join(keep, Seq(idCol), "left_semi").drop("__fp")
+  }
+
   /** Exact-dup groups: fingerprint → member count + kept id. */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))

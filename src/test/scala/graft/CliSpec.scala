@@ -48,6 +48,22 @@ class CliSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("--evolve emits the DDL delta against the prior run's datapackage") {
+    val out = Files.createTempDirectory("graft_cli_evolve").toString
+    val first = Files.createTempFile("graft_ev1", ".json")
+    Files.writeString(first, """[{"id": 1, "note": "a"}]""")
+    Cli.run(spark, Cli.parseArgs(Array(first.toString, out)), System.in)
+    assert(Files.exists(Paths.get(s"$out/datapackage.json")))
+
+    // second load adds a field — evolve must ALTER, not CREATE, main
+    val second = Files.createTempFile("graft_ev2", ".json")
+    Files.writeString(second, """[{"id": 2, "note": "b", "extra": 7}]""")
+    Cli.run(spark, Cli.parseArgs(Array(second.toString, out, "--evolve")), System.in)
+    val pg = Files.readString(Paths.get(s"$out/postgresql/postgresql_evolve.sql"))
+    assert(pg.contains("""ALTER TABLE "main" ADD COLUMN "extra" NUMERIC;"""))
+    assert(!pg.contains("""CREATE TABLE "main""""))
+  }
+
   test("stdin input `-` stages the pipe and flattens like a file input") {
     val out = Files.createTempDirectory("graft_cli_stdin").toString
     val doc = """[{"id":1,"name":"stdin doc"},{"id":2,"name":"another"}]"""

@@ -99,9 +99,15 @@ object Cli {
     val tmp = java.nio.file.Files.createTempFile("graft_url", ".json")
     tmp.toFile.deleteOnExit()
     val client = java.net.http.HttpClient.newBuilder()
-      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL).build()
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
     val resp = client.send(
-      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build(),
+      java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        // bound the whole download — a stalled server must fail the CLI,
+        // not hang it forever
+        .timeout(java.time.Duration.ofMinutes(15))
+        .GET().build(),
       java.net.http.HttpResponse.BodyHandlers.ofFile(tmp,
         java.nio.file.StandardOpenOption.WRITE,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))

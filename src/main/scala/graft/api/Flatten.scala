@@ -34,7 +34,7 @@ object Flatten {
       Metadata.datapackage(groupedFields, opts.mainTableName, names.toMap)
     def ddl: String = Metadata.ddlScript(groupedFields)
 
-    private def groupedFields: Seq[(String, Seq[Metadata.FieldMeta])] =
+    private[api] def groupedFields: Seq[(String, Seq[Metadata.FieldMeta])] =
       names.map { case (n, _) => (n, fields.filter(_.tableName == n)) }
   }
 
@@ -78,14 +78,15 @@ object Flatten {
     // new tables, ALTER ADD COLUMN / relax for existing ones) so the new
     // load applies onto the existing store instead of recreating it
     val priorDp = java.nio.file.Paths.get(s"$outDir/datapackage.json")
-    if (evolve && java.nio.file.Files.exists(priorDp)) {
-      val existing = Metadata.parseDatapackage(java.nio.file.Files.readString(priorDp))
-      val target = res.names.map { case (n, _) => (n, res.fields.filter(_.tableName == n)) }
-      Sinks.writeString(s"$outDir/postgresql/postgresql_evolve.sql",
-        Metadata.evolveScript(existing, target, postgres = true))
-      Sinks.writeString(s"$outDir/sqlite/sqlite_evolve.sql",
-        Metadata.evolveScript(existing, target, postgres = false))
-    }
+    val evolvedFields: Option[Seq[(String, Seq[Metadata.FieldMeta])]] =
+      if (evolve && java.nio.file.Files.exists(priorDp)) {
+        val existing = Metadata.parseDatapackage(java.nio.file.Files.readString(priorDp))
+        Sinks.writeString(s"$outDir/postgresql/postgresql_evolve.sql",
+          Metadata.evolveScript(existing, res.groupedFields, postgres = true))
+        Sinks.writeString(s"$outDir/sqlite/sqlite_evolve.sql",
+          Metadata.evolveScript(existing, res.groupedFields, postgres = false))
+        Some(Metadata.mergeFields(existing, res.groupedFields))
+      } else None
     res.tables.foreach { case (name, df) =>
       if (csv) Sinks.csvSingleFile(df, s"$outDir/csv", name, opts.preview)
       if (parquet) Sinks.parquet(df, s"$outDir/parquet", name, opts.preview)
@@ -98,7 +99,14 @@ object Flatten {
     }
     Sinks.writeString(s"$outDir/fields.csv", res.fieldsCsv)
     Sinks.writeString(s"$outDir/tables.csv", res.tablesCsv)
-    Sinks.writeString(s"$outDir/datapackage.json", res.datapackageJson)
+    // after an evolve, the written datapackage must describe the MERGED
+    // store schema (what the DB holds after the ALTERs), not just this
+    // load — otherwise the next evolve re-ADDs columns that already exist
+    Sinks.writeString(s"$outDir/datapackage.json", evolvedFields match {
+      case Some(merged) =>
+        Metadata.datapackage(merged, opts.mainTableName, res.names.toMap)
+      case None => res.datapackageJson
+    })
     if (sqlScripts) {
       Sinks.writeString(s"$outDir/postgresql/postgresql_schema.sql", res.ddl)
       Sinks.writeString(s"$outDir/postgresql/postgresql_load.sql",

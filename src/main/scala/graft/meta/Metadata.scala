@@ -164,6 +164,34 @@ object Metadata {
     }.filter(_.nonEmpty).mkString("\n")
   }
 
+  /** Merge an existing store schema with a new load's — the schema the
+    * store actually holds AFTER [[evolveScript]] runs: existing fields
+    * keep their position (relaxed to text on a type conflict, mirroring
+    * the ALTER), new fields append, tables union. The evolved
+    * datapackage.json must describe THIS, not just the latest load —
+    * otherwise the next evolve re-ADDs columns the store already has.
+    */
+  def mergeFields(existing: Seq[(String, Seq[FieldMeta])],
+      target: Seq[(String, Seq[FieldMeta])]): Seq[(String, Seq[FieldMeta])] = {
+    val targetByTable = target.toMap
+    val merged = existing.map { case (name, have) =>
+      val incoming = targetByTable.getOrElse(name, Nil)
+      val incomingByName = incoming.map(m => m.fieldName -> m).toMap
+      val kept = have.map { m =>
+        incomingByName.get(m.fieldName) match {
+          case Some(t) if sqlType(t.fieldType) != sqlType(m.fieldType) =>
+            m.copy(fieldType = TypeGuess.Text, count = m.count + t.count)
+          case Some(t) => m.copy(count = m.count + t.count)
+          case None    => m
+        }
+      }
+      val haveNames = have.map(_.fieldName).toSet
+      name -> (kept ++ incoming.filterNot(m => haveNames.contains(m.fieldName)))
+    }
+    val existingNames = existing.map(_._1).toSet
+    merged ++ target.filterNot { case (n, _) => existingNames.contains(n) }
+  }
+
   /** Parse a datapackage.json (ours or the reference's — same profile)
     * back into per-table field metadata, for [[evolveScript]] against a
     * store created by a previous run.

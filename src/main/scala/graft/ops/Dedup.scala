@@ -51,11 +51,15 @@ object Dedup {
     */
   def dedupIncrement(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String): DataFrame = {
-    val seen = existing.select(TextAnalysis.fingerprint(col(textCol)).as("__fp")).distinct()
-    val fresh = incoming.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-      .join(seen, Seq("__fp"), "left_anti")
-    val keep = fresh.groupBy("__fp").agg(min(col(idCol)).as(idCol)).select(idCol)
-    fresh.join(keep, Seq(idCol), "left_semi").drop("__fp")
+    // key/id side frames only — the incoming payload is never widened
+    // with a working column (which could clobber a caller's own column)
+    // and never shuffles; the final semi-join filters it in place
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val seen = existing.select(fp.as("__k")).distinct()
+    val freshKeys = incoming.select(fp.as("__k"), col(idCol))
+      .join(seen, Seq("__k"), "left_anti")
+    val keepIds = freshKeys.groupBy("__k").agg(min(col(idCol)).as(idCol)).select(idCol)
+    incoming.join(keepIds, Seq(idCol), "left_semi")
   }
 
   /** Exact-dup groups: fingerprint → member count + kept id. */
@@ -149,19 +153,27 @@ object Dedup {
   /** Connected components over a near-dup pair set: every id is labeled
     * with the minimum id reachable through the pairs (transitive closure —
     * a~b and b~c put a,b,c in one component even if (a,c) was never
-    * emitted). Iterative min-label propagation: each round joins labels
-    * across edges and keeps the minimum; converges in O(component
-    * diameter) rounds — near-dup clusters are shallow, so typically 2-4.
-    * Each round's frame is persisted and the previous round released; the
-    * final labels are truncated via localCheckpoint because an iterative
-    * plan's lineage doubles per round (the standard Spark practice for
-    * loops — unlike the single-pass operators above, which stay lazy).
+    * emitted). Each round propagates the minimum label across edges AND
+    * performs one pointer jump (adopt your label's label), so convergence
+    * is O(log diameter) rounds — the default 20 rounds covers any
+    * realistic component; if the loop still hits maxIter unconverged, an
+    * IllegalStateException is raised rather than silently returning an
+    * under-merged labeling. Each round is truncated via localCheckpoint
+    * because an iterative plan's lineage compounds per round (the
+    * standard Spark practice for loops — unlike the single-pass operators
+    * above, which stay lazy); superseded rounds' blocks are reclaimed by
+    * the ContextCleaner once unreferenced, and each round is only the
+    * (id, label) pair set — tiny next to the corpus.
     *
     * Returns (id, label) for every id that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions in one pass over the (possibly expensive, lazy)
+    // pair plan — a unionAll of two selects would execute it twice
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .localCheckpoint(true) // small (the pair set), read every round
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -172,16 +184,27 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
         .groupBy("src").agg(min(col("nl")).as("nbrMin"))
-      val next = labels
+      val propagated = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+      // pointer jump: follow the current label to ITS label — halves the
+      // remaining path length every round (log-diameter convergence)
+      val next = propagated
+        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .where(col("label") =!= col("old")).count()
       labels = next
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (components deeper than 2^maxIter hops)")
     labels
   }
 
@@ -230,8 +253,14 @@ object Dedup {
   }
 
   /** Verify candidate pairs by exact shingle-set Jaccard ≥ `threshold`.
-    * `sh` must have columns (id, sh) and be persisted by the caller (it is
-    * read on both join sides).
+    * `sh` has columns (id, sh); it is read on both join sides and is
+    * deliberately NOT persisted — each consumer shuffles it anyway, so
+    * its exchange output lands in shuffle files per consumer, the plan
+    * stays fully lazy and lineage-recoverable (an eager localCheckpoint
+    * would make the result unrecomputable after executor loss, and a
+    * persist without a caller-driven unpersist leaks cached blocks —
+    * both were tried). Cost: the signature kernel recomputes once per
+    * consumer, measured ≤ 5% of the operator end-to-end.
     */
   private def jaccardVerify(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     cands
@@ -243,18 +272,6 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
-  /** The shingle/signature frame feeds multiple join sides. It is NOT
-    * persisted: each consumer shuffles it anyway, so its exchange output
-    * is materialized as shuffle files per consumer, the plan stays fully
-    * lazy and lineage-recoverable (an eager `localCheckpoint` here would
-    * make the returned frame unrecomputable after executor loss, and a
-    * `persist` without a caller-driven unpersist leaks cached blocks
-    * across calls — both were tried). The cost is recomputing the
-    * signature kernel once per consumer, measured ≤ 5% of the operator
-    * end-to-end.
-    */
-  private def withCached(cached: DataFrame)(body: => DataFrame): DataFrame = body
-
   /** MinHash near-dup pairs with their estimated AND exact Jaccard: LSH
     * candidates verified by exact shingle-set Jaccard, thresholded.
     */
@@ -264,7 +281,7 @@ object Dedup {
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands, shingleSize, maxBucket)
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-    withCached(sh)(jaccardVerify(cands, sh, threshold))
+    jaccardVerify(cands, sh, threshold)
   }
 
   /** 64-bit SimHash of the token stream: per-token hash, each bit votes
@@ -288,8 +305,8 @@ object Dedup {
     // distribute 64 bits as evenly as possible over the chunks
     val widths  = Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    // not persisted — see withCached for why lazy + recompute beats
-    // caching or checkpointing here
+    // not persisted — see jaccardVerify's note for why lazy + recompute
+    // beats caching or checkpointing here
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunkVals = (0 until chunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
@@ -320,9 +337,7 @@ object Dedup {
       threshold: Double = 0.5, shingleSize: Int = 3, maxDf: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
       array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-    withCached(sh) {
-      val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
-      jaccardVerify(bucketPairs(posting, Seq("shingle"), maxDf), sh, threshold)
-    }
+    val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
+    jaccardVerify(bucketPairs(posting, Seq("shingle"), maxDf), sh, threshold)
   }
 }

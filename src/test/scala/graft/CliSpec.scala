@@ -62,6 +62,17 @@ class CliSpec extends AnyFunSuite {
     val pg = Files.readString(Paths.get(s"$out/postgresql/postgresql_evolve.sql"))
     assert(pg.contains("""ALTER TABLE "main" ADD COLUMN "extra" NUMERIC;"""))
     assert(!pg.contains("""CREATE TABLE "main""""))
+
+    // the written datapackage must describe the MERGED store schema —
+    // 'note' (from load 1) and 'extra' (from load 2) both present, so a
+    // third evolve run does not re-ADD existing columns
+    val dp = Files.readString(Paths.get(s"$out/datapackage.json"))
+    assert(dp.contains("\"note\"") && dp.contains("\"extra\""))
+    val third = Files.createTempFile("graft_ev3", ".json")
+    Files.writeString(third, """[{"id": 3, "note": "c"}]""")
+    Cli.run(spark, Cli.parseArgs(Array(third.toString, out, "--evolve")), System.in)
+    val pg3 = Files.readString(Paths.get(s"$out/postgresql/postgresql_evolve.sql"))
+    assert(!pg3.contains("ADD COLUMN"), s"re-added existing columns:\n$pg3")
   }
 
   test("stdin input `-` stages the pipe and flattens like a file input") {

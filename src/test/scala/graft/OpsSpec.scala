@@ -215,6 +215,17 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 99L))
   }
 
+  test("connected components converge on deep chains via pointer jumping") {
+    import spark.implicits._
+    // a 200-hop path with the minimum id at one END — plain one-hop
+    // propagation would need 200 rounds; pointer jumping must close it
+    // within the default 20
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 1L))
+  }
+
   test("fingerprint whitespace class: vertical tab and NBSP normalize like space") {
     val d = docsDf(Seq(
       1L -> "a b",

@@ -61,8 +61,11 @@ object Cli {
     }
     if (parsedArgs.positional.length < 2) {
       System.err.println("usage: graft.Cli INPUT... OUT_DIR [--ndjson|--json-stream] [--path k] " +
-        "[--pushdown f1,f2] [--main-table-name n] [--no-link] [--preview N] " +
-        "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts]")
+        "[--json-path expr] [--pushdown f1,f2] [--main-table-name n] [--path-separator s] " +
+        "[--table-prefix p] [--id-prefix p] [--no-link] [--preview N] " +
+        "[--fields-csv f] [--tables-csv f] [--only-fields] [--only-tables] " +
+        "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts] " +
+        "[--xlsx] [--evolve] [--web]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()

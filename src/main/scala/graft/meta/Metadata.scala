@@ -151,7 +151,10 @@ object Metadata {
             haveTypes.get(m.fieldName) match {
               case None =>
                 Some(s"""ALTER TABLE "$name" ADD COLUMN "${m.fieldName.toLowerCase}" ${sqlType(m.fieldType)};""")
-              case Some(t) if sqlType(t) != sqlType(m.fieldType) =>
+              case Some(t) if sqlType(t) != sqlType(m.fieldType) && sqlType(t) != "TEXT" =>
+                // (a column already relaxed to TEXT accepts every later
+                // type — re-emitting ALTER ... TYPE TEXT each load is a
+                // no-op statement, so the conflict branch is skipped)
                 if (postgres)
                   Some(s"""ALTER TABLE "$name" ALTER COLUMN "${m.fieldName.toLowerCase}" TYPE TEXT;""")
                 else
@@ -223,10 +226,5 @@ object Metadata {
   private def csv(s: String): String =
     if (s.exists(c => c == ',' || c == '"' || c == '\n')) "\"" + s.replace("\"", "\"\"") + "\"" else s
 
-  private def js(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def js(s: String): String = graft.util.Json.js(s)
 }

@@ -33,19 +33,25 @@ object B2Probe {
       docs.select(TextHash.minhashUdf(32, 3)(col("text"))).write
         .format("noop").mode("overwrite").save()
     }
-    // bucket-size histogram + pre-distinct pair mass
+    t("bands kernel only") {
+      docs.select(TextHash.minhashBandsUdf(32, 4, 3)(col("text"))).write
+        .format("noop").mode("overwrite").save()
+    }
     val banded = docs
-      .select(col("doc_id").as("id"), TextHash.minhashUdf(32, 3)(col("text")).as("sig"))
-      .select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(3)),
-          b => xxhash64(slice(col("sig"), b * 8 + 1, lit(8)).cast("string"))))
-        .as(Seq("band", "bandHash")))
-    t("bucket histogram") {
+      .select(col("doc_id").as("id"),
+        TextHash.minhashBandsUdf(32, 4, 3)(col("text")).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "bandHash")))
+    t("bands + explode") {
+      banded.write.format("noop").mode("overwrite").save()
+    }
+    t("bands + explode + codegen count agg") {
       banded.groupBy("band", "bandHash").agg(count(lit(1)).as("n"))
-        .selectExpr("CASE WHEN n=1 THEN '1' WHEN n<=10 THEN '2-10' WHEN n<=100 THEN '11-100' WHEN n<=1000 THEN '101-1000' ELSE '>1000' END AS bucketsz",
-          "n*(n-1)/2 AS pairs")
-        .groupBy("bucketsz").agg(count(lit(1)).as("buckets"), sum("pairs").as("pair_mass"))
-        .orderBy("bucketsz").show(10, false)
+        .where(col("n") >= 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("shingle kernel only") {
+      docs.select(TextHash.shingleHashesUdf(3)(col("text"))).write
+        .format("noop").mode("overwrite").save()
     }
     val cands = Dedup.minhashCandidates(docs, "text", "doc_id", 32, 4, 3, 1000).persist()
     println("=== candidates physical plan (expect ONE Exchange of banded rows) ===")

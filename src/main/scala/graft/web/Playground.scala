@@ -69,7 +69,15 @@ object Playground {
 
   private def safely(ex: HttpExchange)(body: => Unit): Unit =
     try body
-    catch { case e: Throwable => respond(ex, 400, "text/plain", s"error: ${e.getMessage}") }
+    catch {
+      // NonFatal only: an OutOfMemoryError must propagate, not become a 400
+      case scala.util.control.NonFatal(e) =>
+        // if headers already went out (e.g. client dropped mid-write), a
+        // second sendResponseHeaders throws — swallow that, the exchange
+        // is already lost
+        try respond(ex, 400, "text/plain", s"error: ${e.getMessage}")
+        catch { case _: java.io.IOException => () }
+    }
     finally ex.close()
 
   private def respond(ex: HttpExchange, code: Int, ctype: String, content: String): Unit = {
@@ -142,12 +150,7 @@ object Playground {
     s"""{"tables":$rendered}"""
   }
 
-  private def js(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+  private def js(s: String): String = graft.util.Json.js(s)
 
   private val IndexHtml: String =
     """<!doctype html><html><head><title>graft playground</title></head>

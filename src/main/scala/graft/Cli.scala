@@ -5,7 +5,7 @@ import graft.api.Flatten
 import graft.model._
 import graft.sources.JsonInput
 import graft.functions.JsonPathFilter
-import graft.meta.SpecsCsv
+import graft.meta.{SchemaFields, SpecsCsv}
 
 /** Command-line entry point mirroring the reference CLI
   * (`/root/reference/src/main.rs:8-123` / `flatterer INPUT OUT_DIR`).
@@ -25,7 +25,8 @@ import graft.meta.SpecsCsv
 object Cli {
   private val valueFlags = Set("--path", "--pushdown", "--main-table-name",
     "--path-separator", "--table-prefix", "--id-prefix", "--preview",
-    "--json-path", "--fields-csv", "--tables-csv")
+    "--json-path", "--fields-csv", "--tables-csv",
+    "--schema", "--schema-titles", "--emit-obj")
 
   /** Parsed command line: positionals plus boolean and valued flags. */
   private[graft] final case class Args(positional: Vector[String],
@@ -64,6 +65,8 @@ object Cli {
         "[--json-path expr] [--pushdown f1,f2] [--main-table-name n] [--path-separator s] " +
         "[--table-prefix p] [--id-prefix p] [--no-link] [--preview N] " +
         "[--fields-csv f] [--tables-csv f] [--only-fields] [--only-tables] " +
+        "[--schema file|url] [--schema-titles full|slug|underscore_slug] " +
+        "[--emit-obj a.b,c] [--stats] " +
         "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts] " +
         "[--xlsx] [--evolve] [--web]")
       sys.exit(2)
@@ -144,6 +147,22 @@ object Cli {
 
       def readFile(p: String) = java.nio.file.Files.readString(java.nio.file.Paths.get(p))
 
+      // --schema accepts a local path or an http(s) URL, like the reference
+      // ("Link to remote or local JSONSchema", `src/main.rs:30`); titles
+      // mode per `--schema-titles` (`src/main.rs:33`, docs/options.md:733)
+      val schemaFields = flagVal("--schema").map { loc =>
+        val path = if (loc.startsWith("http://") || loc.startsWith("https://")) stageUrl(loc) else loc
+        val mode = flagVal("--schema-titles") match {
+          case Some("full")            => SchemaFields.FullTitle
+          case Some("slug")            => SchemaFields.Slug
+          case Some("underscore_slug") => SchemaFields.UnderscoreSlug
+          case _                       => SchemaFields.NoTitle
+        }
+        SchemaFields.fromJsonSchema(readFile(path),
+          flagVal("--main-table-name").getOrElse("main"),
+          flagVal("--path-separator").getOrElse("_"), mode)
+      }.getOrElse(Nil)
+
       val opts = FlattenOptions(
         mainTableName = flagVal("--main-table-name").getOrElse("main"),
         pathSeparator = flagVal("--path-separator").getOrElse("_"),
@@ -154,14 +173,18 @@ object Cli {
         arraysNewTable = has("--arrays-new-table"),
         inlineOneToOne = has("--inline-one-to-one"),
         preview = flagVal("--preview").map(_.toInt).getOrElse(0),
-        fields = flagVal("--fields-csv").map(p => SpecsCsv.parseFieldsCsv(readFile(p))).getOrElse(Nil),
+        emitObj = flagVal("--emit-obj")
+          .map(_.split(',').toSeq.map(_.split('.').toSeq)).getOrElse(Nil),
+        // fields.csv specs first (explicit control wins), schema order after
+        fields = flagVal("--fields-csv").map(p => SpecsCsv.parseFieldsCsv(readFile(p))).getOrElse(Nil)
+          ++ schemaFields,
         tables = flagVal("--tables-csv").map(p => SpecsCsv.parseTablesCsv(readFile(p))).getOrElse(Nil),
         onlyFields = has("--only-fields"),
         onlyTables = has("--only-tables"))
 
       val res = Flatten.flattenToDir(input, outDir, opts,
         parquet = has("--parquet"), sqlScripts = has("--sql-scripts"),
-        xlsx = has("--xlsx"), evolve = has("--evolve"))
+        xlsx = has("--xlsx"), evolve = has("--evolve"), stats = has("--stats"))
       println(s"tables: ${res.tables.keys.mkString(", ")}")
     }
   }

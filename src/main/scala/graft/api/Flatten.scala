@@ -71,8 +71,17 @@ object Flatten {
   def flattenToDir(input: DataFrame, outDir: String,
       opts: FlattenOptions = FlattenOptions(),
       csv: Boolean = true, parquet: Boolean = false, sqlScripts: Boolean = false,
-      xlsx: Boolean = false, evolve: Boolean = false): FlattenResult = {
+      xlsx: Boolean = false, evolve: Boolean = false,
+      stats: Boolean = false): FlattenResult = {
     val res = flatten(input, opts, analyze = true)
+    // `stats` (`docs/options.md:758-774`): A2 min/max/distinct per field,
+    // embedded in datapackage.json. One extra aggregation job per table;
+    // like the counts, stats reflect ALL data even under `preview`.
+    val statsByTable: Map[String, Map[String, Metadata.FieldStats]] =
+      if (stats) res.names.map { case (n, t) =>
+        n -> Metadata.analyzeStats(res.tables(t)).map(s => s.fieldName -> s).toMap
+      }.toMap
+      else Map.empty
     // --evolve (`docs/options.md:425-458`): reconcile against the schema a
     // previous run left in this directory — emit the DDL delta (CREATE for
     // new tables, ALTER ADD COLUMN / relax for existing ones) so the new
@@ -104,8 +113,10 @@ object Flatten {
     // load — otherwise the next evolve re-ADDs columns that already exist
     Sinks.writeString(s"$outDir/datapackage.json", evolvedFields match {
       case Some(merged) =>
-        Metadata.datapackage(merged, opts.mainTableName, res.names.toMap)
-      case None => res.datapackageJson
+        Metadata.datapackage(merged, opts.mainTableName, res.names.toMap, statsByTable)
+      case None =>
+        Metadata.datapackage(res.groupedFields, opts.mainTableName, res.names.toMap,
+          statsByTable)
     })
     if (sqlScripts) {
       Sinks.writeString(s"$outDir/postgresql/postgresql_schema.sql", res.ddl)

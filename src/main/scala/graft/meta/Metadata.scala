@@ -85,14 +85,27 @@ object Metadata {
     * schema, primaryKey `_link`, and `foreignKeys` from `_link_<t>` →
     * `<t>._link` (`fixtures/pushdown_expected/datapackage.json`;
     * `docs/changelog.md:203`).
+    *
+    * `stats` (per table, per field) embeds the A2 statistics into each
+    * field entry as `"stats":{"min","max","distinct"}` — the reference's
+    * `stats` option "adds additional statistics about the output files in
+    * the datapackage.json output" (`docs/options.md:758-760`; exact shape
+    * is ours, libflatterer is not vendored).
     */
   def datapackage(tables: Seq[(String, Seq[FieldMeta])], mainTable: String,
-      titles: Map[String, String] = Map.empty): String = {
+      titles: Map[String, String] = Map.empty,
+      stats: Map[String, Map[String, FieldStats]] = Map.empty): String = {
     val tableNames = tables.map(_._1).toSet
     val resources = tables.map { case (name, metas) =>
       val outFile = titles.getOrElse(name, name)
+      val tableStats = stats.getOrElse(name, Map.empty)
       val fields = metas.map { m =>
-        s"""{"name":${js(m.fieldName)},"type":${js(m.fieldType)},"count":${m.count}}"""
+        val statPart = tableStats.get(m.fieldName).map { s =>
+          val mn = s.min.map(js).getOrElse("null")
+          val mx = s.max.map(js).getOrElse("null")
+          s""","stats":{"min":$mn,"max":$mx,"distinct":${s.approxDistinct}}"""
+        }.getOrElse("")
+        s"""{"name":${js(m.fieldName)},"type":${js(m.fieldType)},"count":${m.count}$statPart}"""
       }.mkString("[", ",", "]")
       val fks = metas.collect {
         case m if m.fieldName.startsWith("_link_") && tableNames.contains(m.fieldName.stripPrefix("_link_")) =>

@@ -75,6 +75,43 @@ class CliSpec extends AnyFunSuite {
     assert(!pg3.contains("ADD COLUMN"), s"re-added existing columns:\n$pg3")
   }
 
+  test("--stats embeds min/max/distinct per field into datapackage.json") {
+    val out = Files.createTempDirectory("graft_cli_stats").toString
+    val in = Files.createTempFile("graft_stats", ".json")
+    Files.writeString(in, """[{"id": 1, "t": "a"}, {"id": 3, "t": "b"}]""")
+    Cli.run(spark, Cli.parseArgs(Array(in.toString, out, "--stats")), System.in)
+    val dp = Files.readString(Paths.get(s"$out/datapackage.json"))
+    assert(dp.contains(""""name":"id","type":"number","count":2,"stats":{"min":"1","max":"3","distinct":2}"""), dp)
+    assert(dp.contains(""""name":"t","type":"text","count":2,"stats":{"min":"a","max":"b","distinct":2}"""), dp)
+    // without the flag the field entries stay stats-free
+    val out2 = Files.createTempDirectory("graft_cli_nostats").toString
+    Cli.run(spark, Cli.parseArgs(Array(in.toString, out2)), System.in)
+    assert(!Files.readString(Paths.get(s"$out2/datapackage.json")).contains("\"stats\""))
+  }
+
+  test("--schema orders/titles fields from a JSONSchema; --emit-obj forces a 1:1 table") {
+    val out = Files.createTempDirectory("graft_cli_schema").toString
+    val in = Files.createTempFile("graft_schema_in", ".json")
+    Files.writeString(in,
+      """[{"zz": 9, "id": 1, "rating": {"code": "E"}}, {"zz": 8, "id": 2, "rating": {"code": "T"}}]""")
+    val schema = Files.createTempFile("graft_schema", ".json")
+    Files.writeString(schema,
+      """{"type": "object", "properties": {
+        |  "id": {"type": "number", "title": "The Identifier!"},
+        |  "zz": {"type": "number"}}}""".stripMargin)
+    Cli.run(spark, Cli.parseArgs(Array(in.toString, out,
+      "--schema", schema.toString, "--schema-titles", "underscore_slug",
+      "--emit-obj", "rating")), System.in)
+    val main = Files.readString(Paths.get(s"$out/csv/main.csv"))
+    // schema order (id before zz, despite alphabetical inference) + title
+    val header = main.linesIterator.next().split(',').toSeq
+    assert(header.indexOf("the_identifier") >= 0 &&
+      header.indexOf("the_identifier") < header.indexOf("zz"), main)
+    // emit-obj: the 1:1 rating object becomes its own table
+    val rating = Files.readString(Paths.get(s"$out/csv/rating.csv"))
+    assert(rating.contains("E") && rating.contains("T"))
+  }
+
   test("stdin input `-` stages the pipe and flattens like a file input") {
     val out = Files.createTempDirectory("graft_cli_stdin").toString
     val doc = """[{"id":1,"name":"stdin doc"},{"id":2,"name":"another"}]"""

@@ -49,6 +49,29 @@ class MetaSpec extends AnyFunSuite {
     assert(st("s").approxDistinct == 2)
   }
 
+  test("datapackage embeds per-field stats when provided") {
+    import Metadata.{FieldMeta, FieldStats}
+    val metas = Seq("main" -> Seq(
+      FieldMeta("main", "id", "number", "id", 3),
+      FieldMeta("main", "s", "text", "s", 3)))
+    val stats = Map("main" -> Map(
+      "id" -> FieldStats("id", Some("1"), Some("3"), 3L),
+      "s" -> FieldStats("s", None, None, 0L)))
+    val dp = Metadata.datapackage(metas, "main", stats = stats)
+    assert(dp.contains(""""name":"id","type":"number","count":3,"stats":{"min":"1","max":"3","distinct":3}"""), dp)
+    assert(dp.contains(""""name":"s","type":"text","count":3,"stats":{"min":null,"max":null,"distinct":0}"""), dp)
+    // stats-free call keeps the original shape
+    assert(!Metadata.datapackage(metas, "main").contains("\"stats\""))
+  }
+
+  test("evolve skips the conflict ALTER when the store column is already TEXT") {
+    import Metadata.FieldMeta
+    val existing = Seq("main" -> Seq(FieldMeta("main", "id", "text", "id", 2)))
+    val target   = Seq("main" -> Seq(FieldMeta("main", "id", "number", "id", 3)))
+    assert(Metadata.evolveScript(existing, target, postgres = true).isEmpty)
+    assert(Metadata.evolveScript(existing, target, postgres = false).isEmpty)
+  }
+
   test("datapackage emits primaryKey and ancestor foreign keys") {
     import spark.implicits._
     val df = spark.read.json(Seq("""{"a": 1, "kids": [{"n": 1}]}""").toDS())

@@ -90,7 +90,58 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = results0 ++ Seq("b1_flatten_json_e2e" -> b1, "b2_minhash_600k" -> b2)
+    // b3: near-dedup APPLIED at fact scale — the full loop from pair
+    // finding (same corpus/parameters as b2) through connected components
+    // to the anti-join that actually drops the losers. Exercises the
+    // iterative CC rounds and the payload anti-join on top of b2's work.
+    val b3 = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(monotonically_increasing_id().as("doc_id"),
+            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+              col("l_partkey"), col("l_suppkey")).as("text"))
+        val planted = base.where(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val docs = base.unionAll(planted).repartition(cpus.toInt)
+        val pairs = graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
+          threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
+          maxBucket = 1000).select("id_a", "id_b")
+        graft.ops.Dedup.dedupByPairs(docs, "doc_id", pairs)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => System.err.println(s"[bench] b3: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // b4: incremental exact dedup at fact scale — a daily-append batch
+    // (1% exact dups of the corpus + 1% genuinely new docs) deduped
+    // against the 600k-doc corpus. The corpus payload must never shuffle;
+    // only 16-byte fingerprint frames move.
+    val b4 = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(monotonically_increasing_id().as("doc_id"),
+            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+              col("l_partkey"), col("l_suppkey")).as("text"))
+          .repartition(cpus.toInt)
+        val dupes = base.where(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        val fresh = base.where(col("doc_id") % 100 === 50)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(col("text"), lit(" appended")).as("text"))
+        graft.ops.Dedup.dedupIncrement(base, dupes.unionAll(fresh), "text", "doc_id")
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable => System.err.println(s"[bench] b4: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = results0 ++ Seq("b1_flatten_json_e2e" -> b1, "b2_minhash_600k" -> b2,
+      "b3_near_dedup_apply_600k" -> b3, "b4_incremental_dedup_600k" -> b4)
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -33,7 +33,8 @@ object Dedup {
     * (whitespace-normalized) text. Shuffles only (hash, id) pairs.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val key = TextAnalysis.fingerprint(col(textCol))
+    // 16-byte binary key — half the shuffle bytes of the hex fingerprint
+    val key = TextAnalysis.fingerprintBin(col(textCol))
     val keep = df.select(key.as("__k"), col(idCol))
       .groupBy("__k").agg(min(col(idCol)).as(idCol))
       .select(idCol)
@@ -53,9 +54,13 @@ object Dedup {
       textCol: String, idCol: String): DataFrame = {
     // key/id side frames only — the incoming payload is never widened
     // with a working column (which could clobber a caller's own column)
-    // and never shuffles; the final semi-join filters it in place
-    val fp = TextAnalysis.fingerprint(col(textCol))
-    val seen = existing.select(fp.as("__k")).distinct()
+    // and never shuffles; the final semi-join filters it in place.
+    // Binary fingerprints: the corpus-side scan ships 16-byte keys.
+    val fp = TextAnalysis.fingerprintBin(col(textCol))
+    // no distinct on the corpus keys: the anti-join's build side ignores
+    // duplicates anyway, and a pre-distinct is a full extra aggregation
+    // of every corpus fingerprint
+    val seen = existing.select(fp.as("__k"))
     val freshKeys = incoming.select(fp.as("__k"), col(idCol))
       .join(seen, Seq("__k"), "left_anti")
     val keepIds = freshKeys.groupBy("__k").agg(min(col(idCol)).as(idCol)).select(idCol)
@@ -164,6 +169,17 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // convergence rides the round's own materialization job: a marker UDF
+    // bumps an accumulator for every row whose label changed while the
+    // eager localCheckpoint writes the round out — one job per round
+    // instead of checkpoint + a separate join/count. Task retries can
+    // only over-count (an extra round), never report 0 for a round that
+    // changed something, so convergence stays sound.
+    val acc = pairs.sparkSession.sparkContext.longAccumulator("cc_changed")
+    val markChanged = udf { (changed: Boolean) =>
+      if (changed) acc.add(1L)
+      changed
+    }.asNondeterministic()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -172,19 +188,20 @@ object Dedup {
         .groupBy("src").agg(min(col("nl")).as("nbrMin"))
       val propagated = labels
         .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
       // pointer jump: follow the current label to ITS label — halves the
       // remaining path length every round (log-diameter convergence)
+      acc.reset()
       val next = propagated
         .join(propagated.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .withColumn("__chg", markChanged(col("label") =!= col("old")))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .where(col("label") =!= col("old")).count()
-      labels = next
+      changed = acc.value
+      labels = next.select("id", "label")
       i += 1
     }
     if (changed > 0)

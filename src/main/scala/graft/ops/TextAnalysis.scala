@@ -93,6 +93,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), FingerprintWsJava, " ").cast(BinaryType))
 
+  /** 16-byte binary form of [[fingerprint]] — the same md5, `unhex`ed.
+    * Used as the internal exact-dedup shuffle key: half the bytes of the
+    * 32-char hex string, which at 100 TB is roughly half the dedup
+    * shuffle. The hex form stays for user-facing outputs (fingerprint
+    * columns, dup-group reports), where readability and SQL-engine parity
+    * matter more than key width.
+    */
+  def fingerprintBin(text: Column): Column = unhex(fingerprint(text))
+
   /** Non-empty trimmed lines of a document. */
   def lines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)

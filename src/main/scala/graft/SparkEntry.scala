@@ -13,7 +13,7 @@ import graft.sources.JsonInput
 import graft.functions.JsonPathFilter
 import graft.meta.{Metadata, SchemaFields}
 import graft.operators.Evolve
-import graft.ops.{Dedup, Similarity, TextAnalysis, Multimodal}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Redact, Sampling, Similarity, TextAnalysis, TextFilters}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md §2),
   * each with a DuckDB oracle in [[oracleSql]] where SQL-expressible.
@@ -458,6 +458,61 @@ object SparkEntry {
       Dedup.dedupByPairs(corpus, "doc_id", pairs)
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
+
+    "x25_quality_filter" -> ((s, dir) => {
+      // Gopher-rule annotate with planted variety: every 3rd doc gets the
+      // required stopwords appended (passes that rule), every 7th gets a
+      // hash run (fails symbol ratio) — so each rule fires both ways and
+      // the oracle recomputes every rule in SQL
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val t0 = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" the be to of and that have with")))
+        .otherwise(col("text"))
+      val t = when(col("doc_id") % 7 === 0,
+        concat(t0, lit(" # # # # # # # # # # # #"))).otherwise(t0)
+      TextFilters.annotate(d.select(col("doc_id"), t.as("text")), "text")
+        .select(col("doc_id"), col("ok_word_count"), col("ok_mean_word_len"),
+          col("ok_symbol_ratio"), col("ok_bullet_lines"), col("ok_ellipsis_lines"),
+          col("ok_alpha_words"), col("ok_stopword_hits"), col("keep"),
+          col("drop_reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x26_redact" -> ((s, dir) => {
+      // plant one email, one IPv4, one phone per doc (deterministic from
+      // doc_id); the oracle applies the same RE2-safe patterns in DuckDB
+      val d = rd(s, dir, "documents")
+      val t = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@example.com on 10.0."),
+        (col("doc_id") % 256).cast(StringType), lit(".1 or call 555-123-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      val doc = d.select(col("doc_id"), t.as("text"))
+      val (e, i, p) = Redact.counts(col("text"))
+      doc.select(col("doc_id"), Redact.redact(col("text")).as("redacted"),
+          e.as("n_emails"), i.as("n_ips"), p.as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x27_decontaminate" -> ((s, dir) => {
+      // every doc_id % 10 == 3 doc doubles as the "benchmark" set: those
+      // docs (and any doc naturally sharing a 13-gram) must be flagged
+      // with their exact distinct-overlap count; docs under 13 tokens
+      // produce no grams and stay clean
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 10 === 3).select(col("text"))
+      Decontaminate.overlapReport(d, "text", "doc_id", bench, "text", n = 13)
+        .orderBy(col("doc_id"))
+    }),
+
+    "x28_hash_sample" -> ((s, dir) =>
+      // deterministic md5-uniform mixing: per-source keep rates, default
+      // for unlisted sources — the exact sample is engine-replicable
+      Sampling.stratifiedMix(rd(s, dir, "documents"), "source", "doc_id",
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
 
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
@@ -941,6 +996,97 @@ object SparkEntry {
 
     "x24_incremental_dedup" ->
       """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
+
+    "x25_quality_filter" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN base || ' # # # # # # # # # # # #' ELSE base END AS text
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 3 = 0 THEN text || ' the be to of and that have with' ELSE text END AS base
+        |        FROM documents)),
+        |feat AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(text, '$FpWs'), w -> len(w) > 0) AS ws,
+        |    list_filter(list_transform(regexp_split_to_array(text, chr(10)), x -> trim(x)), x -> len(x) > 0) AS ls,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0) AS toks
+        |  FROM t),
+        |rules AS (
+        |  SELECT doc_id,
+        |    len(ws) BETWEEN 50 AND 100000 AS ok_word_count,
+        |    (CASE WHEN len(ws) = 0 THEN 0.0
+        |          ELSE CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) END)
+        |      BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+        |    (CASE WHEN len(ws) = 0 THEN 0.0
+        |          ELSE CAST((len(text) - len(replace(text, '#', ''))) +
+        |               len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE) / len(ws) END)
+        |      <= 0.1 AS ok_symbol_ratio,
+        |    (CASE WHEN len(ls) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '^[-*•‣◦]'))) AS DOUBLE) / len(ls) END)
+        |      <= 0.9 AS ok_bullet_lines,
+        |    (CASE WHEN len(ls) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS DOUBLE) / len(ls) END)
+        |      <= 0.3 AS ok_ellipsis_lines,
+        |    (CASE WHEN len(ws) = 0 THEN 0.0
+        |          ELSE CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(ws) END)
+        |      >= 0.8 AS ok_alpha_words,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(toks, s))) >= 2 AS ok_stopword_hits
+        |  FROM feat)
+        |SELECT doc_id, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+        |  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopword_hits,
+        |  (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
+        |   AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopword_hits) AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT ok_word_count THEN 'word_count' END,
+        |    CASE WHEN NOT ok_mean_word_len THEN 'mean_word_len' END,
+        |    CASE WHEN NOT ok_symbol_ratio THEN 'symbol_ratio' END,
+        |    CASE WHEN NOT ok_bullet_lines THEN 'bullet_lines' END,
+        |    CASE WHEN NOT ok_ellipsis_lines THEN 'ellipsis_lines' END,
+        |    CASE WHEN NOT ok_alpha_words THEN 'alpha_words' END,
+        |    CASE WHEN NOT ok_stopword_hits THEN 'stopword_hits' END) AS drop_reasons
+        |FROM rules ORDER BY doc_id""".stripMargin,
+
+    "x26_redact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com on 10.0.' ||
+        |    (doc_id % 256) || '.1 or call 555-123-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS no_email
+        |       FROM t),
+        |s2 AS (SELECT *, regexp_replace(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS no_ip FROM s1)
+        |SELECT doc_id,
+        |  regexp_replace(no_ip, '\+?[0-9][0-9]{2}[0-9 ().-]{4,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(no_ip, '\+?[0-9][0-9]{2}[0-9 ().-]{4,}[0-9]')) AS n_phones
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    "x27_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |pergram AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 11),
+        |      i -> substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 16))) AS gs
+        |  FROM toks WHERE len(tk) >= 13),
+        |docg AS (SELECT doc_id, unnest(gs) AS gram FROM pergram),
+        |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM pergram WHERE doc_id % 10 = 3)
+        |SELECT doc_id, count(*) AS n_overlap_grams, true AS contaminated
+        |FROM docg JOIN bg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x28_hash_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT::DOUBLE
+        |      / 1152921504606846976 <
+        |  CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE) WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+        |       WHEN 'src2' THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END
+        |ORDER BY doc_id""".stripMargin,
 
     "x19_quality_score" ->
       s"""SELECT doc_id,

@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Benchmark decontamination: flag training documents that share any
+  * `n`-token gram with a benchmark/eval set — the published GPT-3/PaLM
+  * method (13-gram overlap) reimplemented Spark-first.
+  *
+  * Plan shape at 100 TB: both sides explode to n-gram postings; the
+  * benchmark side is tiny (an eval set), so after its `distinct` the
+  * join broadcasts under AQE and the corpus postings NEVER shuffle — the
+  * whole check is a map-side semi-join at scan speed. Corpus text is not
+  * carried through the explode (only ids and 16-char keys), and the
+  * result is a per-doc overlap count the caller anti-joins on.
+  *
+  * Gram keys are `substr(md5(gram_text), 1, 16)` — 64 bits of md5, the
+  * same engine-replicable trick as the SimHash oracle, so a SQL engine
+  * can recompute the exact same contamination verdicts.
+  */
+object Decontaminate {
+
+  /** Distinct n-gram keys of `text` as an array column; empty when the
+    * document has fewer than `n` tokens. */
+  private def gramKeys(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => substring(md5(concat_ws(" ", slice(toks, i + 1, lit(n))).cast(BinaryType)), 1, 16)))
+      .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** Per-document contamination report against `bench`: (idCol,
+    * n_overlap_grams, contaminated). Only documents with ≥ 1 overlapping
+    * gram appear; the caller treats absence as clean (or left-joins).
+    */
+  def overlapReport(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val docGrams = docs.select(col(idCol).as("id"),
+      explode(gramKeys(col(textCol), n)).as("gram"))
+    val benchGrams = bench
+      .select(explode(gramKeys(col(benchTextCol), n)).as("gram")).distinct()
+    docGrams.join(benchGrams, Seq("gram")) // broadcasts: bench is small
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_overlap_grams"))
+      .withColumn("contaminated", lit(true))
+  }
+
+  /** Drop contaminated documents from the corpus — payload anti-joined,
+    * never shuffled. */
+  def decontaminate(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val bad = overlapReport(docs, textCol, idCol, bench, benchTextCol, n)
+      .select(idCol)
+    docs.join(bad, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gopher-style document quality filtering (published heuristics from the
+  * Gopher/MassiveText paper, arXiv:2112.11446 Appendix A — reimplemented
+  * from the paper's prose, not any codebase): per-rule booleans, an
+  * overall keep flag, and a human-readable reasons string.
+  *
+  * Pure column expressions — fully codegen'd, scan-speed over 100 TB, and
+  * exactly replicable in any SQL engine for auditing (every rule is
+  * length/regexp/list arithmetic; the whitespace and punctuation classes
+  * are the explicit cross-engine sets from [[TextAnalysis]]).
+  */
+object TextFilters {
+
+  /** Thresholds, defaulting to the published MassiveText values. */
+  final case class Rules(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      maxSymbolWordRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaWordRatio: Double = 0.8,
+      minStopwordHits: Int = 2)
+
+  /** The paper's required-stopword set ("the, be, to, of, and, that,
+    * have, with"). */
+  val RequiredStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private def words(text: Column): Column =
+    filter(split(text, TextAnalysis.FingerprintWsJava), w => length(w) > 0)
+
+  /** Per-rule pass columns for `text`. Keys are stable rule names. */
+  def ruleChecks(text: Column, rules: Rules = Rules()): Seq[(String, Column)] = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(aggregate(ws, lit(0L), (a, w) => a + length(w)).cast(DoubleType) / nWords)
+    // symbols: '#' plus ASCII '...' plus U+2026, per word
+    val nSymbols = (length(text) - length(regexp_replace(text, "#", ""))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\.|…"), lit(0)))
+    val ls = TextAnalysis.lines(text)
+    val nLines = size(ls)
+    val bulletRatio = when(nLines === 0, 0.0).otherwise(
+      size(filter(ls, l => l.rlike("^[-*•‣◦]"))).cast(DoubleType) / nLines)
+    val ellipsisRatio = when(nLines === 0, 0.0).otherwise(
+      size(filter(ls, l => l.rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / nLines)
+    val alphaRatio = when(nWords === 0, 0.0).otherwise(
+      size(filter(ws, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nWords)
+    val toks = TextAnalysis.tokens(text)
+    val stopHits = size(filter(
+      array(RequiredStopwords.map(lit): _*), s => array_contains(toks, s)))
+    Seq(
+      "word_count"     -> nWords.between(rules.minWords, rules.maxWords),
+      "mean_word_len"  -> meanLen.between(rules.minMeanWordLen, rules.maxMeanWordLen),
+      "symbol_ratio"   -> (when(nWords === 0, 0.0)
+        .otherwise(nSymbols.cast(DoubleType) / nWords) <= rules.maxSymbolWordRatio),
+      "bullet_lines"   -> (bulletRatio <= rules.maxBulletLineRatio),
+      "ellipsis_lines" -> (ellipsisRatio <= rules.maxEllipsisLineRatio),
+      "alpha_words"    -> (alphaRatio >= rules.minAlphaWordRatio),
+      "stopword_hits"  -> (stopHits >= rules.minStopwordHits))
+  }
+
+  /** Annotate `df` with one boolean per rule (`ok_<rule>`), an overall
+    * `keep`, and a comma-joined `drop_reasons` string (empty when kept).
+    */
+  def annotate(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame = {
+    val checks = ruleChecks(col(textCol), rules)
+    val withFlags = checks.foldLeft(df) { case (d, (name, ok)) =>
+      d.withColumn(s"ok_$name", ok)
+    }
+    val keep = checks.map { case (n, _) => col(s"ok_$n") }.reduce(_ && _)
+    val reasons = concat_ws(",",
+      checks.map { case (n, _) => when(!col(s"ok_$n"), n) }: _*)
+    withFlags.withColumn("keep", keep).withColumn("drop_reasons", reasons)
+  }
+
+  /** Filter to kept documents only — the pipeline form. */
+  def apply(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame =
+    annotate(df, textCol, rules).where(col("keep"))
+      .drop("keep" +: "drop_reasons" +: ruleChecks(col(textCol), rules).map("ok_" + _._1): _*)
+}

@@ -13,7 +13,7 @@ import graft.sources.JsonInput
 import graft.functions.JsonPathFilter
 import graft.meta.{Metadata, SchemaFields}
 import graft.operators.Evolve
-import graft.ops.{Decontaminate, Dedup, Multimodal, Redact, Sampling, Similarity, TextAnalysis, TextFilters}
+import graft.ops.{Decontaminate, Dedup, Joins, Multimodal, Packing, Redact, Sampling, Similarity, TextAnalysis, TextFilters}
 
 /** Driver contract — one named query per implemented operator (SURVEY.md §2),
   * each with a DuckDB oracle in [[oracleSql]] where SQL-expressible.
@@ -513,6 +513,67 @@ object SparkEntry {
         defaultRate = 0.1)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))),
+
+    "x29_asof_join" -> ((s, dir) => {
+      // every click joined to the user's most recent view within 4h —
+      // DuckDB's native ASOF LEFT JOIN is the oracle. Views collapse to
+      // max(event_id) per instant so tie-breaks are engine-independent.
+      val ev = rdEvents(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("v_event_id"))
+        .select(col("user_id"), col("ts").as("v_ts"), col("v_event_id"))
+      Joins.asofJoin(clicks, views, Seq("user_id"), "ts", "v_ts",
+          tolerance = Some(expr("INTERVAL 4 HOURS")))
+        .select(col("event_id"), col("v_event_id"),
+          (unix_micros(col("ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    "x30_salted_join" -> ((s, dir) => {
+      // skew-salted fact⋈dim join must equal the plain SQL join; salt
+      // derives from (orderkey, linenumber) so it is deterministic
+      val li = rd(s, dir, "lineitem").select(
+        col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      Joins.saltedJoin(li, o, Seq("o_orderkey"), nSalts = 8,
+          saltCols = Seq("o_orderkey", "l_linenumber"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "x31_dedup_lines" -> ((s, dir) => {
+      // corpus-wide boilerplate scrub: every 5th doc gets the same
+      // planted footer line (count ≥ sf0.001's 100 docs / 5 = 20 ≥ 5),
+      // which must vanish from all of them; natural lines repeated ≥ 5
+      // times corpus-wide go too — the oracle recomputes both
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\nSUBSCRIBE TO OUR NEWSLETTER TODAY")))
+          .otherwise(col("text")))
+      Dedup.dedupLines(planted, "text", "doc_id", minDupCount = 5)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x32_pack_tokens" -> ((s, dir) => {
+      // deterministic token-budget packing: md5 shard, id-ordered cumsum,
+      // start-offset bin — pure integer window math, exact in any engine
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).as("n_tokens"))
+      Packing.packByTokenBudget(d, "doc_id", "n_tokens",
+          maxTokensPerBin = 2000, nShards = 8)
+        .select(col("doc_id"), col("n_tokens"), col("shard"),
+          col("start_tok"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
 
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
@@ -1087,6 +1148,63 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE) WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
         |       WHEN 'src2' THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END
         |ORDER BY doc_id""".stripMargin,
+
+    "x29_asof_join" ->
+      """WITH clicks AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS v_ts, max(event_id) AS v_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id,
+        |  CASE WHEN v.v_ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(v.v_ts) <= 14400000000
+        |       THEN v.v_event_id END AS v_event_id,
+        |  CASE WHEN v.v_ts IS NOT NULL AND epoch_us(c.ts) - epoch_us(v.v_ts) <= 14400000000
+        |       THEN epoch_us(c.ts) - epoch_us(v.v_ts) END AS lag_us
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.v_ts <= c.ts
+        |ORDER BY event_id""".stripMargin,
+
+    "x30_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x31_dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN text || chr(10) || 'SUBSCRIBE TO OUR NEWSLETTER TODAY'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, chr(10)), x -> trim(x)),
+        |                x -> len(x) > 0) AS ls
+        |  FROM t),
+        |heavy AS (
+        |  SELECT line FROM (SELECT unnest(ls) AS line FROM feat)
+        |  GROUP BY line HAVING count(*) >= 5),
+        |harr AS (SELECT coalesce(list(line), []) AS hs FROM heavy)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(ls, l -> NOT list_contains(hs, l)), chr(10)) AS text
+        |FROM feat CROSS JOIN harr ORDER BY doc_id""".stripMargin,
+
+    "x32_pack_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT % 8 AS INT) AS shard
+        |  FROM documents),
+        |offs AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, shard, start_tok,
+        |  CAST(floor(start_tok / 2000) AS BIGINT) AS bin
+        |FROM offs ORDER BY doc_id""".stripMargin,
 
     "x19_quality_score" ->
       s"""SELECT doc_id,

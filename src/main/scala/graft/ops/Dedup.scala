@@ -330,4 +330,36 @@ object Dedup {
     jaccardVerify(df, textCol, idCol, bucketPairs(posting, Seq("shingle"), maxDf),
       shingleSize, threshold)
   }
+
+  /** Corpus-level duplicate-line removal (the CCNet/RefinedWeb
+    * boilerplate scrub): any trimmed non-empty line occurring at least
+    * `minDupCount` times ACROSS the corpus is deleted from every
+    * document; the rest of each document is reassembled in line order.
+    * Documents whose every line dies come back with empty text.
+    *
+    * Scale shape: the heavy-hitter count aggregates 16-byte md5 line
+    * keys with map-side partial aggregation (only (key, partial-count)
+    * pairs shuffle); the surviving-line filter is an anti-join against
+    * that count's output — a tiny frame by construction (boilerplate is
+    * rare among distinct lines), so AQE broadcasts it. The one full-text
+    * shuffle is the per-document reassembly, which any line-level
+    * rewrite fundamentally needs.
+    */
+  def dedupLines(docs: DataFrame, textCol: String, idCol: String,
+      minDupCount: Int = 5): DataFrame = {
+    val lines = docs.select(col(idCol),
+      posexplode(TextAnalysis.lines(col(textCol))).as(Seq("pos", "line")))
+      .withColumn("lh", unhex(md5(col("line").cast(BinaryType))))
+    val heavy = lines.groupBy(col("lh"))
+      .agg(count(lit(1)).as("n")).where(col("n") >= minDupCount)
+      .select(col("lh"))
+    val rebuilt = lines.join(heavy, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col(idCol),
+        concat_ws("\n", transform(col("ls"), x => x.getField("line"))).as("__clean"))
+    docs.join(rebuilt, Seq(idCol), "left_outer")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
 }

@@ -17,13 +17,20 @@ import org.apache.spark.sql.types._
   */
 object Sampling {
 
-  /** Uniform [0,1) from the first 60 bits of md5(id || salt). 15 hex
-    * chars = 60 bits keeps the value exactly representable in a signed
-    * long and the division a single IEEE op — bit-identical everywhere.
+  /** The first 60 bits of md5(id || salt) as a non-negative long — the
+    * engine-replicable hash primitive behind [[hashUniform]] and
+    * [[graft.ops.Packing]]'s sharding (DuckDB spelling:
+    * `('0x' || substr(md5(id || salt), 1, 15))::UBIGINT`). 15 hex chars
+    * = 60 bits always fits a signed long in every engine.
     */
+  def hashLong(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast(StringType), lit(salt)).cast(BinaryType)), 1, 15),
+      16, 10).cast(LongType)
+
+  /** Uniform [0,1) from [[hashLong]] — a single IEEE division, so the
+    * value is bit-identical everywhere. */
   def hashUniform(id: Column, salt: String): Column =
-    (conv(substring(md5(concat(id.cast(StringType), lit(salt)).cast(BinaryType)), 1, 15),
-      16, 10).cast(LongType).cast(DoubleType) / lit(math.pow(2, 60)))
+    hashLong(id, salt).cast(DoubleType) / lit(math.pow(2, 60))
 
   /** Keep each row with probability `fraction`, deterministically. */
   def hashSample(df: DataFrame, idCol: String, fraction: Double,

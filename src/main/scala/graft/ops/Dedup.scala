@@ -161,14 +161,35 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // both edge directions in one pass over the (possibly expensive, lazy)
     // pair plan — a unionAll of two selects would execute it twice
-    val edges = pairs.select(explode(array(
+    val bidir = pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
       .localCheckpoint(true) // small (the pair set), read every round
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // The round frames are (id, id) pairs — tiny next to the corpus.
+    // Size the loop's partitioning to the materialized edge count
+    // (~2M edges/partition) instead of the session default: running
+    // log-diameter rounds over dozens of near-empty partitions pays a
+    // fixed per-stage scheduling cost that dominates when the pair set
+    // is small (the common case), while a billion-pair set at 100 TB
+    // still fans out.
+    val n = bidir.count()
+    val defaultParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L, math.min(defaultParts.toLong, n / 2000000L + 1)).toInt
+    // Self-loops (id, id) make the per-round neighborhood min include the
+    // node's own label, so a round is one inner join + one aggregation —
+    // no left-join/coalesce to retain update-free ids — and the
+    // aggregation recovers the node's OLD label for free from its
+    // self-loop row (the only row with dst == src).
+    val edges = bidir
+      .unionAll(bidir.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .repartition(parts, col("dst"))
       .localCheckpoint(true)
+    // distinct guards against caller-supplied self-pairs (id_a == id_b),
+    // which would otherwise duplicate a self-loop row
+    var labels = edges.where(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("label")).distinct()
     // convergence rides the round's own materialization job: a marker UDF
     // bumps an accumulator for every row whose label changed while the
     // eager localCheckpoint writes the round out — one job per round
@@ -185,19 +206,18 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy("src").agg(min(col("nl")).as("nbrMin"))
-      val propagated = labels
-        .join(nbrMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"), col("label").as("old"),
-          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+        .groupBy("src")
+        .agg(min(col("nl")).as("m"),
+          min(when(col("dst") === col("src"), col("nl"))).as("old"))
       // pointer jump: follow the current label to ITS label — halves the
-      // remaining path length every round (log-diameter convergence)
+      // remaining path length every round (log-diameter convergence).
+      // Inner join: every label value is itself an id with an nbrMin row
+      // (labels are always member ids, and self-loops give every id a row).
       acc.reset()
-      val next = propagated
-        .join(propagated.select(col("id").as("label"), col("label").as("ll")),
-          Seq("label"), "left")
-        .select(col("id"), col("old"),
-          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+      val next = nbrMin
+        .join(nbrMin.select(col("src").as("m"), col("m").as("mm")), Seq("m"))
+        .select(col("src").as("id"),
+          least(col("m"), col("mm")).as("label"), col("old"))
         .withColumn("__chg", markChanged(col("label") =!= col("old")))
         .localCheckpoint(true)
       changed = acc.value

@@ -64,81 +64,81 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // b2: MinHash near-dup at fact-table scale — one text per lineitem row
-    // (600k docs at sf0.1) plus 1% planted duplicates. Short-text corpora
-    // need strict LSH parameters (8 rows/band, 3-token shingles) — loose
-    // bands on overlapping vocabulary make the candidate set quadratic.
-    val b2 = {
+    // b2-b4 corpus: one text per lineitem row (600k docs at sf0.1).
+    // parquet arrives in 1-2 files: fan out so the signature kernels use
+    // every core, not the scan's file-parallelism.
+    def bCorpus(dir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      try {
-        val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(monotonically_increasing_id().as("doc_id"),
-            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
-              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-              col("l_partkey"), col("l_suppkey")).as("text"))
-        val planted = base.where(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-        // parquet arrives in 1-2 files: fan out so the signature kernel
-        // uses every core, not the scan's file-parallelism
-        val docs = base.unionAll(planted).repartition(cpus.toInt)
-        graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
-          threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
-          maxBucket = 1000)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable => System.err.println(s"[bench] b2: $e") }
-      (System.nanoTime() - t0) / 1e9
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(monotonically_increasing_id().as("doc_id"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_partkey"), col("l_suppkey")).as("text"))
+    }
+
+    // b2: MinHash near-dup at fact-table scale — corpus plus 1% planted
+    // duplicates. Short-text corpora need strict LSH parameters (8
+    // rows/band, 3-token shingles) — loose bands on overlapping
+    // vocabulary make the candidate set quadratic.
+    def runB2(dir: String): Unit = {
+      import org.apache.spark.sql.functions._
+      val base = bCorpus(dir)
+      val planted = base.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val docs = base.unionAll(planted).repartition(cpus.toInt)
+      graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
+        maxBucket = 1000)
+        .write.format("noop").mode("overwrite").save()
     }
 
     // b3: near-dedup APPLIED at fact scale — the full loop from pair
     // finding (same corpus/parameters as b2) through connected components
     // to the anti-join that actually drops the losers. Exercises the
     // iterative CC rounds and the payload anti-join on top of b2's work.
-    val b3 = {
+    def runB3(dir: String): Unit = {
       import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      try {
-        val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(monotonically_increasing_id().as("doc_id"),
-            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
-              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-              col("l_partkey"), col("l_suppkey")).as("text"))
-        val planted = base.where(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-        val docs = base.unionAll(planted).repartition(cpus.toInt)
-        val pairs = graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
-          threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
-          maxBucket = 1000).select("id_a", "id_b")
-        graft.ops.Dedup.dedupByPairs(docs, "doc_id", pairs)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable => System.err.println(s"[bench] b3: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val base = bCorpus(dir)
+      val planted = base.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val docs = base.unionAll(planted).repartition(cpus.toInt)
+      val pairs = graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
+        maxBucket = 1000).select("id_a", "id_b")
+      graft.ops.Dedup.dedupByPairs(docs, "doc_id", pairs)
+        .write.format("noop").mode("overwrite").save()
     }
 
     // b4: incremental exact dedup at fact scale — a daily-append batch
     // (1% exact dups of the corpus + 1% genuinely new docs) deduped
     // against the 600k-doc corpus. The corpus payload must never shuffle;
     // only 16-byte fingerprint frames move.
-    val b4 = {
+    def runB4(dir: String): Unit = {
       import org.apache.spark.sql.functions._
+      val base = bCorpus(dir).repartition(cpus.toInt)
+      val dupes = base.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val fresh = base.where(col("doc_id") % 100 === 50)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat(col("text"), lit(" appended")).as("text"))
+      graft.ops.Dedup.dedupIncrement(base, dupes.unionAll(fresh), "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // same warmup discipline as the headline queries: one untimed pass at
+    // the smallest SF pays codegen/classloading/JIT before timing
+    Seq(runB2 _, runB3 _, runB4 _).foreach { f =>
+      try f("/root/testdata/sf0.001") catch { case _: Throwable => () }
+    }
+
+    def timed(name: String)(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try {
-        val base = spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .select(monotonically_increasing_id().as("doc_id"),
-            concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
-              col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-              col("l_partkey"), col("l_suppkey")).as("text"))
-          .repartition(cpus.toInt)
-        val dupes = base.where(col("doc_id") % 100 === 0)
-          .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-        val fresh = base.where(col("doc_id") % 100 === 50)
-          .select((col("doc_id") + 20000000L).as("doc_id"),
-            concat(col("text"), lit(" appended")).as("text"))
-        graft.ops.Dedup.dedupIncrement(base, dupes.unionAll(fresh), "text", "doc_id")
-          .write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable => System.err.println(s"[bench] b4: $e") }
+      try f catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       (System.nanoTime() - t0) / 1e9
     }
+    val b2 = timed("b2")(runB2(sfDir))
+    val b3 = timed("b3")(runB3(sfDir))
+    val b4 = timed("b4")(runB4(sfDir))
 
     val results = results0 ++ Seq("b1_flatten_json_e2e" -> b1, "b2_minhash_600k" -> b2,
       "b3_near_dedup_apply_600k" -> b3, "b4_incremental_dedup_600k" -> b4)

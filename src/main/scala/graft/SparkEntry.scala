@@ -575,6 +575,57 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x33_domain_cap" -> ((s, dir) =>
+      // per-source cap: ≤ 5 docs per source, hash-ordered draw — the
+      // C4/RefinedWeb per-domain page cap, engine-replicable
+      Sampling.domainCap(rd(s, dir, "documents"), "source", "doc_id",
+          maxPerDomain = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    "x34_len_percentiles" -> ((s, dir) =>
+      // exact token-count quartiles per language — quartile positions
+      // over integer counts interpolate exactly in binary, so DuckDB's
+      // quantile_cont reproduces the doubles bit-for-bit
+      TextAnalysis.groupPercentiles(
+        rd(s, dir, "documents").select(col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        "lang", "n_tokens")
+        .orderBy(col("lang"))),
+
+    "x35_quantize_embed" -> ((s, dir) => {
+      // symmetric int8 quantization: floor-based rounding is pure IEEE
+      // arithmetic, so quantized ints and the fp scale match any engine
+      val emb = rd(s, dir, "embeddings")
+      val (q, scale) = Similarity.quantizeInt8(col("embedding"))
+      emb.select(col("vec_id"), scale.as("scale"), q.as("q"))
+        .orderBy(col("vec_id"))
+    }),
+
+    "x36_hash_topn" -> ((s, dir) =>
+      // exactly-37 deterministic holdout draw (TakeOrdered, no full sort)
+      Sampling.hashTopN(rd(s, dir, "documents"), "doc_id", 37)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))),
+
+    "x37_split" -> ((s, dir) =>
+      // deterministic 75/12.5/12.5 split assignment — thresholds are
+      // exact binary fractions so any engine reproduces the labels
+      Sampling.split(rd(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
+    "x38_bloom_decontaminate" -> ((s, dir) => {
+      // bloom-prefiltered decontamination must EQUAL the exact variant
+      // (bloom pre-filter + exact verify join): same % 10 == 3 bench as
+      // x27; output is the surviving corpus
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 10 === 3).select(col("text"))
+      Decontaminate.decontaminateBloom(d, "text", "doc_id", bench, "text", n = 13)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
       // operator has known positives: every (v, v+PlantedOffset) pair must come
@@ -1205,6 +1256,69 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, shard, start_tok,
         |  CAST(floor(start_tok / 2000) AS BIGINT) AS bin
         |FROM offs ORDER BY doc_id""".stripMargin,
+
+    "x33_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    "x34_len_percentiles" ->
+      """SELECT lang, count(*) AS n,
+        |  quantile_cont(n_tokens, 0.25) AS p25,
+        |  quantile_cont(n_tokens, 0.5)  AS p50,
+        |  quantile_cont(n_tokens, 0.75) AS p75
+        |FROM (SELECT lang,
+        |        CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x35_quantize_embed" ->
+      """SELECT vec_id,
+        |  CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS scale,
+        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |    (CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END) + 0.5) AS INT)) AS q
+        |FROM (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "x36_hash_topn" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id FROM documents
+        |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT,
+        |    doc_id
+        |  LIMIT 37)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x37_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.75 THEN 'train' WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT::DOUBLE
+        |          / 1152921504606846976 AS u
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x38_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |pergram AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 11),
+        |      i -> substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 16))) AS gs
+        |  FROM toks WHERE len(tk) >= 13),
+        |docg AS (SELECT doc_id, unnest(gs) AS gram FROM pergram),
+        |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM pergram WHERE doc_id % 10 = 3),
+        |bad AS (SELECT DISTINCT doc_id FROM docg JOIN bg USING (gram))
+        |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
 
     "x19_quality_score" ->
       s"""SELECT doc_id,

@@ -55,4 +55,34 @@ object Decontaminate {
       .select(idCol)
     docs.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-prefiltered decontamination — same exact result as
+    * [[decontaminate]], cheaper at corpus scale. The benchmark's distinct
+    * gram keys fold into a `BloomFilter` built DISTRIBUTED
+    * (`stat.bloomFilter` merges per-partition filters — no driver
+    * collect of the gram set) and broadcast once. The corpus then tests
+    * gram membership in-place at scan speed; only documents with a
+    * possible hit (true positives + an fpp-bounded sliver) explode into
+    * postings for the exact verify join. False negatives are impossible
+    * (Bloom guarantees), and the verify join eliminates false positives
+    * — so the output is EXACTLY [[decontaminate]]'s, but the per-doc
+    * posting explode+shuffle that dominates the exact path now touches
+    * ~0.1% of a clean corpus instead of all of it.
+    */
+  def decontaminateBloom(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13,
+      fpp: Double = 0.001): DataFrame = {
+    val benchGrams = bench
+      .select(explode(gramKeys(col(benchTextCol), n)).as("gram")).distinct()
+    val expected = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightHit = udf { (gs: Seq[String]) =>
+      gs != null && gs.exists(bfB.value.mightContainString)
+    }
+    val candidates = docs.where(mightHit(gramKeys(col(textCol), n)))
+    val confirmed = overlapReport(candidates, textCol, idCol,
+      bench, benchTextCol, n).select(idCol)
+    docs.join(confirmed, Seq(idCol), "left_anti")
+  }
 }

@@ -50,4 +50,59 @@ object Sampling {
     }
     df.where(hashUniform(col(idCol), salt) < rate)
   }
+
+  /** Per-domain document cap (the C4/RefinedWeb "max pages per domain"
+    * rule): keep at most `maxPerDomain` rows per domain, chosen by
+    * deterministic hash order so the kept subset is a fair random-like
+    * draw that is stable across runs, partitionings, and cluster sizes.
+    *
+    * Scale shape: only (domain, id, hash) fixed-width rows go through
+    * the window shuffle+sort; the document payload is semi-joined back
+    * by id, never sorted. A mega-domain sorts within one partition —
+    * at 100 TB pair `maxPerDomain` with an upstream [[hashSample]]
+    * pre-thin if single domains exceed a partition.
+    */
+  def domainCap(df: DataFrame, domainCol: String, idCol: String,
+      maxPerDomain: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol))
+      .orderBy(hashLong(col(idCol), salt), col(idCol))
+    val keep = df.select(col(domainCol), col(idCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerDomain)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Deterministic train/val/test split: label each row by where its
+    * md5-uniform falls in the cumulative weight intervals. Weights are
+    * normalized (need not sum to 1). Pure projection — no shuffle, no
+    * state — and engine-replicable like every operator here.
+    *
+    * Pick weights whose normalized cumulative sums are exact binary
+    * fractions (0.75/0.125/0.125, not 0.8/0.1/0.1) when an external
+    * system must reproduce the thresholds digit-for-digit.
+    */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+      salt: String = "graft", splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "split weights must be non-empty and positive")
+    val total = weights.map(_._2).sum
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val u = hashUniform(col(idCol), salt)
+    val label = weights.zip(cum).init.foldRight(lit(weights.last._1): Column) {
+      case (((name, _), c), acc) => when(u < lit(c / total), lit(name)).otherwise(acc)
+    }
+    df.withColumn(splitCol, label)
+  }
+
+  /** Exactly-n deterministic draw: the n rows with the smallest hash —
+    * a fixed-size engine-replicable sample (holdout/eval sets need exact
+    * sizes, which probabilistic [[hashSample]] can't give). Executes as
+    * TakeOrdered (per-partition top-n, then a driver merge of n-row
+    * heaps) — no full sort, no shuffle of the corpus.
+    */
+  def hashTopN(df: DataFrame, idCol: String, n: Int,
+      salt: String = "graft"): DataFrame =
+    df.orderBy(hashLong(col(idCol), salt), col(idCol)).limit(n)
 }

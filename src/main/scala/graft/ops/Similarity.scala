@@ -29,6 +29,40 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** L2-normalize a vector column (elements cast to double so results
+    * are engine-identical IEEE arithmetic). Zero vectors come back as
+    * zeros instead of NaN. Pure codegen'd projection — normalizing
+    * 100 TB of embeddings is a scan.
+    */
+  def l2Normalize(vec: Column): Column = {
+    val norm = sqrt(aggregate(vec, lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+    transform(vec, x =>
+      when(norm === 0.0d, lit(0.0d)).otherwise(x.cast(DoubleType) / norm))
+  }
+
+  /** Symmetric int8 quantization for embedding storage: per-vector
+    * scale = 127 / max|x|, q_i = floor(x_i * scale + 0.5). Shrinks an
+    * fp32 embedding column 4× before it lands in parquet — at 100 TB of
+    * vectors that is the difference between one storage tier and the
+    * next. Returns (quantized array<int>, scale) columns; dequantize as
+    * q / scale.
+    *
+    * floor(x + 0.5) instead of round(): round-half-up vs banker's
+    * rounding differs across engines, while floor over IEEE doubles is
+    * bit-identical everywhere — the quantized bytes are reproducible by
+    * any SQL engine (and oracle-checkable). Zero vectors quantize to
+    * zeros with scale 0.
+    */
+  def quantizeInt8(vec: Column): (Column, Column) = {
+    val maxAbs = aggregate(vec, lit(0.0d),
+      (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+    val scale = when(maxAbs === 0.0d, lit(0.0d)).otherwise(lit(127.0d) / maxAbs)
+    val q = transform(vec, x =>
+      floor(x.cast(DoubleType) * scale + lit(0.5d)).cast(IntegerType))
+    (q, scale)
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast — the corpus is

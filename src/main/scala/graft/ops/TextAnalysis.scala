@@ -149,6 +149,25 @@ object TextAnalysis {
   def shingleHashes(text: Column, n: Int = 3): Column =
     graft.functions.TextHash.shingleHashesUdf(n)(text)
 
+  /** Exact per-group percentiles of a numeric column (corpus length
+    * audits: token-count quartiles per language/source). Uses Spark's
+    * exact `percentile` aggregate — ONE shuffle with map-side partial
+    * aggregation; the per-group value multiset is what aggregates, never
+    * the documents. For quartile-style percentages over integer values
+    * the linear interpolation is exact binary arithmetic, so results are
+    * engine-identical (DuckDB `quantile_cont` computes the same number).
+    * At 100 TB prefer grouping columns with bounded cardinality (lang,
+    * source) — each group's values collect into one aggregation buffer;
+    * for percentiles over ungrouped billions use approx_percentile.
+    */
+  def groupPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      percentages: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      percentages.map(p => percentile(col(valueCol), lit(p))
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "from", "this", "be", "are")

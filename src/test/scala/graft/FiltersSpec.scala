@@ -93,4 +93,61 @@ class FiltersSpec extends AnyFunSuite {
     assert(math.abs(bySrc("src1") - 1500) < 150)
     assert(!bySrc.contains("src2"))        // default 0.0 drops the rest
   }
+
+  test("bloom decontaminate equals the exact path (no false negatives, FPs verified away)") {
+    val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    // 200 clean docs with distinct vocab + 5 planted contaminated ones
+    val clean = (0 until 200).map(i =>
+      (i.toLong, (0 until 20).map(j => s"tok${i}_$j").mkString(" ")))
+    val dirty = (200 until 205).map(i =>
+      (i.toLong, s"prefix $gram13 suffix of doc $i"))
+    val docs = (clean ++ dirty).toDF("doc_id", "text")
+    val bench = Seq(s"bench set contains $gram13 verbatim").toDF("text")
+    val exact = Decontaminate.decontaminate(docs, "text", "doc_id", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    val bloom = Decontaminate.decontaminateBloom(docs, "text", "doc_id", bench, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloom == exact)
+    assert((200L until 205L).forall(id => !bloom.contains(id))) // planted all dropped
+    assert(bloom.size == 200)
+  }
+
+  test("domain cap keeps at most K per domain, deterministically across layouts") {
+    val df = spark.range(0, 3000)
+      .select(col("id"), concat(lit("d"), (col("id") % 7).cast("string")).as("dom"))
+    val capped = Sampling.domainCap(df, "dom", "id", maxPerDomain = 10)
+    val byDom = capped.groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(byDom.size == 7 && byDom.values.forall(_ == 10))
+    val again = Sampling.domainCap(df.repartition(13), "dom", "id", 10)
+      .select("id").as[Long].collect().toSet
+    assert(again == capped.select("id").as[Long].collect().toSet)
+    // a domain smaller than the cap survives whole
+    val tiny = Sampling.domainCap(df.where(col("id") < 5), "dom", "id", 10)
+    assert(tiny.count() == 5)
+  }
+
+  test("split assigns every row one label with ~weight fractions, stable by id") {
+    val df = spark.range(0, 8000).toDF("id")
+    val s = Sampling.split(df, "id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+    val byLab = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLab.keySet == Set("train", "val", "test"))
+    assert(math.abs(byLab("train") - 6000) < 250)
+    assert(math.abs(byLab("val") - 1000) < 150)
+    // label is a pure function of (id, salt): layout-independent
+    val relabeled = Sampling.split(df.repartition(11), "id",
+      Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+      .as[(Long, String)].collect().toMap
+    val first = s.as[(Long, String)].collect().toMap
+    assert(relabeled == first)
+  }
+
+  test("hashTopN draws exactly n, nested across n, stable across layouts") {
+    val df = spark.range(0, 5000).toDF("id")
+    val d100 = Sampling.hashTopN(df, "id", 100).select("id").as[Long].collect().toSet
+    assert(d100.size == 100)
+    val d30 = Sampling.hashTopN(df.repartition(9), "id", 30)
+      .select("id").as[Long].collect().toSet
+    assert(d30.size == 30 && d30.subsetOf(d100)) // prefix property of the hash order
+  }
 }

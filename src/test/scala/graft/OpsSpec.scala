@@ -268,4 +268,49 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
     assert(rows(2).getString(1) == "true")
   }
+
+  test("int8 quantize: max maps to ±127, dequantize error ≤ half a step, zero vec safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -2.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val (q, scale) = Similarity.quantizeInt8(col("embedding"))
+    val out = df.select(col("vec_id"), q.as("q"), scale.as("s"))
+      .as[(Long, Seq[Int], Double)].collect()
+      .map { case (id, qs, sc) => id -> ((qs, sc)) }.toMap
+    val (q1, s1) = out(1L)
+    assert(q1(1) == -127)                   // max|x| element hits the rail
+    assert(q1.forall(v => v >= -127 && v <= 127))
+    // dequantized values within half a quantization step of the original
+    val orig = Seq(0.5, -2.0, 1.0, 0.0)
+    q1.zip(orig).foreach { case (qi, x) =>
+      assert(math.abs(qi / s1 - x) <= 0.5 / s1 + 1e-12) }
+    assert(out(2L)._1 == Seq(0, 0, 0, 0) && out(2L)._2 == 0.0) // zero vector
+  }
+
+  test("l2Normalize yields unit vectors; zero vector stays zero") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"),
+      Similarity.l2Normalize(col("embedding")).as("n"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(math.abs(out(1L)(0) - 0.6) < 1e-12 && math.abs(out(1L)(1) - 0.8) < 1e-12)
+    assert(out(2L) == Seq(0.0, 0.0))
+  }
+
+  test("groupPercentiles: exact quartiles with interpolation") {
+    import spark.implicits._
+    // en: values 1..5 → quartiles 2, 3, 4; fr: 10,20 → 12.5, 15, 17.5
+    val df = (Seq(1, 2, 3, 4, 5).map(("en", _)) ++ Seq(("fr", 10), ("fr", 20)))
+      .toDF("lang", "n_tokens")
+    val out = TextAnalysis.groupPercentiles(df, "lang", "n_tokens")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out("en") == ((5L, 2.0, 3.0, 4.0)))
+    assert(out("fr") == ((2L, 12.5, 15.0, 17.5)))
+  }
 }

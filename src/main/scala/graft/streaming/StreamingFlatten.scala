@@ -46,6 +46,27 @@ object StreamingFlatten {
       .start()
   }
 
+  /** Streaming exact dedup for continuous ingestion: drop documents
+    * whose (whitespace-normalized) text fingerprint was already seen
+    * within the watermark horizon. The streaming face of
+    * [[graft.ops.Dedup.exactDedup]] — same 16-byte binary fingerprint,
+    * so a batch backfill and the streaming path agree on what is a
+    * duplicate.
+    *
+    * State is the fingerprint set inside the watermark window — 16
+    * bytes/doc, evicted as event time advances, so state size is bounded
+    * by (ingest rate × delay), not stream lifetime. For dedup against
+    * ALL history, run the stream into [[graft.ops.Dedup.dedupIncrement]]
+    * batches instead (streaming state cannot hold a 100 TB corpus'
+    * fingerprints; a daily anti-join against the corpus can).
+    */
+  def streamingDedup(docs: DataFrame, textCol: String, tsCol: String,
+      delay: String): DataFrame =
+    docs.withColumn("__fp", graft.ops.TextAnalysis.fingerprintBin(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape over an events stream.
     */

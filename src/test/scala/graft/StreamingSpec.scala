@@ -66,6 +66,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(2).user_id == 2L && sessions(2).n_events == 1)
   }
 
+  test("streaming dedup drops within-watermark duplicate texts across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamingFlatten.streamingDedup(
+      in.toDF.toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts(0), "alpha doc"), (2L, ts(1), "beta doc"),
+        (3L, ts(2), "alpha  doc")) // whitespace-normalized dup of 1
+      q.processAllAvailable()
+      in.addData((4L, ts(3), "beta doc"), (5L, ts(4), "gamma doc")) // 4 dups 2 cross-batch
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermarked state join over MemoryStream sides") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

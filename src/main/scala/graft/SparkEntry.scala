@@ -593,14 +593,21 @@ object SparkEntry {
         "lang", "n_tokens")
         .orderBy(col("lang"))),
 
-    "x35_quantize_embed" -> ((s, dir) => {
+    "x35_quantize_embed" -> ((s, dir) =>
       // symmetric int8 quantization: floor-based rounding is pure IEEE
       // arithmetic, so quantized ints and the fp scale match any engine
-      val emb = rd(s, dir, "embeddings")
-      val (q, scale) = Similarity.quantizeInt8(col("embedding"))
-      emb.select(col("vec_id"), scale.as("scale"), q.as("q"))
-        .orderBy(col("vec_id"))
-    }),
+      Similarity.quantizeInt8(rd(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"), col("q"))
+        .orderBy(col("vec_id"))),
+
+    "x39_l2_normalize" -> ((s, dir) =>
+      // unit-norm embeddings, rounded to 9 dp in BOTH engines (the raw
+      // quotients are cross-engine identical IEEE ops, but rounding
+      // guards the comparison against any summation-order drift)
+      Similarity.l2Normalize(rd(s, dir, "embeddings"), "embedding", "nv")
+        .select(col("vec_id"),
+          transform(col("nv"), x => round(x, 9)).as("nv"))
+        .orderBy(col("vec_id"))),
 
     "x36_hash_topn" -> ((s, dir) =>
       // exactly-37 deterministic holdout draw (TakeOrdered, no full sort)
@@ -1170,10 +1177,10 @@ object SparkEntry {
         |       FROM t),
         |s2 AS (SELECT *, regexp_replace(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS no_ip FROM s1)
         |SELECT doc_id,
-        |  regexp_replace(no_ip, '\+?[0-9][0-9]{2}[0-9 ().-]{4,}[0-9]', '[PHONE]', 'g') AS redacted,
+        |  regexp_replace(no_ip, '\+?([0-9][ ().-]{0,2}){6,}[0-9]', '[PHONE]', 'g') AS redacted,
         |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
         |  len(regexp_extract_all(no_email, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips,
-        |  len(regexp_extract_all(no_ip, '\+?[0-9][0-9]{2}[0-9 ().-]{4,}[0-9]')) AS n_phones
+        |  len(regexp_extract_all(no_ip, '\+?([0-9][ ().-]{0,2}){6,}[0-9]')) AS n_phones
         |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "x27_decontaminate" ->
@@ -1284,6 +1291,16 @@ object SparkEntry {
         |    (CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END) + 0.5) AS INT)) AS q
         |FROM (SELECT vec_id, embedding,
         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "x39_l2_normalize" ->
+      """SELECT vec_id,
+        |  CASE WHEN n = 0 THEN list_transform(embedding, x -> 0.0)
+        |       ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE) / n, 9)) END AS nv
+        |FROM (SELECT vec_id, embedding,
+        |        sqrt(list_sum(list_transform(embedding,
+        |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
 

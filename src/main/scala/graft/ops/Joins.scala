@@ -43,12 +43,20 @@ object Joins {
     require(rPay.contains(rightTime), s"rightTime $rightTime must be a non-key right column")
     val overlap = lPay.intersect(rPay)
     require(overlap.isEmpty, s"right payload columns collide with left: ${overlap.mkString(",")}")
+    val reserved = Seq("_t", "_side", "_rpay", "_m")
+      .intersect(left.columns ++ right.columns)
+    require(reserved.isEmpty,
+      s"column names reserved by asofJoin: ${reserved.mkString(",")}")
 
     val rStruct = StructType(rPay.map(c => right.schema(right.schema.fieldIndex(c))))
     val lSide = left.select(
       on.map(col) ++ Seq(col(leftTime).as("_t"), lit(1).as("_side"),
         lit(null).cast(rStruct).as("_rpay")) ++ lPay.map(col): _*)
-    val rSide = right.select(
+    // a NULL rightTime can never satisfy rightTime <= leftTime (ASOF
+    // comparison is false on NULL) — and it would sort FIRST under the
+    // ascending window order, where last(ignoreNulls) would pick its
+    // payload as a bogus "most recent match"
+    val rSide = right.where(col(rightTime).isNotNull).select(
       on.map(col) ++ Seq(col(rightTime).as("_t"), lit(0).as("_side"),
         struct(rPay.map(col): _*).as("_rpay")) ++
         lPay.map(c => lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType).as(c)): _*)
@@ -86,6 +94,8 @@ object Joins {
   def saltedJoin(big: DataFrame, small: DataFrame, on: Seq[String],
       nSalts: Int, saltCols: Seq[String] = Nil): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    require(!(big.columns ++ small.columns).contains("_salt"),
+      "column name _salt is reserved by saltedJoin")
     val src = if (saltCols.nonEmpty) saltCols else big.columns.toSeq
     val b = big.withColumn("_salt",
       pmod(xxhash64(src.map(col): _*), lit(nSalts.toLong)).cast("int"))

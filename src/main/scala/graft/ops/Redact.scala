@@ -17,10 +17,14 @@ object Redact {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  /** 7+ digit runs with optional separators, led by an optional +country:
-    * the usual cheap phone heuristic (high recall, some false positives —
-    * acceptable for pretraining scrubbing). */
-  val PhoneRe = "\\+?[0-9][0-9]{2}[0-9 ().-]{4,}[0-9]"
+  /** 7+ digit runs with at most two separator chars between digits, led
+    * by an optional +country: the usual cheap phone heuristic (high
+    * recall, some false positives — acceptable for pretraining
+    * scrubbing). The per-digit structure (not a bare `[0-9 ().-]{4,}`
+    * filler, which would need only 4 digits total) keeps ordinary
+    * numeric prose like "pages 100 - 104" out of the match.
+    */
+  val PhoneRe = "\\+?([0-9][ ().-]{0,2}){6,}[0-9]"
 
   /** Redact emails → `[EMAIL]`, IPv4 → `[IP]`, phones → `[PHONE]`.
     * Email first (its local part contains digits that the phone pattern

@@ -29,38 +29,58 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** L2-normalize a vector column (elements cast to double so results
-    * are engine-identical IEEE arithmetic). Zero vectors come back as
-    * zeros instead of NaN. Pure codegen'd projection — normalizing
-    * 100 TB of embeddings is a scan.
+  /** L2-normalize `vecCol` into `outCol` (elements cast to double so
+    * results are engine-identical IEEE arithmetic). Zero vectors come
+    * back as zeros instead of NaN. Two stacked projections — still a
+    * pure scan over 100 TB of embeddings.
+    *
+    * The norm is a SEPARATE projected column on purpose: an aggregate
+    * embedded inside the element lambda is re-evaluated per element
+    * (O(d²) per row — ~400× slower at 768 dims). The hoisted column is
+    * referenced twice in the lambda, which also keeps CollapseProject
+    * from inlining it back in (it only inlines single-reference
+    * expensive expressions).
     */
-  def l2Normalize(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0d),
+  def l2Normalize(df: DataFrame, vecCol: String,
+      outCol: String = "normalized"): DataFrame = {
+    require(!df.columns.contains("__norm"), "column name __norm is reserved")
+    val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    transform(vec, x =>
-      when(norm === 0.0d, lit(0.0d)).otherwise(x.cast(DoubleType) / norm))
+    df.withColumn("__norm", norm)
+      .withColumn(outCol, transform(col(vecCol), x =>
+        when(col("__norm") === 0.0d, lit(0.0d))
+          .otherwise(x.cast(DoubleType) / col("__norm"))))
+      .drop("__norm")
   }
 
   /** Symmetric int8 quantization for embedding storage: per-vector
-    * scale = 127 / max|x|, q_i = floor(x_i * scale + 0.5). Shrinks an
-    * fp32 embedding column 4× before it lands in parquet — at 100 TB of
-    * vectors that is the difference between one storage tier and the
-    * next. Returns (quantized array<int>, scale) columns; dequantize as
-    * q / scale.
+    * scale = 127 / max|x| into `scaleCol`, q_i = floor(x_i * scale + 0.5)
+    * into `qCol`. Shrinks an fp32 embedding column 4× before it lands in
+    * parquet — at 100 TB of vectors that is the difference between one
+    * storage tier and the next. Dequantize as q / scale.
     *
     * floor(x + 0.5) instead of round(): round-half-up vs banker's
     * rounding differs across engines, while floor over IEEE doubles is
     * bit-identical everywhere — the quantized bytes are reproducible by
     * any SQL engine (and oracle-checkable). Zero vectors quantize to
-    * zeros with scale 0.
+    * zeros with scale 0. Like [[l2Normalize]], the scale is hoisted into
+    * its own projection so the max-abs aggregate runs once per row, not
+    * once per element.
     */
-  def quantizeInt8(vec: Column): (Column, Column) = {
-    val maxAbs = aggregate(vec, lit(0.0d),
+  def quantizeInt8(df: DataFrame, vecCol: String,
+      qCol: String = "q", scaleCol: String = "scale"): DataFrame = {
+    val maxAbs = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
-    val scale = when(maxAbs === 0.0d, lit(0.0d)).otherwise(lit(127.0d) / maxAbs)
-    val q = transform(vec, x =>
-      floor(x.cast(DoubleType) * scale + lit(0.5d)).cast(IntegerType))
-    (q, scale)
+    df.withColumn(scaleCol,
+        when(maxAbs === 0.0d, lit(0.0d)).otherwise(lit(127.0d) / maxAbs))
+      // the zero-scale branch keeps a SECOND lambda reference to the
+      // scale column, so CollapseProject never inlines the max-abs
+      // aggregate back into the per-element lambda even if a caller
+      // projects the scale column away
+      .withColumn(qCol, transform(col(vecCol), x =>
+        when(col(scaleCol) === 0.0d, lit(0))
+          .otherwise(floor(x.cast(DoubleType) * col(scaleCol) + lit(0.5d))
+            .cast(IntegerType))))
   }
 
   /** Exact top-k cosine neighbors for each query vector.

@@ -43,15 +43,21 @@ class FiltersSpec extends AnyFunSuite {
   test("redact replaces emails, IPs, phones with placeholders and counts them") {
     val df = Seq(
       (1L, "mail bob.smith+x@mail-host.co.uk and 192.168.0.1 or 555-123-4567 now"),
-      (2L, "no pii here at all")).toDF("doc_id", "text")
+      (2L, "no pii here at all"),
+      // short numeric prose must survive: < 7 digits is not phone-shaped
+      (3L, "see pages 100 - 104 and figures 1.2 - 3.4 from 1998"),
+      (4L, "call +1 (555) 123-4567 today")).toDF("doc_id", "text")
     val out = df.select(col("doc_id"), Redact.redact(col("text")).as("r")).as[(Long, String)]
       .collect().toMap
     assert(out(1L) == "mail [EMAIL] and [IP] or [PHONE] now")
     assert(out(2L) == "no pii here at all")
+    assert(out(3L) == "see pages 100 - 104 and figures 1.2 - 3.4 from 1998")
+    assert(out(4L) == "call [PHONE] today")
     val (e, i, p) = Redact.counts(col("text"))
     val c = df.select(col("doc_id"), e, i, p).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
     assert(c(1L) == (1, 1, 1) && c(2L) == (0, 0, 0))
+    assert(c(3L) == (0, 0, 0) && c(4L) == (0, 0, 1))
   }
 
   test("decontaminate flags 13-gram overlap but not 12-gram overlap") {

@@ -274,8 +274,8 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, Array(0.5f, -2.0f, 1.0f, 0.0f)),
       (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
-    val (q, scale) = Similarity.quantizeInt8(col("embedding"))
-    val out = df.select(col("vec_id"), q.as("q"), scale.as("s"))
+    val out = Similarity.quantizeInt8(df, "embedding")
+      .select(col("vec_id"), col("q"), col("scale"))
       .as[(Long, Seq[Int], Double)].collect()
       .map { case (id, qs, sc) => id -> ((qs, sc)) }.toMap
     val (q1, s1) = out(1L)
@@ -293,8 +293,8 @@ class OpsSpec extends AnyFunSuite {
     val df = Seq(
       (1L, Array(3.0f, 4.0f)),
       (2L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
-    val out = df.select(col("vec_id"),
-      Similarity.l2Normalize(col("embedding")).as("n"))
+    val out = Similarity.l2Normalize(df, "embedding", "n")
+      .select(col("vec_id"), col("n"))
       .as[(Long, Seq[Double])].collect().toMap
     assert(math.abs(out(1L)(0) - 0.6) < 1e-12 && math.abs(out(1L)(1) - 0.8) < 1e-12)
     assert(out(2L) == Seq(0.0, 0.0))

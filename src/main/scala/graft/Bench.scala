@@ -65,11 +65,21 @@ object Bench {
     }
 
     // b2-b4 corpus: one text per lineitem row (600k docs at sf0.1).
-    // parquet arrives in 1-2 files: fan out so the signature kernels use
-    // every core, not the scan's file-parallelism.
+    // The test parquet is a SINGLE file with a SINGLE row group —
+    // unsplittable, so the raw scan is one task no matter how Spark
+    // splits the byte range (stage-probe: 6 planned tasks, 5 read zero
+    // rows). Repartition the raw fixed-width columns FIRST (the only
+    // serial work left is the row-group decode + a ~10 MB shuffle
+    // write), then synthesize doc ids/text on all cores. A real corpus
+    // arrives in many row groups and scans in parallel; this keeps the
+    // bench measuring the operators, not a test-artifact serial decode.
     def bCorpus(dir: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_partkey"),
+          col("l_suppkey"))
+        .repartition(cpus.toInt)
         .select(monotonically_increasing_id().as("doc_id"),
           concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
             col("l_quantity"), col("l_extendedprice"), col("l_discount"),
@@ -85,7 +95,7 @@ object Bench {
       val base = bCorpus(dir)
       val planted = base.where(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      val docs = base.unionAll(planted).repartition(cpus.toInt)
+      val docs = base.unionAll(planted)  // bCorpus already fanned out
       graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
         threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
         maxBucket = 1000)
@@ -101,7 +111,7 @@ object Bench {
       val base = bCorpus(dir)
       val planted = base.where(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
-      val docs = base.unionAll(planted).repartition(cpus.toInt)
+      val docs = base.unionAll(planted)  // bCorpus already fanned out
       val pairs = graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
         threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
         maxBucket = 1000).select("id_a", "id_b")
@@ -115,13 +125,17 @@ object Bench {
     // only 16-byte fingerprint frames move.
     def runB4(dir: String): Unit = {
       import org.apache.spark.sql.functions._
-      val base = bCorpus(dir).repartition(cpus.toInt)
+      val base = bCorpus(dir)  // already fanned out
       val dupes = base.where(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val fresh = base.where(col("doc_id") % 100 === 50)
         .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(col("text"), lit(" appended")).as("text"))
-      graft.ops.Dedup.dedupIncrement(base, dupes.unionAll(fresh), "text", "doc_id")
+      // the daily batch arrives materialized in a real pipeline; deriving
+      // it lazily from base would re-run the (serial, one-row-group)
+      // corpus scan once per consumer inside dedupIncrement
+      val incoming = dupes.unionAll(fresh).localCheckpoint(true)
+      graft.ops.Dedup.dedupIncrement(base, incoming, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
     }
 

@@ -322,8 +322,12 @@ object SparkEntry {
       val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
       val mutated = d.select((col("doc_id") + PlantedOffset).as("doc_id"),
         concat(col("text"), lit(" graft appended tail marker")).as("text"))
-      Dedup.minhashDedupPairs(d.unionAll(mutated), "text", "doc_id",
-        threshold = 0.8, numHashes = 128, bands = 32)
+      // fan out first: the test parquet is one row group (one scan task),
+      // and 128 minhashes/doc is the CPU-heavy step — without this the
+      // kernel runs on the scan's 2-task parallelism
+      Dedup.minhashDedupPairs(
+        d.unionAll(mutated).repartition(s.sessionState.conf.numShufflePartitions),
+        "text", "doc_id", threshold = 0.8, numHashes = 128, bands = 32)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -595,18 +599,26 @@ object SparkEntry {
 
     "x35_quantize_embed" -> ((s, dir) =>
       // symmetric int8 quantization: floor-based rounding is pure IEEE
-      // arithmetic, so quantized ints and the fp scale match any engine
+      // arithmetic, so quantized ints and the fp scale match any engine.
+      // The int array is emitted comma-joined: the driver's comparator
+      // sorts result columns with pandas, which cannot sort list cells.
       Similarity.quantizeInt8(rd(s, dir, "embeddings"), "embedding")
-        .select(col("vec_id"), col("scale"), col("q"))
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("q"), x => x.cast("string")), ",").as("q"))
         .orderBy(col("vec_id"))),
 
     "x39_l2_normalize" -> ((s, dir) =>
       // unit-norm embeddings, rounded to 9 dp in BOTH engines (the raw
       // quotients are cross-engine identical IEEE ops, but rounding
-      // guards the comparison against any summation-order drift)
+      // guards the comparison against any summation-order drift).
+      // Emitted as a comma-joined %.9f string column — list cells break
+      // the driver's pandas sort, and fixed-point printf sidesteps
+      // engine-specific double→string rendering (Spark "1.0E-4" vs
+      // DuckDB "0.0001"). `+ 0.0` normalizes IEEE -0.0 to +0.0 first.
       Similarity.l2Normalize(rd(s, dir, "embeddings"), "embedding", "nv")
         .select(col("vec_id"),
-          transform(col("nv"), x => round(x, 9)).as("nv"))
+          array_join(transform(col("nv"), x =>
+            format_string("%.9f", round(x, 9) + lit(0.0d))), ",").as("nv"))
         .orderBy(col("vec_id"))),
 
     "x36_hash_topn" -> ((s, dir) =>
@@ -1287,8 +1299,8 @@ object SparkEntry {
     "x35_quantize_embed" ->
       """SELECT vec_id,
         |  CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END AS scale,
-        |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
-        |    (CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END) + 0.5) AS INT)) AS q
+        |  array_to_string(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+        |    (CASE WHEN m = 0 THEN 0.0 ELSE 127.0 / m END) + 0.5) AS INT)), ',') AS q
         |FROM (SELECT vec_id, embedding,
         |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
         |      FROM embeddings)
@@ -1296,8 +1308,11 @@ object SparkEntry {
 
     "x39_l2_normalize" ->
       """SELECT vec_id,
-        |  CASE WHEN n = 0 THEN list_transform(embedding, x -> 0.0)
-        |       ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE) / n, 9)) END AS nv
+        |  array_to_string(CASE WHEN n = 0
+        |       THEN list_transform(embedding, x -> printf('%.9f', 0.0))
+        |       ELSE list_transform(embedding,
+        |              x -> printf('%.9f', round(CAST(x AS DOUBLE) / n, 9) + 0.0)) END,
+        |    ',') AS nv
         |FROM (SELECT vec_id, embedding,
         |        sqrt(list_sum(list_transform(embedding,
         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n

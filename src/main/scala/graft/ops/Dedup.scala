@@ -8,14 +8,16 @@ import graft.functions.TextHash
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
-  * Caching note: nothing is persisted. The signature/shingle intermediate
-  * feeds multiple join sides, but every consumer shuffles it — its
-  * exchange output is already materialized as shuffle files per consumer —
-  * so caching buys one kernel recompute at the price of either leaked
-  * cached blocks (persist without a caller unpersist) or a
-  * non-lineage-recoverable result (eager localCheckpoint). Plans stay
-  * fully lazy and fault-recoverable; long-lived sessions accumulate no
-  * cache.
+  * Caching note: corpus-scale intermediates are never persisted — plans
+  * over the documents themselves stay fully lazy and fault-recoverable,
+  * and long-lived sessions accumulate no cached corpus blocks.
+  * CANDIDATE-bounded frames (LSH pair sets capped by maxBucket, the
+  * shingle/signature rows of candidate ids, CC round labels) are eagerly
+  * materialized with localCheckpoint instead: each feeds 2-3 join
+  * consumers, and AQE re-plans each consumer's subquery independently so
+  * exchange reuse does NOT collapse them (measured: the lazy form ran the
+  * LSH pipeline ~3× on the b2 bench). Superseded checkpoint blocks are
+  * reclaimed by the ContextCleaner once unreferenced.
   *
   * Design for 100 TB:
   *   - Exact dedup groups by an 8-byte hash of the normalized text, not the
@@ -252,21 +254,29 @@ object Dedup {
     * in a candidate pair BEFORE the shingle kernel runs, so the expensive
     * per-document work and the wide shingle-array shuffle touch only the
     * candidate id set (typically ≪ corpus — at b2 scale, ~12k of 600k
-    * docs), not every document twice. The candidate subtree feeds three
-    * consumers (the id set and the two pair joins); its final distinct
-    * exchange is identical in all three, so Spark's exchange reuse
-    * evaluates the candidate pipeline once. Nothing is persisted — plans
-    * stay fully lazy and lineage-recoverable (see the object Scaladoc).
+    * docs), not every document twice.
+    *
+    * The candidate pair set feeds three consumers (the id set and the two
+    * pair joins) and the shingle frame feeds two — and AQE does NOT reuse
+    * exchanges across those subtrees (each adaptive subquery re-plans its
+    * own copy; measured on the b2 bench, the lazy form ran the whole LSH
+    * pipeline ~3×, 12.7 s vs ~4 s). Both frames are bounded by the
+    * CANDIDATE set, not the corpus (maxBucket caps pairs per bucket), so
+    * they get the same treatment as the CC round frames: eager
+    * localCheckpoint, tiny next to the corpus. Corpus-scale intermediates
+    * stay lazy (see the object Scaladoc).
     */
   private def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
       cands: DataFrame, shingleSize: Int, threshold: Double): DataFrame = {
-    val candIds = cands
+    val candsM = cands.localCheckpoint(true)
+    val candIds = candsM
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-    cands
+      .localCheckpoint(true)
+    candsM
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
       .withColumn("jaccard",
@@ -318,15 +328,19 @@ object Dedup {
     val chunked = withSig
       .select(col("id"), explode(array(chunkVals: _*)).as("c"))
       .select(col("id"), col("c.chunk"), col("c.chunkVal"))
-    val cands = bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
     // candidate-driven verify: recompute signatures only for ids that
     // appear in a pair (see jaccardVerify) instead of re-hashing the
-    // whole corpus on both join sides
+    // whole corpus on both join sides. Both candidate-bounded frames are
+    // eagerly materialized — AQE does not reuse exchanges across their
+    // multiple consumers (see jaccardVerify).
+    val cands = bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
+      .localCheckpoint(true)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sigSmall = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), simhash64(col(textCol)).as("sig"))
+      .localCheckpoint(true)
     val sigA = sigSmall.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
     val sigB = sigSmall.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
     cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))

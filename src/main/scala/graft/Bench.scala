@@ -5,8 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Uses the `noop` sink so the full plan executes
   * (a bare `.count()` lets Spark prune most of the work).
+  *
+  * Load immunity: every timed query runs `Runs` times and the artifact
+  * reports the MEDIAN (the `queries` map the driver grades), plus the
+  * per-query min/max spread and the host's load average before/after —
+  * so a run contaminated by machine load is visible in the artifact
+  * itself instead of reading as a code regression (rounds 4/5 lost two
+  * cycles of perf advice to 2-3× load noise).
   */
 object Bench {
+  val Runs = 3
+
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_join_revenue", "q5_window_running",
     "f1_flatten_main", "f2_flatten_child",
@@ -26,6 +35,9 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
+
     // JVM/Spark warmup outside the timed region: run every headline query
     // once at the smallest SF so codegen compilation and classloading are
     // paid before timing (plans are identical up to the input path).
@@ -36,12 +48,19 @@ object Bench {
       }
     }
 
-    val results0 = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    /** Run `f` [[Runs]] times; per-run wall seconds, ascending. */
+    def runTimes(name: String)(f: => Unit): Vector[Double] =
+      (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-        name -> (System.nanoTime() - t0) / 1e9
+        try f catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }.toVector.sorted
+
+    val headlineTimes: Seq[(String, Vector[Double])] = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> runTimes(name) {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        }
       }
     }
 
@@ -51,17 +70,13 @@ object Bench {
     // flatten of main + child tables. NaturalKey links: no zipWithIndex job.
     val jsonDir = java.nio.file.Files.createTempDirectory("graft_bench_json").toString + "/docs"
     SparkEntry.nestedOrders(spark, sfDir).write.mode("overwrite").json(jsonDir)
-    val b1 = {
-      val t0 = System.nanoTime()
-      try {
-        val docs = graft.sources.JsonInput.ndjson(spark, jsonDir)
-        graft.plan.FlattenPlanner.flatten(docs,
-          graft.model.FlattenOptions(
-            linkMode = graft.model.LinkMode.NaturalKey("o_orderkey"),
-            dropEmptyObjects = false))
-          .foreach { case (_, df) => df.write.format("noop").mode("overwrite").save() }
-      } catch { case e: Throwable => System.err.println(s"[bench] b1: $e") }
-      (System.nanoTime() - t0) / 1e9
+    val b1Times = runTimes("b1") {
+      val docs = graft.sources.JsonInput.ndjson(spark, jsonDir)
+      graft.plan.FlattenPlanner.flatten(docs,
+        graft.model.FlattenOptions(
+          linkMode = graft.model.LinkMode.NaturalKey("o_orderkey"),
+          dropEmptyObjects = false))
+        .foreach { case (_, df) => df.write.format("noop").mode("overwrite").save() }
     }
 
     // b2-b4 corpus: one text per lineitem row (600k docs at sf0.1).
@@ -125,15 +140,17 @@ object Bench {
     // only 16-byte fingerprint frames move.
     def runB4(dir: String): Unit = {
       import org.apache.spark.sql.functions._
-      val base = bCorpus(dir)  // already fanned out
+      // base is consumed four times (dupes, fresh, and twice inside
+      // dedupIncrement) — materialize the fanned-out corpus once instead
+      // of paying the repartition shuffle per consumer. In a real
+      // pipeline both the corpus and the daily batch arrive materialized
+      // in storage; the checkpoints stand in for that.
+      val base = bCorpus(dir).localCheckpoint(true)
       val dupes = base.where(col("doc_id") % 100 === 0)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       val fresh = base.where(col("doc_id") % 100 === 50)
         .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(col("text"), lit(" appended")).as("text"))
-      // the daily batch arrives materialized in a real pipeline; deriving
-      // it lazily from base would re-run the (serial, one-row-group)
-      // corpus scan once per consumer inside dedupIncrement
       val incoming = dupes.unionAll(fresh).localCheckpoint(true)
       graft.ops.Dedup.dedupIncrement(base, incoming, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
@@ -145,20 +162,23 @@ object Bench {
       try f("/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
 
-    def timed(name: String)(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      try f catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val b2 = timed("b2")(runB2(sfDir))
-    val b3 = timed("b3")(runB3(sfDir))
-    val b4 = timed("b4")(runB4(sfDir))
+    val allTimes: Seq[(String, Vector[Double])] = headlineTimes ++ Seq(
+      "b1_flatten_json_e2e" -> b1Times,
+      "b2_minhash_600k" -> runTimes("b2")(runB2(sfDir)),
+      "b3_near_dedup_apply_600k" -> runTimes("b3")(runB3(sfDir)),
+      "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)))
 
-    val results = results0 ++ Seq("b1_flatten_json_e2e" -> b1, "b2_minhash_600k" -> b2,
-      "b3_near_dedup_apply_600k" -> b3, "b4_incremental_dedup_600k" -> b4)
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEnd = osBean.getSystemLoadAverage
+    def median(ts: Vector[Double]): Double = ts(ts.length / 2)
+    val qs = allTimes.map { case (k, ts) => "\"" + k + f"""\":${median(ts)}%.3f""" }
+      .mkString("{", ",", "}")
+    val spread = allTimes.map { case (k, ts) =>
+      "\"" + k + f"""\":[${ts.head}%.3f,${ts.last}%.3f]""" }.mkString("{", ",", "}")
+    val total = allTimes.map { case (_, ts) => median(ts) }.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""runs":$Runs,"spread":$spread,""" +
+      f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
+      s""""available_processors":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

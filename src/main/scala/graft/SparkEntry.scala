@@ -277,14 +277,24 @@ object SparkEntry {
     }),
 
     // --- training-data pipeline ops -------------------------------- //
+    // x1/x2 fan the raw columns out before the per-row kernels: the test
+    // documents.parquet is a single file with a single row group —
+    // unsplittable, so its scan is one task however Spark splits the byte
+    // range (same artifact the b2-b4 bench corpus works around, see
+    // Bench.bCorpus). A real corpus arrives in many row groups and scans
+    // in parallel; the repartition keeps the kernels, not a serial test-
+    // artifact decode, on the clock.
     "x1_exact_dedup" -> ((s, dir) => {
-      Dedup.exactDupGroups(rd(s, dir, "documents"), "text", "doc_id")
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      Dedup.exactDupGroups(docs, "text", "doc_id")
         .select(col("fingerprint"), col("n_members"), col("keep_id"))
         .orderBy(col("fingerprint"))
     }),
 
     "x2_token_stats" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
       d.select(col("doc_id"),
         TextAnalysis.tokenCountWs(col("text")).as("n_tokens_ws"),
         TextAnalysis.tokenCountRegex(col("text")).as("n_tokens_re"),
@@ -691,6 +701,39 @@ object SparkEntry {
         .orderBy(col("event_id"), col("r_event_id"))
     }),
 
+    "x40_streaming_dedup" -> ((s, dir) => {
+      // The REAL streaming path — MemoryStream → watermarked
+      // dropDuplicatesWithinWatermark state → memory sink — oracle-checked
+      // in batch SQL: every document plus a planted exact copy (offset id)
+      // streams through in one pass; the fingerprint state must drop every
+      // planted copy and every natural exact dup, leaving exactly the
+      // distinct fingerprint set of the corpus. Which instance survives is
+      // arrival-order-dependent, so the checked output is the fingerprint
+      // itself (identical across a duplicate group by construction). The
+      // collect is harness plumbing — MemoryStream is fed from the driver;
+      // the operator under test is the streaming state.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingFlatten
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val in = MemoryStream[(Long, String)]
+      in.addData(docs.flatMap { case (id, t) =>
+        Seq((id, t), (id + PlantedOffset, t)) }.toSeq)
+      val src = in.toDF.toDF("doc_id", "text")
+        .withColumn("ts",
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
+      val out = StreamingFlatten.streamingDedup(src, "text", "ts", "2 hours")
+      s.catalog.dropTempView("x40_sink")
+      val q = out.writeStream.format("memory").queryName("x40_sink")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("x40_sink")
+        .select(TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("fingerprint"))
+    }),
+
     "x14_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingFlatten
@@ -1027,6 +1070,12 @@ object SparkEntry {
       s"""SELECT md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint,
         |  count(*) AS n_members, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    // streaming dedup over the corpus + one planted exact copy per doc
+    // must leave exactly the distinct fingerprint set of the corpus
+    "x40_streaming_dedup" ->
+      s"""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY fingerprint""".stripMargin,
 
     "x2_token_stats" ->
       """SELECT doc_id,

@@ -8,16 +8,24 @@ import graft.functions.TextHash
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
-  * Caching note: corpus-scale intermediates are never persisted — plans
-  * over the documents themselves stay fully lazy and fault-recoverable,
-  * and long-lived sessions accumulate no cached corpus blocks.
-  * CANDIDATE-bounded frames (LSH pair sets capped by maxBucket, the
-  * shingle/signature rows of candidate ids, CC round labels) are eagerly
-  * materialized with localCheckpoint instead: each feeds 2-3 join
-  * consumers, and AQE re-plans each consumer's subquery independently so
-  * exchange reuse does NOT collapse them (measured: the lazy form ran the
-  * LSH pipeline ~3× on the b2 bench). Superseded checkpoint blocks are
-  * reclaimed by the ContextCleaner once unreferenced.
+  * Caching note — two tiers: corpus-scale intermediates are never
+  * persisted — plans over the documents themselves stay fully lazy and
+  * fault-recoverable, and long-lived sessions accumulate no cached
+  * corpus blocks. CANDIDATE-bounded frames (LSH pair sets capped by
+  * maxBucket, the shingle/signature rows of candidate ids, CC round
+  * labels) are localCheckpointed instead: each feeds 2-3 join consumers,
+  * and AQE re-plans each consumer's subquery independently so exchange
+  * reuse does NOT collapse them (measured: the fully-lazy form ran the
+  * LSH pipeline ~3× on the b2 bench). The checkpoint is LAZY
+  * (localCheckpoint(eager = false)) everywhere except inside the CC
+  * loop, whose convergence accumulator must ride each round's
+  * materialization job: constructing an operator's plan launches no
+  * Spark jobs, the first action materializes the candidate blocks, and
+  * every later consumer reuses them. Checkpointed blocks are NOT
+  * lineage-recoverable — an executor loss after materialization fails
+  * the query and the caller reruns the operator (fail-fast, the standard
+  * localCheckpoint trade) — and superseded blocks are reclaimed by the
+  * ContextCleaner once unreferenced.
   *
   * Design for 100 TB:
   *   - Exact dedup groups by an 8-byte hash of the normalized text, not the
@@ -262,20 +270,22 @@ object Dedup {
     * own copy; measured on the b2 bench, the lazy form ran the whole LSH
     * pipeline ~3×, 12.7 s vs ~4 s). Both frames are bounded by the
     * CANDIDATE set, not the corpus (maxBucket caps pairs per bucket), so
-    * they get the same treatment as the CC round frames: eager
-    * localCheckpoint, tiny next to the corpus. Corpus-scale intermediates
-    * stay lazy (see the object Scaladoc).
+    * they are localCheckpointed — lazily, so building the plan launches
+    * no jobs and callers can still compose/filter before any work runs;
+    * the first action materializes the blocks every consumer then
+    * reuses. Corpus-scale intermediates stay lazy (see the object
+    * Scaladoc, including the fail-fast recovery trade).
     */
   private def jaccardVerify(df: DataFrame, textCol: String, idCol: String,
       cands: DataFrame, shingleSize: Int, threshold: Double): DataFrame = {
-    val candsM = cands.localCheckpoint(true)
+    val candsM = cands.localCheckpoint(false)
     val candIds = candsM
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sh = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     candsM
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
@@ -317,8 +327,9 @@ object Dedup {
     // distribute 64 bits as evenly as possible over the chunks
     val widths  = Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    // not persisted — see jaccardVerify's note for why lazy + recompute
-    // beats caching or checkpointing here
+    // withSig stays lazy on purpose: it is CORPUS-scale (one row per
+    // document), and per the object Scaladoc only candidate-bounded
+    // frames are checkpointed — two of them below
     val withSig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunkVals = (0 until chunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
@@ -331,16 +342,17 @@ object Dedup {
     // candidate-driven verify: recompute signatures only for ids that
     // appear in a pair (see jaccardVerify) instead of re-hashing the
     // whole corpus on both join sides. Both candidate-bounded frames are
-    // eagerly materialized — AQE does not reuse exchanges across their
-    // multiple consumers (see jaccardVerify).
+    // localCheckpointed (lazily — no job until the first action) because
+    // AQE does not reuse exchanges across their multiple consumers (see
+    // jaccardVerify).
     val cands = bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sigSmall = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"), simhash64(col(textCol)).as("sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sigA = sigSmall.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
     val sigB = sigSmall.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
     cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * approximation of bin packing, and the only one that's expressible as
   * a window function instead of a sequential fold.
   *
+  * Overflow bound: a bin's token total is < `maxTokensPerBin` + the
+  * largest document's token count. Documents are never split, so a
+  * single document larger than `maxTokensPerBin` lands whole in the bin
+  * its start offset falls in (overflowing it by up to its own size) and
+  * the next document starts a later bin — the running offset still
+  * counts the oversized document in full. Callers that need a hard
+  * per-bin cap must chunk oversized documents upstream.
+  *
   * Scale shape: one shuffle on the shard key + an in-partition sort.
   * Parallelism is `nShards` — size it to the cluster (e.g. one shard
   * per output file), never 1 (that would serialize the cumsum through a

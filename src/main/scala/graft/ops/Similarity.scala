@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.TopK
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -20,6 +21,32 @@ import org.apache.spark.sql.types._
   * codegen'd, no UDF, no MLlib model state.
   */
 object Similarity {
+
+  /** Rank a `(query_id, neighbor_id, score)` frame down to the top `k`
+    * rows per query by (score desc, neighbor_id asc), appending `rank`.
+    *
+    * Integral ids take the bounded-aggregation path
+    * ([[graft.functions.TopKAgg]]): a k-bounded typed aggregate runs
+    * map-side first, so only ~k rows per (query, partition) reach the
+    * exchange — the scored frame itself (|corpus|×|queries| rows in the
+    * brute-force case) never shuffles. Non-integral ids (strings,
+    * decimals) fall back to the `row_number` window, which must move
+    * every scored row through its exchange; both paths produce
+    * identical rows (ties and NaN included — the aggregator compares
+    * through `java.lang.Double.compare`, Spark's own double order).
+    */
+  private def rankTopK(scored: DataFrame, k: Int, idType: DataType): DataFrame = idType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      val agg = TopK.topK(k)
+      scored.groupBy("query_id")
+        .agg(agg(col("score"), col("neighbor_id").cast(LongType)).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("query_id"), col("t.id").cast(idType).as("neighbor_id"),
+          col("t.score").as("score"), (col("r0") + 1).as("rank"))
+    case _ =>
+      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 
   /** Cosine similarity between two array<float/double> columns. */
   def cosine(a: Column, b: Column): Column = {
@@ -88,6 +115,12 @@ object Similarity {
     * `queries` is expected to be small (it is broadcast — the corpus is
     * scanned once, never shuffled); `corpus` can be arbitrarily large.
     * Excludes self-matches when ids collide.
+    *
+    * The |corpus|×|queries| scored rows are reduced by a per-partition
+    * bounded top-k BEFORE any exchange (see [[rankTopK]]) — only
+    * k×partitions rows per query are ever in flight, so the exact
+    * baseline survives a 100× corpus as long as the query set stays
+    * broadcastable.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10): DataFrame = {
@@ -96,8 +129,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Random-hyperplane LSH signature: `nBits` sign bits, hyperplane j's
@@ -138,53 +170,91 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("score"))
       .distinct()
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** IVF (inverted-file) approximate top-k: coarse-quantize the corpus
     * into `nlist` cells around deterministic centroids, then probe only
-    * the `nprobe` nearest cells per query — the standard IVF-Flat layout
-    * minus k-means refinement. Centroids are a deterministic
-    * pseudo-random corpus sample — the nlist vectors with the smallest
-    * xxhash64(id), a distributed top-k (TakeOrdered), never a global
-    * sort. No RNG, no trained model object to version or ship —
-    * executors get them as a broadcast of nlist × dim floats.
+    * the `nprobe` nearest cells per query — the standard IVF-Flat
+    * layout. Seeds are a deterministic pseudo-random corpus sample —
+    * the nlist vectors with the smallest xxhash64(id), a distributed
+    * top-k (TakeOrdered), never a global sort — refined by
+    * `lloydPasses` Lloyd iterations (default 1): assign every corpus
+    * vector to its nearest centroid, recompute each cell's mean. The
+    * means are summed in DECIMAL, so the reduction is order-independent
+    * and the refined centroids are bit-deterministic across runs,
+    * partitionings, and cluster sizes — still no RNG and no trained
+    * model object to version or ship; executors get the centroids as a
+    * broadcast of nlist × dim floats.
     *
     * Scale shape: one pass assigns each corpus vector to its cell (the
     * shuffle key); queries explode to nprobe cells and equi-join on the
     * cell id, so the join is corpus-partition-local — no cross join, and
-    * the scanned fraction is ≈ nprobe / nlist of the corpus.
+    * the scanned fraction is ≈ nprobe / nlist of the corpus. Each Lloyd
+    * pass adds one corpus scan whose shuffle is (cell, pos, partial-sum)
+    * rows — map-side partial aggregation reduces a partition to at most
+    * nlist × dim rows regardless of its row count.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nlist: Int = 64,
-      nprobe: Int = 8): DataFrame = {
+      nprobe: Int = 8, lloydPasses: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    require(lloydPasses >= 0, "lloydPasses must be >= 0")
     val spark = corpus.sparkSession
-    // deterministic coarse centroids: nlist smallest-hash vectors
-    // (distributed TakeOrdered — per-partition top-k then merge)
-    val centroids: Array[Array[Float]] = corpus
-      .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("v"))
-      .orderBy(xxhash64(col(idCol)))
-      .limit(nlist)
-      .select("v").collect().map(_.getSeq[Float](0).toArray)
-    val bc = spark.sparkContext.broadcast(centroids)
 
     // compiled per-row kernel (TextHash-style exception): an argmin over
     // nlist centroids as an expression tree would inline nlist copies of
     // the vector pipeline
-    val nearCells = udf { (v: Seq[Float], m: Int) =>
-      val cs = bc.value
-      val scored = cs.indices.map { c =>
-        val cv = cs(c)
-        var dot = 0.0; var nv = 0.0; var nc = 0.0
-        var i = 0
-        val d = math.min(v.length, cv.length)
-        while (i < d) { dot += v(i) * cv(i); nv += v(i) * v(i); nc += cv(i) * cv(i); i += 1 }
-        c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
+    def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+      udf { (v: Seq[Float], m: Int) =>
+        val cs = bc.value
+        val scored = cs.indices.map { c =>
+          val cv = cs(c)
+          var dot = 0.0; var nv = 0.0; var nc = 0.0
+          var i = 0
+          val d = math.min(v.length, cv.length)
+          while (i < d) { dot += v(i) * cv(i); nv += v(i) * v(i); nc += cv(i) * cv(i); i += 1 }
+          c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
+        }
+        scored.sortBy(_._2).take(m).map(_._1).toArray
       }
-      scored.sortBy(_._2).take(m).map(_._1).toArray
+
+    // deterministic coarse seeds: nlist smallest-hash vectors
+    // (distributed TakeOrdered — per-partition top-k then merge)
+    var centroids: Array[Array[Float]] = corpus
+      .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("v"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(nlist)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    var bc = spark.sparkContext.broadcast(centroids)
+
+    for (_ <- 1 to lloydPasses) {
+      val near = nearCellsUdf(bc)
+      // nlist × dim rows to the driver — same order as the centroid
+      // broadcast itself; empty cells keep their seed vector
+      val means = corpus
+        .select(col(vecCol).cast(ArrayType(FloatType)).as("v"))
+        .withColumn("cell", element_at(near(col("v"), lit(1)), 1))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 12))) / count(lit(1)))
+          .cast(FloatType).as("m"))
+        .collect()
+      val byCell = means.groupBy(_.getInt(0))
+      val seeds = centroids
+      centroids = seeds.indices.map { cIdx =>
+        byCell.get(cIdx) match {
+          case Some(rows) =>
+            val arr = new Array[Float](rows.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getFloat(2))
+            arr
+          case None => seeds(cIdx)
+        }
+      }.toArray
+      bc = spark.sparkContext.broadcast(centroids)
     }
+
+    val nearCells = nearCellsUdf(bc)
 
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast(ArrayType(FloatType)).as("cv"))
@@ -199,8 +269,7 @@ object Similarity {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv").cast(ArrayType(DoubleType)), col("cv").cast(ArrayType(DoubleType))).as("score"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
   /** Embedding near-duplicate pairs: corpus self-join via LSH buckets,

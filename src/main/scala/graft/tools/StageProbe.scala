@@ -18,21 +18,31 @@ object StageProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    @volatile var stages = List.empty[(Int, Long, Long, Int, String)]
+    // listener events arrive asynchronously on the listener bus — collect
+    // into a concurrent queue and drain the bus before reading, so late
+    // stage-completed events are neither dropped nor attributed to the
+    // next t() block
+    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long, Int, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        stages ::= ((si.stageId, wall, si.taskMetrics.executorRunTime,
+        stages.add((si.stageId, wall, si.taskMetrics.executorRunTime,
           si.numTasks, si.name.takeWhile(_ != '\n').take(90)))
       }
     })
 
+    // listenerBus.waitUntilEmpty is private[spark]; a short sleep after the
+    // action returns is enough for a dev-only probe (events are in-process)
+    def drainBus(): Unit = Thread.sleep(300)
+
     def t[A](name: String)(f: => A): A = {
-      stages = Nil
+      drainBus(); stages.clear()
       val t0 = System.nanoTime(); val r = f
       println(f"===== $name: ${(System.nanoTime() - t0) / 1e9}%.2f s =====")
-      stages.reverse.foreach { case (id, wall, run, nt, nm) =>
+      drainBus()
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toList.sortBy(_._1).foreach { case (id, wall, run, nt, nm) =>
         println(f"  stage $id%4d wall=${wall / 1e3}%6.2fs taskTime=${run / 1e3}%7.2fs tasks=$nt%3d  $nm")
       }
       r

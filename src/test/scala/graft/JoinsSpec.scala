@@ -110,4 +110,36 @@ class JoinsSpec extends AnyFunSuite {
       .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
     assert(rows.map(r => r._3 -> r._2).toMap == again)
   }
+
+  test("packing: a document larger than the bin budget overflows its bin whole") {
+    // one shard so the id-ordered layout is fully determined
+    val docs = Seq((1L, 50L), (2L, 1000L), (3L, 50L), (4L, 80L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packByTokenBudget(docs, "doc_id", "n_tokens",
+      maxTokensPerBin = 100, nShards = 1)
+      .select($"doc_id", $"start_tok", $"bin")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 2 (1000 tokens > 100 budget) starts at offset 50 → bin 0, never
+    // split; its full size advances the offset, so doc 3 starts at 1050
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 0L, 0L), (2L, 50L, 0L), (3L, 1050L, 10L), (4L, 1100L, 11L)))
+  }
+
+  test("packing: more shards than documents still packs every doc") {
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("doc_id", "n_tokens")
+    val out = Packing.packByTokenBudget(docs, "doc_id", "n_tokens",
+      maxTokensPerBin = 100, nShards = 64)
+      .select($"shard", $"doc_id", $"n_tokens", $"start_tok", $"bin")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.length == 3)
+    assert(out.forall { case (shard, _, _, _, _) => shard >= 0 && shard < 64 })
+    // per-shard id-ordered cumsum still holds with mostly-empty shards
+    out.groupBy(_._1).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._2).foreach { case (_, _, n, start, bin) =>
+        assert(start == cum && bin == start / 100)
+        cum += n
+      }
+    }
+  }
 }

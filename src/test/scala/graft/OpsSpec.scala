@@ -313,4 +313,59 @@ class OpsSpec extends AnyFunSuite {
     assert(out("en") == ((5L, 2.0, 3.0, 4.0)))
     assert(out("fr") == ((2L, 12.5, 15.0, 17.5)))
   }
+
+  test("bounded top-k ranks like the window form and keeps Window out of the plan") {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(100 + i)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 3)
+    val fast = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+    // integral ids take the k-bounded aggregate: partial top-k map-side,
+    // no row_number window moving the scored cross frame through an
+    // exchange
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window exchange still in plan:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected aggregate-based top-k:\n$plan")
+    // string ids force the row_number fallback — rows must be identical
+    val embS = emb.select($"vec_id".cast("string").as("vec_id"), $"embedding")
+    val slow = Similarity.bruteForceTopK(embS,
+      embS.where($"vec_id".cast("long") < 3), "vec_id", "embedding", k = 5)
+    assert(slow.queryExecution.executedPlan.toString.contains("Window"))
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.get(0).toString, r.get(1).toString, r.getAs[Int]("rank"),
+        math.round(r.getAs[Double]("score") * 1e9))).toSet
+    val f = fast.collect(); val s = slow.collect()
+    assert(f.length == 3 * 5)
+    assert(keyed(f) == keyed(s))
+  }
+
+  test("IVF Lloyd refinement: recall vs brute force on a clustered corpus") {
+    import spark.implicits._
+    val dim = 8
+    val centers = (0 until 6).map { c =>
+      val rnd = new scala.util.Random(9000 + c)
+      Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    }
+    val points = (0 until 240).map { i =>
+      val c = i % 6
+      val rnd = new scala.util.Random(31 * i + 7)
+      (i.toLong, centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 6) // one query per cluster
+    def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val bf = topSet(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5))
+    def recall(passes: Int): Double = {
+      val got = topSet(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 2, lloydPasses = passes))
+      got.intersect(bf).size.toDouble / bf.size
+    }
+    val refined = recall(1)
+    assert(refined >= 0.8, s"recall@5 with one Lloyd pass = $refined")
+    assert(refined >= recall(0), "Lloyd refinement should not lose recall here")
+  }
 }

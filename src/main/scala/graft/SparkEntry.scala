@@ -721,7 +721,7 @@ object SparkEntry {
       val in = MemoryStream[(Long, String)]
       in.addData(docs.flatMap { case (id, t) =>
         Seq((id, t), (id + PlantedOffset, t)) }.toSeq)
-      val src = in.toDF.toDF("doc_id", "text")
+      val src = in.toDF().toDF("doc_id", "text")
         .withColumn("ts",
           timestamp_seconds(lit(1700000000L) + col("doc_id") % 3600))
       val out = StreamingFlatten.streamingDedup(src, "text", "ts", "2 hours")

@@ -274,11 +274,25 @@ object Similarity {
 
   /** Embedding near-duplicate pairs: corpus self-join via LSH buckets,
     * cosine ≥ threshold. The embedding analog of MinHash near-dup.
+    *
+    * `maxBucket` is the skew guard (same idea as `Dedup.bucketPairs`): a
+    * bucket with n members contributes n²/2 scored pairs, and a
+    * degenerate signature shared by a large corpus fraction (e.g. a mass
+    * of near-zero or boilerplate embeddings) would turn the self-join
+    * quadratic. Bucket sizes come from a window `count` over the bucket
+    * key — rows in buckets outside 2..maxBucket are dropped BEFORE the
+    * join (singletons can't pair anyway), so the join's per-key fan-out
+    * is bounded by construction.
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nBits: Int = 12): DataFrame = {
+      threshold: Double = 0.95, nBits: Int = 12,
+      maxBucket: Int = 10000): DataFrame = {
     val sig = hyperplaneSignature(col(vecCol), nBits)
+    val w = Window.partitionBy("bucket")
     val c = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n").between(2, maxBucket))
+      .drop("__n")
     val a = c.alias("a")
     val b = c.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

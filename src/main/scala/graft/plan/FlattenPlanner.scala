@@ -66,7 +66,7 @@ object FlattenPlanner {
         // Deterministic 0-based document index (golden parity,
         // `docs/changelog.md:309`). Costs one extra job over the scan.
         val schema2 = StructType(input.schema.fields :+ StructField(IDX, LongType, nullable = false))
-        val rdd = input.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+        val rdd = input.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
         spark.createDataFrame(rdd, schema2)
       case LinkMode.Monotonic =>
         input.withColumn(IDX, monotonically_increasing_id())

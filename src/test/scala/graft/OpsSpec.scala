@@ -342,6 +342,20 @@ class OpsSpec extends AnyFunSuite {
     assert(keyed(f) == keyed(s))
   }
 
+  test("cosineDedupPairs: degenerate embedding bucket is capped, small buckets pair") {
+    import spark.implicits._
+    // 40 exact clones share one hyperplane bucket — over the cap, dropped
+    // before the self-join; the planted twin pair elsewhere must survive
+    val clone = Array.fill(8)(0.5f)
+    val distinct = Array(1f, -1f, 0.25f, -0.5f, 0.75f, -0.25f, 1f, -1f)
+    val rows = (0 until 40).map(i => (i.toLong, clone)) ++
+      Seq((100L, distinct), (101L, distinct.map(_ * 1.01f)))
+    val out = Similarity.cosineDedupPairs(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(out == Set((100L, 101L)))
+  }
+
   test("IVF Lloyd refinement: recall vs brute force on a clustered corpus") {
     import spark.implicits._
     val dim = 8

@@ -74,7 +74,7 @@ class StreamingSpec extends AnyFunSuite {
 
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
     val out = StreamingFlatten.streamingDedup(
-      in.toDF.toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
+      in.toDF().toDF("doc_id", "ts", "text"), "text", "ts", "1 hour")
     val q = out.writeStream.format("memory").queryName("sdedup")
       .outputMode("append").start()
     try {
@@ -100,8 +100,8 @@ class StreamingSpec extends AnyFunSuite {
     views.addData((1L, ts(12), "v1"), (1L, ts(300), "v2"), (3L, ts(10), "v3"))
 
     val joined = StreamingFlatten.intervalJoin(
-      clicks.toDF.toDF("user_id", "ts", "event_id"),
-      views.toDF.toDF("user_id", "ts", "event_id"),
+      clicks.toDF().toDF("user_id", "ts", "event_id"),
+      views.toDF().toDF("user_id", "ts", "event_id"),
       "user_id", "ts", "ts", joinWindow = "15 minutes")
     val q = joined.writeStream.format("memory").queryName("ssj")
       .outputMode("append").start()

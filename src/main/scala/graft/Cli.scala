@@ -15,6 +15,7 @@ import graft.meta.{SchemaFields, SpecsCsv}
   *     [--pushdown f1,f2] [--main-table-name n] [--path-separator s]
   *     [--table-prefix p] [--id-prefix p] [--no-link] [--preview N]
   *     [--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts]
+  *     [--sqlite] [--xlsx]
   *
   * An INPUT of `-` reads stdin (`/root/reference/docs/inputs.md:7-14` —
   * `curl ... | flatterer - out`) and an `http(s)://` INPUT is downloaded
@@ -68,7 +69,7 @@ object Cli {
         "[--schema file|url] [--schema-titles full|slug|underscore_slug] " +
         "[--emit-obj a.b,c] [--stats] " +
         "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts] " +
-        "[--xlsx] [--evolve] [--web]")
+        "[--sqlite] [--xlsx] [--evolve] [--web]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -184,7 +185,8 @@ object Cli {
 
       val res = Flatten.flattenToDir(input, outDir, opts,
         parquet = has("--parquet"), sqlScripts = has("--sql-scripts"),
-        xlsx = has("--xlsx"), evolve = has("--evolve"), stats = has("--stats"))
+        xlsx = has("--xlsx"), evolve = has("--evolve"), stats = has("--stats"),
+        sqliteDb = has("--sqlite"))
       println(s"tables: ${res.tables.keys.mkString(", ")}")
     }
   }

@@ -72,7 +72,7 @@ object Flatten {
       opts: FlattenOptions = FlattenOptions(),
       csv: Boolean = true, parquet: Boolean = false, sqlScripts: Boolean = false,
       xlsx: Boolean = false, evolve: Boolean = false,
-      stats: Boolean = false): FlattenResult = {
+      stats: Boolean = false, sqliteDb: Boolean = false): FlattenResult = {
     val res = flatten(input, opts, analyze = true)
     // `stats` (`docs/options.md:758-774`): A2 min/max/distinct per field,
     // embedded in datapackage.json. One extra aggregation job per table;
@@ -105,6 +105,19 @@ object Flatten {
         n -> (if (opts.preview > 0) df.limit(opts.preview) else df)
       }
       graft.sinks.XlsxSink.write(limited, s"$outDir/output.xlsx")
+    }
+    if (sqliteDb) {
+      // K3 direct load: `sqlite.db` in the output directory, one table per
+      // csv table (`/root/reference/docs/outputs.md:22,42`). Tables are
+      // named by the planner name (what the DDL and FK columns use); the
+      // stored CREATE text is the same statement sqlite_schema.sql carries.
+      val byName = res.groupedFields.toMap
+      val ordered = res.names.map { case (n, t) =>
+        val df = res.tables(t)
+        n -> (if (opts.preview > 0) df.limit(opts.preview) else df)
+      }
+      graft.sinks.SqliteSink.write(ordered, s"$outDir/sqlite.db",
+        n => Metadata.ddlScript(Seq(n -> byName(n))).trim.stripSuffix(";"))
     }
     Sinks.writeString(s"$outDir/fields.csv", res.fieldsCsv)
     Sinks.writeString(s"$outDir/tables.csv", res.tablesCsv)

@@ -8,10 +8,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 /** Output sinks (SURVEY.md §2.9).
   *
   * K1 CSV directory (one headerful file per table, like the reference's
-  * `csv/<table>.csv`), K5 parquet, K6 SQL script files. XLSX and direct
-  * DB loads are offline-unreachable here (no POI / JDBC drivers) — the
-  * script form (K6) is the documented equivalent
-  * (`/root/reference/docs/outputs.md:87-161`).
+  * `csv/<table>.csv`), K5 parquet, K6 SQL script files. XLSX is the
+  * dependency-free [[XlsxSink]]; the direct SQLite load is the
+  * dependency-free [[SqliteSink]] (K3). Postgres needs a live server —
+  * offline it stays in script form (K6, the documented equivalent,
+  * `/root/reference/docs/outputs.md:87-161`).
   */
 object Sinks {
 

@@ -63,9 +63,67 @@ class TopKAgg(k: Int) extends Aggregator[ScoredId, List[ScoredId], Seq[ScoredId]
   override def outputEncoder: Encoder[Seq[ScoredId]] = ExpressionEncoder()
 }
 
+/** One (score, id) candidate with an opaque binary id, for
+  * [[TopKBinAgg]]. */
+final case class ScoredBin(score: Double, id: Array[Byte])
+
+/** [[TopKAgg]] for non-integral ids carried as binary. Ids compare by
+  * unsigned lexicographic byte order — for strings cast to binary this
+  * is exactly Spark's default UTF8_BINARY string order (UTF8String
+  * compares its UTF-8 bytes unsigned), so `(score desc, id asc)` here
+  * is bit-identical to `orderBy(score.desc, id)` over the string
+  * column. Same bounded-buffer / map-side-partial shape as
+  * [[TopKAgg]].
+  */
+class TopKBinAgg(k: Int) extends Aggregator[ScoredBin, List[ScoredBin], Seq[ScoredBin]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  /** Unsigned lexicographic byte compare (UTF8_BINARY order). */
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def better(a: ScoredBin, b: ScoredBin): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && cmpBytes(a.id, b.id) < 0)
+  }
+
+  private def insert(buf: List[ScoredBin], in: ScoredBin): List[ScoredBin] = {
+    val (pre, post) = buf.span(e => better(e, in))
+    pre ::: (in :: post)
+  }
+
+  override def zero: List[ScoredBin] = Nil
+
+  override def reduce(buf: List[ScoredBin], in: ScoredBin): List[ScoredBin] =
+    if (buf.lengthCompare(k) < 0) insert(buf, in)
+    else if (better(in, buf.last)) insert(buf, in).init
+    else buf
+
+  override def merge(a: List[ScoredBin], b: List[ScoredBin]): List[ScoredBin] =
+    b.foldLeft(a)(reduce)
+
+  override def finish(buf: List[ScoredBin]): Seq[ScoredBin] = buf
+
+  override def bufferEncoder: Encoder[List[ScoredBin]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredBin]] = ExpressionEncoder()
+}
+
 object TopK {
   /** `topK(k)(score, id)` → `array<struct<score,id>>` of the k best rows
     * per group, best-first. Ids must be integral (cast to long).
     */
   def topK(k: Int): UserDefinedFunction = udaf(new TopKAgg(k), Encoders.product[ScoredId])
+
+  /** [[topK]] with binary ids (string/binary columns cast to binary);
+    * tie-break order is unsigned lexicographic = UTF8_BINARY.
+    */
+  def topKBin(k: Int): UserDefinedFunction = udaf(new TopKBinAgg(k), Encoders.product[ScoredBin])
 }

@@ -25,27 +25,44 @@ object Similarity {
   /** Rank a `(query_id, neighbor_id, score)` frame down to the top `k`
     * rows per query by (score desc, neighbor_id asc), appending `rank`.
     *
-    * Integral ids take the bounded-aggregation path
-    * ([[graft.functions.TopKAgg]]): a k-bounded typed aggregate runs
-    * map-side first, so only ~k rows per (query, partition) reach the
-    * exchange — the scored frame itself (|corpus|×|queries| rows in the
-    * brute-force case) never shuffles. Non-integral ids (strings,
-    * decimals) fall back to the `row_number` window, which must move
-    * every scored row through its exchange; both paths produce
-    * identical rows (ties and NaN included — the aggregator compares
-    * through `java.lang.Double.compare`, Spark's own double order).
+    * ALWAYS the bounded-aggregation path — never a `row_number` window:
+    * a k-bounded typed aggregate ([[graft.functions.TopKAgg]] for
+    * integral ids, [[graft.functions.TopKBinAgg]] for string/binary
+    * ids carried as UTF-8 bytes) runs map-side first, so only ~k rows
+    * per (query, partition) reach the exchange — the scored frame
+    * itself (|corpus|×|queries| rows in the brute-force case) never
+    * shuffles. Both aggregators reproduce Spark's own
+    * `orderBy(score.desc, id)` total order exactly: scores through
+    * `java.lang.Double.compare` (NaN above all finite, -0.0 < 0.0),
+    * string ids through unsigned lexicographic UTF-8 bytes
+    * (UTF8_BINARY). Other id types (decimal, date, …) raise — no
+    * caller can silently fall into a window plan that shuffles every
+    * scored row.
+    *
+    * Null `score` or `neighbor_id` rows are filtered out first: a null
+    * score is "no similarity" and a null id is unrankable. (The old
+    * window form ordered them nulls-last, so they could only ever
+    * surface when a query had fewer than k real candidates.)
     */
-  private def rankTopK(scored: DataFrame, k: Int, idType: DataType): DataFrame = idType match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      val agg = TopK.topK(k)
-      scored.groupBy("query_id")
-        .agg(agg(col("score"), col("neighbor_id").cast(LongType)).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("r0", "t")))
+  private def rankTopK(scored: DataFrame, k: Int, idType: DataType): DataFrame = {
+    val nn = scored.where(col("score").isNotNull && col("neighbor_id").isNotNull)
+    def unpack(grouped: DataFrame): DataFrame =
+      grouped.select(col("query_id"), posexplode(col("top")).as(Seq("r0", "t")))
         .select(col("query_id"), col("t.id").cast(idType).as("neighbor_id"),
           col("t.score").as("score"), (col("r0") + 1).as("rank"))
-    case _ =>
-      val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val agg = TopK.topK(k)
+        unpack(nn.groupBy("query_id")
+          .agg(agg(col("score"), col("neighbor_id").cast(LongType)).as("top")))
+      case StringType | BinaryType =>
+        val agg = TopK.topKBin(k)
+        unpack(nn.groupBy("query_id")
+          .agg(agg(col("score"), col("neighbor_id").cast(BinaryType)).as("top")))
+      case other =>
+        throw new IllegalArgumentException(
+          s"top-k id column must be integral, string, or binary; got $other")
+    }
   }
 
   /** Cosine similarity between two array<float/double> columns. */
@@ -135,17 +152,32 @@ object Similarity {
   /** Random-hyperplane LSH signature: `nBits` sign bits, hyperplane j's
     * i-th coordinate derived from xxhash64(j, i) mapped to [-1, 1] —
     * deterministic, identical on every executor, no model object to ship.
+    *
+    * Single pass over the vector: ONE `aggregate` whose accumulator is
+    * the array of nBits running projections (each element updates all
+    * nBits sums via `zip_with`), finished by packing the sign bits into
+    * a long. The naive spelling — nBits separate array-aggregates OR'd
+    * together — walks the vector nBits times (16 traversals of a
+    * 768-dim array per row); this walks it once. Per-bit accumulation
+    * order over i is unchanged (ascending element order), so the sums
+    * and therefore the signatures are bit-identical to the multi-pass
+    * form this replaced.
     */
   def hyperplaneSignature(vec: Column, nBits: Int = 16): Column = {
     val dims = size(vec)
-    val bits = (0 until nBits).map { j =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), dims - 1),
-          (v, i) => v * (xxhash64(lit(j), i).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), j)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val jSeq = sequence(lit(0), lit(nBits - 1))
+    val zipped = zip_with(vec, sequence(lit(0), dims - 1),
+      (v, i) => struct(v.as("v"), i.as("i")))
+    aggregate(
+      zipped,
+      array_repeat(lit(0.0d), nBits),
+      (acc, x) => zip_with(acc, jSeq, (a, j) =>
+        a + x.getField("v") *
+          (xxhash64(j, x.getField("i")).cast(DoubleType) / lit(Long.MaxValue.toDouble))),
+      acc => aggregate(
+        zip_with(acc, jSeq, (s, j) =>
+          when(s >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), (a, b) => a.bitwiseOR(b)))
   }
 
   /** Approximate top-k: bucket corpus and queries by hyperplane signature,
@@ -166,10 +198,15 @@ object Similarity {
         explode(concat(array(col("qsig")),
           transform(sequence(lit(0), lit(nBits - 1)),
             i => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("bucket"))
+    // no distinct needed (same argument as ivfTopK below): each corpus row
+    // lives in exactly one bucket — its own signature — and a query's probe
+    // set (qsig plus each single-bit flip) is a set of DISTINCT bucket
+    // values, so a (query, neighbor) pair can match at most once. A
+    // distinct here would full-shuffle every scored candidate row before
+    // rankTopK's map-side bounded aggregate gets to reduce them.
     val scored = probes.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("score"))
-      .distinct()
     rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
@@ -245,13 +282,19 @@ object Similarity {
       centroids = seeds.indices.map { cIdx =>
         byCell.get(cIdx) match {
           case Some(rows) =>
-            val arr = new Array[Float](rows.length)
+            // sized from max position, not row count: a ragged corpus
+            // (vectors longer than the cell's mean coverage) must not
+            // index past the array
+            val dim = math.max(seeds(cIdx).length, rows.iterator.map(_.getInt(1)).max + 1)
+            val arr = new Array[Float](dim)
             rows.foreach(r => arr(r.getInt(1)) = r.getFloat(2))
             arr
           case None => seeds(cIdx)
         }
       }.toArray
+      val old = bc
       bc = spark.sparkContext.broadcast(centroids)
+      old.destroy() // the pass's jobs have collected; the stale nlist×dim block is dead weight
     }
 
     val nearCells = nearCellsUdf(bc)

@@ -314,7 +314,7 @@ class OpsSpec extends AnyFunSuite {
     assert(out("fr") == ((2L, 12.5, 15.0, 17.5)))
   }
 
-  test("bounded top-k ranks like the window form and keeps Window out of the plan") {
+  test("bounded top-k: integral AND string ids avoid the window plan, same rows") {
     import spark.implicits._
     val base = (0 until 40).map { i =>
       val rnd = new scala.util.Random(100 + i)
@@ -329,17 +329,78 @@ class OpsSpec extends AnyFunSuite {
     val plan = fast.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window exchange still in plan:\n$plan")
     assert(plan.contains("Aggregate"), s"expected aggregate-based top-k:\n$plan")
-    // string ids force the row_number fallback — rows must be identical
+    // string ids now take the binary-id bounded aggregate — same rows,
+    // and STILL no window (the r6 fallback is gone)
     val embS = emb.select($"vec_id".cast("string").as("vec_id"), $"embedding")
-    val slow = Similarity.bruteForceTopK(embS,
+    val str = Similarity.bruteForceTopK(embS,
       embS.where($"vec_id".cast("long") < 3), "vec_id", "embedding", k = 5)
-    assert(slow.queryExecution.executedPlan.toString.contains("Window"))
+    val planS = str.queryExecution.executedPlan.toString
+    assert(!planS.contains("Window"), s"string ids fell into a window plan:\n$planS")
+    assert(planS.contains("Aggregate"), s"expected aggregate-based top-k:\n$planS")
+    assert(str.schema("neighbor_id").dataType == org.apache.spark.sql.types.StringType)
     def keyed(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.get(0).toString, r.get(1).toString, r.getAs[Int]("rank"),
         math.round(r.getAs[Double]("score") * 1e9))).toSet
-    val f = fast.collect(); val s = slow.collect()
+    val f = fast.collect(); val s = str.collect()
     assert(f.length == 3 * 5)
     assert(keyed(f) == keyed(s))
+    // unsupported id types raise instead of silently planning a window
+    val embD = emb.select($"vec_id".cast("decimal(20,0)").as("vec_id"), $"embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(embD, embD.limit(1), "vec_id", "embedding", k = 5)
+    }
+    assert(ex.getMessage.contains("top-k id column"))
+  }
+
+  test("string-id top-k tie-break follows UTF8 byte order, nulls are dropped") {
+    import spark.implicits._
+    // all scores tie at 1.0 (identical unit vectors) → ranking is purely
+    // the id tie-break; ids chosen so UTF-16 order (Java String.compareTo)
+    // and UTF-8 byte order DIVERGE: U+FF21 (FULLWIDTH A, 3 UTF-8 bytes
+    // ef bc a1) vs U+10400 (DESERET, surrogate pair, 4 bytes f0 90 90 80).
+    // UTF-8/code-point order puts U+FF21 first; UTF-16 code-unit order
+    // would put the surrogate (d801) first. Spark's UTF8_BINARY = UTF-8.
+    val v = Array(1.0f, 0.0f)
+    val ids = Seq("b", "a", "\uFF21", "\uD801\uDC00") // U+10400 as a pair
+    val corpus = ids.map(id => (id, v)).toDF("vec_id", "embedding")
+    val q = Seq(("q", v)).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 4)
+      .orderBy($"rank").select($"neighbor_id").as[String].collect().toSeq
+    assert(got == Seq("a", "b", "\uFF21", "\uD801\uDC00"))
+    // a null embedding scores null → filtered before the aggregate (the
+    // typed aggregator's Double buffer would otherwise fail on it)
+    val withNull = corpus.union(
+      Seq(("z", null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val gotN = Similarity.bruteForceTopK(withNull, q, "vec_id", "embedding", k = 10)
+      .select($"neighbor_id").as[String].collect().toSet
+    assert(gotN == ids.toSet)
+  }
+
+  test("lshTopK: no Window, no exchange between scoring and the top-k aggregate") {
+    import spark.implicits._
+    val base = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(500 + i)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = base.toDF("vec_id", "embedding")
+    val res = Similarity.lshTopK(emb, emb.where($"vec_id" < 2),
+      "vec_id", "embedding", k = 3, nBits = 6)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window exchange in lshTopK plan:\n$plan")
+    // the r6 .distinct() re-shuffled every scored candidate row between
+    // the join and the bounded aggregate; prove nothing shuffles there:
+    // top-down print order is final-agg, exchange, PARTIAL agg, then the
+    // scoring projection and the bucket join — no Exchange may appear
+    // between the partial-agg line and the join line
+    val lines = plan.split("\n").toSeq
+    val iPartial = lines.indexWhere(l => l.contains("Aggregate") && l.contains("partial_"))
+    assert(iPartial >= 0, s"no partial aggregate found:\n$plan")
+    val iJoin = lines.indexWhere(_.contains("Join"), iPartial)
+    assert(iJoin > iPartial, s"no join below the partial aggregate:\n$plan")
+    val between = lines.slice(iPartial + 1, iJoin)
+    assert(!between.exists(_.contains("Exchange")),
+      s"exchange between scoring and top-k aggregate:\n$plan")
+    assert(res.select($"query_id").distinct().count() == 2)
   }
 
   test("cosineDedupPairs: degenerate embedding bucket is capped, small buckets pair") {

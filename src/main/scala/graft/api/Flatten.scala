@@ -108,16 +108,34 @@ object Flatten {
     }
     if (sqliteDb) {
       // K3 direct load: `sqlite.db` in the output directory, one table per
-      // csv table (`/root/reference/docs/outputs.md:22,42`). Tables are
-      // named by the planner name (what the DDL and FK columns use); the
-      // stored CREATE text is the same statement sqlite_schema.sql carries.
+      // csv table, named by the csv file's TITLE so tables.csv renames
+      // carry through ("each csv file is put in its own table",
+      // `/root/reference/docs/outputs.md:22,42`). The stored CREATE text
+      // adds FOREIGN KEY clauses, `_link` gets a unique index (the FK
+      // parent key) and every `_link_<t>` column a plain index — the
+      // reference's direct export has both (`docs/changelog.md:222`).
       val byName = res.groupedFields.toMap
-      val ordered = res.names.map { case (n, t) =>
+      val titleByName = res.names.toMap
+      val specs = res.names.map { case (n, t) =>
         val df = res.tables(t)
-        n -> (if (opts.preview > 0) df.limit(opts.preview) else df)
+        val metas = byName(n)
+        val linkIdx =
+          if (metas.exists(_.fieldName == "_link"))
+            Seq(graft.sinks.SqliteSink.IndexSpec(s"idx_${t}__link", "_link",
+              unique = true,
+              Some(s"""CREATE UNIQUE INDEX "idx_${t}__link" ON "$t"("_link")""")))
+          else Nil
+        val fkIdx = metas.map(_.fieldName).collect {
+          case f if f.startsWith("_link_") &&
+              titleByName.contains(f.stripPrefix("_link_")) =>
+            graft.sinks.SqliteSink.IndexSpec(s"idx_${t}_$f", f, unique = false,
+              Some(s"""CREATE INDEX "idx_${t}_$f" ON "$t"("$f")"""))
+        }
+        graft.sinks.SqliteSink.TableSpec(t,
+          if (opts.preview > 0) df.limit(opts.preview) else df,
+          Metadata.sqliteCreateTable(t, metas, titleByName), linkIdx ++ fkIdx)
       }
-      graft.sinks.SqliteSink.write(ordered, s"$outDir/sqlite.db",
-        n => Metadata.ddlScript(Seq(n -> byName(n))).trim.stripSuffix(";"))
+      graft.sinks.SqliteSink.writeSpecs(specs, s"$outDir/sqlite.db")
     }
     Sinks.writeString(s"$outDir/fields.csv", res.fieldsCsv)
     Sinks.writeString(s"$outDir/tables.csv", res.tablesCsv)

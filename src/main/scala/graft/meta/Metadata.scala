@@ -138,6 +138,28 @@ object Metadata {
       s"""CREATE TABLE "$name"(\n${cols.mkString(",\n")});\n"""
     }.mkString("\n")
 
+  /** CREATE TABLE text stored inside the direct `sqlite.db` (K3): the
+    * [[ddlScript]] column shape plus `FOREIGN KEY ("_link_<t>")
+    * REFERENCES "<t>"("_link")` clauses — the reference's direct export
+    * carries FK constraints ("SQLite export has indexes and foreign key
+    * contraints", `/root/reference/docs/changelog.md:222`) that the
+    * plain load-script DDL (shared with postgres) does not. Tables are
+    * named by their output TITLE (the csv file name, `docs/outputs
+    * .md:42`); `titleByName` maps planner names (what `_link_<name>`
+    * columns encode) to those titles so renamed references stay valid.
+    */
+  def sqliteCreateTable(title: String, metas: Seq[FieldMeta],
+      titleByName: Map[String, String]): String = {
+    val cols = metas.map(m => s"""    "${m.fieldName.toLowerCase}" ${sqlType(m.fieldType)}""")
+    val fks = metas.collect {
+      case m if m.fieldName.startsWith("_link_") &&
+          titleByName.contains(m.fieldName.stripPrefix("_link_")) =>
+        val ref = titleByName(m.fieldName.stripPrefix("_link_"))
+        s"""    FOREIGN KEY ("${m.fieldName.toLowerCase}") REFERENCES "$ref"("_link")"""
+    }
+    s"""CREATE TABLE "$title"(\n${(cols ++ fks).mkString(",\n")})"""
+  }
+
   /** Evolve-into-existing-store DDL delta (`/root/reference/docs/options
     * .md:425-458`): reconcile the newly planned tables against the schema
     * already in the database (e.g. [[parseDatapackage]] of the prior

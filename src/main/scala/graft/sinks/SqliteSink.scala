@@ -3,29 +3,39 @@ package graft.sinks
 import java.io.RandomAccessFile
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.storage.StorageLevel
 import scala.collection.mutable.ArrayBuffer
 
 /** Dependency-free SQLite 3 database writer — the reference's direct
   * `sqlite.db` load (K3): "A `sqlite.db` is created in the output
   * directory where each csv file is put in its own table"
-  * (`/root/reference/docs/outputs.md:42`, CLI `--sqlite`).
+  * (`/root/reference/docs/outputs.md:42`, CLI `--sqlite`), including the
+  * indexes and foreign-key constraints the reference's export carries
+  * ("SQLite export has indexes and foreign key contraints",
+  * `/root/reference/docs/changelog.md:222`).
   *
   * Implements the subset of the public SQLite file format
   * (sqlite.org/fileformat2.html) a table forest needs: rowid table
-  * b-trees (leaf type 0x0d, interior type 0x05), record serial types,
-  * payload overflow chains, the lock-byte page gap, and the
-  * `sqlite_master` catalog rooted on page 1. No journals, freelists,
-  * indexes, or vacuum state — the file is written once, linearly, and
-  * opens in any SQLite client.
+  * b-trees (leaf type 0x0d, interior type 0x05), index b-trees (leaf
+  * type 0x0a, interior type 0x02 — interior index pages carry REAL
+  * entries, unlike table interiors), record serial types, payload
+  * overflow chains, the lock-byte page gap, and the `sqlite_master`
+  * catalog rooted on page 1. No journals, freelists, or vacuum state —
+  * the file is written once, linearly, and opens in any SQLite client.
   *
   * Scale posture: SQLite is a single-file driver-side interchange format
   * by nature (the reference also streams into one .db). Rows stream
   * through `toLocalIterator` one partition at a time, leaf pages flush
   * as they fill, and driver memory is O(one page) + O(one (page, rowid)
   * entry per flushed page) for the interior levels — a 100 GB export
-  * never holds more than a page of row data. The distributed layouts
-  * remain parquet / CSV-dir; this sink serves the reference's primary
-  * export format.
+  * never holds more than a page of row data. Index b-trees need their
+  * entries in key order; that sort runs IN SPARK (`sortBy` over a
+  * persisted `zipWithIndex` of the table, so rowids stay consistent
+  * between the table pass and the index passes) and the sorted pairs
+  * stream to the driver the same way — the driver never sorts. The
+  * distributed layouts remain parquet / CSV-dir; this sink serves the
+  * reference's primary export format.
   *
   * Value affinity mirrors the CSV renderer and SQLite NUMERIC affinity:
   * whole doubles land as INTEGER (JSON `1.0` → `1`), booleans as 0/1,
@@ -33,30 +43,121 @@ import scala.collection.mutable.ArrayBuffer
   */
 object SqliteSink {
 
+  /** One secondary index over a single TEXT column. `sql` is the CREATE
+    * INDEX text stored in sqlite_master (None → NULL, the autoindex
+    * convention). Uniqueness is a property of the SQL text; the b-tree
+    * layout is identical either way (key + rowid records).
+    */
+  final case class IndexSpec(name: String, column: String, unique: Boolean,
+      sql: Option[String])
+
+  /** One table: sqlite_master name, data, stored CREATE TABLE text
+    * (which may carry FOREIGN KEY clauses), and its indexes.
+    */
+  final case class TableSpec(name: String, df: DataFrame, ddl: String,
+      indexes: Seq[IndexSpec] = Nil)
+
   private val PageSize = 4096
   private val Usable = PageSize // reserved-space byte in the header is 0
   private val MaxLocal = Usable - 35 // leaf table cell local-payload cap
   private val MinLocal = (Usable - 12) * 32 / 255 - 23
+  /** Index pages keep less payload local (format's 64/255 fraction). */
+  private val MaxLocalIdx = (Usable - 12) * 64 / 255 - 23
   /** Page overlapping file offset 2^30 is the lock-byte page — must stay unused. */
   private val LockBytePage = 1073741824 / PageSize + 1
 
-  /** Write `tables` (name → DataFrame, plus the CREATE TABLE text stored
-    * in sqlite_master) into a single SQLite database file at `path`.
-    */
+  private val LeafTable = 0x0d
+  private val InteriorTable = 0x05
+  private val LeafIndex = 0x0a
+  private val InteriorIndex = 0x02
+
+  /** Back-compat form: tables without indexes, DDL via callback. */
   def write(tables: Seq[(String, DataFrame)], path: String,
-      ddlFor: String => String): Unit = {
+      ddlFor: String => String): Unit =
+    writeSpecs(tables.map { case (n, df) => TableSpec(n, df, ddlFor(n)) }, path)
+
+  /** Write `specs` into a single SQLite database file at `path`. */
+  def writeSpecs(specs: Seq[TableSpec], path: String): Unit = {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(path).toAbsolutePath.getParent)
+    specs.foreach { s =>
+      s.indexes.foreach { ix =>
+        require(s.df.schema(ix.column).dataType == StringType,
+          s"index ${ix.name}: only TEXT columns are indexable, " +
+            s"${ix.column} is ${s.df.schema(ix.column).dataType}")
+      }
+    }
     val pf = new PageFile(path)
     try {
       pf.reservePage1()
-      val entries = tables.map { case (name, df) =>
-        val root = writeTable(pf, df)
-        (name, root, ddlFor(name))
+      // master rows: (type, name, tbl_name, rootpage, sql) — table row
+      // then its index rows, in creation order like SQLite itself
+      val master = ArrayBuffer.empty[Seq[Any]]
+      specs.foreach { spec =>
+        if (spec.indexes.isEmpty) {
+          import scala.jdk.CollectionConverters._
+          val root = writeTable(pf, spec.df.toLocalIterator().asScala)
+          master += Seq("table", spec.name, spec.name, root, spec.ddl)
+        } else {
+          // rowids must be identical between the table pass and every
+          // index pass → pin them with one persisted zipWithIndex
+          val withId = spec.df.rdd.zipWithIndex()
+            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+          try {
+            val rows = withId.toLocalIterator.map(_._1)
+            val root = writeTable(pf, rows)
+            master += Seq("table", spec.name, spec.name, root, spec.ddl)
+            spec.indexes.foreach { ix =>
+              val fi = spec.df.schema.fieldIndex(ix.column)
+              // Spark sorts (key, rowid) in SQLite's index order: NULL
+              // first, TEXT by BINARY collation (= UTF-8 bytes = code
+              // points), rowid ascending — the driver only streams
+              val sorted = withId
+                .map { case (row, i) =>
+                  (if (row.isNullAt(fi)) null else row.getString(fi), i + 1L)
+                }
+                .sortBy(identity)(IdxKeyOrdering,
+                  scala.reflect.classTag[(String, Long)])
+              val ib = new IndexBuilder(pf)
+              sorted.toLocalIterator.foreach { case (k, rid) =>
+                ib.add(record(Seq(k, rid)))
+              }
+              master += Seq("index", ix.name, spec.name, ib.finish(), ix.sql.orNull)
+            }
+          } finally { withId.unpersist(); () }
+        }
       }
-      writeMaster(pf, entries)
+      writeMaster(pf, master.toSeq)
       pf.finishHeader()
     } finally pf.close()
+  }
+
+  /** SQLite index-record order over (key, rowid): NULLs first, then the
+    * TEXT keys by BINARY collation — memcmp of the UTF-8 bytes, which
+    * equals code-point order — then rowid. Code-point compare works
+    * char-wise because equal prefixes keep `codePointAt` aligned.
+    */
+  private[sinks] object IdxKeyOrdering extends Ordering[(String, Long)] {
+    override def compare(a: (String, Long), b: (String, Long)): Int = {
+      val c = (a._1, b._1) match {
+        case (null, null) => 0
+        case (null, _)    => -1
+        case (_, null)    => 1
+        case (x, y) =>
+          val n = math.min(x.length, y.length)
+          var i = 0
+          var r = 0
+          while (r == 0 && i < n) {
+            if (x.charAt(i) != y.charAt(i))
+              // equal prefix keeps codePointAt aligned for both strings,
+              // and code-point order == UTF-8 byte order
+              r = Integer.compare(x.codePointAt(i), y.codePointAt(i))
+            i += 1
+          }
+          if (r != 0) r else Integer.compare(x.length, y.length)
+      }
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
   }
 
   // ---- page-level file plumbing ---------------------------------------
@@ -195,24 +296,27 @@ object SqliteSink {
     out.toArray
   }
 
-  /** Leaf-table cell for (rowid, payload), spilling to overflow pages per
-    * the format's K formula (the reader recomputes K from the payload
-    * size, so the local/overflow split is not a choice).
+  /** How many payload bytes stay on the b-tree page (the format's K
+    * formula — the reader recomputes it, so the split is not a choice).
     */
-  private def leafCell(pf: PageFile, rowid: Long, payload: Array[Byte]): Array[Byte] = {
+  private def localSize(p: Int, maxLocal: Int): Int =
+    if (p <= maxLocal) p
+    else {
+      val k = MinLocal + (p - MinLocal) % (Usable - 4)
+      if (k <= maxLocal) k else MinLocal
+    }
+
+  /** Local payload bytes, plus the 4-byte first-overflow-page pointer if
+    * the payload spills — allocating and writing the overflow chain now
+    * (page order is free).
+    */
+  private def payloadBody(pf: PageFile, payload: Array[Byte],
+      maxLocal: Int): Array[Byte] = {
     val p = payload.length
-    val local =
-      if (p <= MaxLocal) p
-      else {
-        val k = MinLocal + (p - MinLocal) % (Usable - 4)
-        if (k <= MaxLocal) k else MinLocal
-      }
-    val cell = ArrayBuffer.empty[Byte]
-    cell ++= varint(p.toLong)
-    cell ++= varint(rowid)
-    cell ++= payload.take(local)
+    val local = localSize(p, maxLocal)
+    val out = ArrayBuffer.empty[Byte]
+    out ++= payload.take(local)
     if (local < p) {
-      // overflow chain: allocate and write pages now (page order is free)
       var off = local
       var firstPage = 0
       var prev: (Int, Array[Byte]) = null
@@ -229,8 +333,17 @@ object SqliteSink {
         prev = (no, page)
       }
       pf.writePage(prev._1, prev._2)
-      cell ++= java.nio.ByteBuffer.allocate(4).putInt(firstPage).array()
+      out ++= java.nio.ByteBuffer.allocate(4).putInt(firstPage).array()
     }
+    out.toArray
+  }
+
+  /** Leaf-table cell: varint(payload) + varint(rowid) + local payload. */
+  private def leafCell(pf: PageFile, rowid: Long, payload: Array[Byte]): Array[Byte] = {
+    val cell = ArrayBuffer.empty[Byte]
+    cell ++= varint(payload.length.toLong)
+    cell ++= varint(rowid)
+    cell ++= payloadBody(pf, payload, MaxLocal)
     cell.toArray
   }
 
@@ -242,15 +355,19 @@ object SqliteSink {
     a(off) = (v >>> 8).toByte; a(off + 1) = v.toByte
   }
 
+  private def isInterior(pageType: Int) =
+    pageType == InteriorTable || pageType == InteriorIndex
+
   /** Render a b-tree page: cells pack downward from the page end, the
     * cell-pointer array grows up from the header. `headerAt` is 100 on
     * page 1 (database header hole), 0 elsewhere.
     */
-  private def renderPage(leaf: Boolean, cells: Seq[Array[Byte]],
+  private def renderPage(pageType: Int, cells: Seq[Array[Byte]],
       rightMost: Int, headerAt: Int): Array[Byte] = {
     val page = new Array[Byte](PageSize)
-    val hdrSize = if (leaf) 8 else 12
-    page(headerAt) = if (leaf) 0x0d else 0x05
+    val interior = isInterior(pageType)
+    val hdrSize = if (interior) 12 else 8
+    page(headerAt) = pageType.toByte
     putShort(page, headerAt + 1, 0) // first freeblock
     putShort(page, headerAt + 3, cells.length)
     var content = PageSize
@@ -262,11 +379,11 @@ object SqliteSink {
     }
     putShort(page, headerAt + 5, content) // ≤ 4096 always fits (0⇔65536 is for 64 KiB pages)
     page(headerAt + 7) = 0 // fragmented free bytes
-    if (!leaf) putInt(page, headerAt + 8, rightMost)
+    if (interior) putInt(page, headerAt + 8, rightMost)
     page
   }
 
-  // ---- b-tree assembly --------------------------------------------------
+  // ---- table b-tree assembly -------------------------------------------
 
   /** Streamed rowid-table b-tree builder. Leaves flush to allocated pages
     * as they fill; `finish` stacks interior levels and places the root —
@@ -276,8 +393,8 @@ object SqliteSink {
   private final class BTreeBuilder(pf: PageFile, fixedRoot: Option[Int]) {
     private val rootReserve = if (fixedRoot.isDefined) 100 else 0
     private var cells = ArrayBuffer.empty[Array[Byte]]
+    private var rowids = ArrayBuffer.empty[Long]
     private var cellBytes = 0
-    private var maxRowid = 0L
     private val flushed = ArrayBuffer.empty[(Int, Long)] // (page, max rowid)
 
     private def leafCapacity(reserve: Int) = Usable - reserve - 8
@@ -288,15 +405,16 @@ object SqliteSink {
       if (cells.nonEmpty && cellBytes + 2 * cells.length + cell.length + 2 > leafCapacity(0))
         flushLeaf()
       cells += cell
+      rowids += rowid
       cellBytes += cell.length
-      maxRowid = rowid
     }
 
     private def flushLeaf(): Unit = {
       val no = pf.allocate()
-      pf.writePage(no, renderPage(leaf = true, cells.toSeq, 0, headerAt = 0))
-      flushed += ((no, maxRowid))
+      pf.writePage(no, renderPage(LeafTable, cells.toSeq, 0, headerAt = 0))
+      flushed += ((no, rowids.last))
       cells = ArrayBuffer.empty
+      rowids = ArrayBuffer.empty
       cellBytes = 0
     }
 
@@ -306,10 +424,25 @@ object SqliteSink {
       if (flushed.isEmpty && cellBytes + 2 * cells.length <= leafCapacity(rootReserve)) {
         val root = fixedRoot.getOrElse(pf.allocate())
         pf.writePage(root,
-          renderPage(leaf = true, cells.toSeq, 0, headerAt = rootReserve))
+          renderPage(LeafTable, cells.toSeq, 0, headerAt = rootReserve))
         return root
       }
-      if (cells.nonEmpty) flushLeaf()
+      if (flushed.isEmpty && fixedRoot.isDefined && cells.length >= 2) {
+        // narrow page-1 window: the cells fit ONE unreserved leaf but not
+        // the 100-byte-reserved root. Split the last cell onto its own
+        // leaf so the interior root above carries a real cell — a
+        // zero-cell interior root (right-most pointer only) is what a
+        // single-leaf child would force, and validators may reject it.
+        val (lastCell, lastRid) = (cells.last, rowids.last)
+        val headRid = rowids(rowids.length - 2)
+        val n1 = pf.allocate()
+        pf.writePage(n1, renderPage(LeafTable, cells.init.toSeq, 0, headerAt = 0))
+        flushed += ((n1, headRid))
+        val n2 = pf.allocate()
+        pf.writePage(n2, renderPage(LeafTable, Seq(lastCell), 0, headerAt = 0))
+        flushed += ((n2, lastRid))
+        cells = ArrayBuffer.empty; rowids = ArrayBuffer.empty; cellBytes = 0
+      } else if (cells.nonEmpty) flushLeaf()
       var level: Seq[(Int, Long)] = flushed.toSeq
       while (true) {
         // interior cells: 4-byte child + varint(max rowid of its subtree);
@@ -325,7 +458,7 @@ object SqliteSink {
         if (size <= interiorCapacity(rootReserve)) {
           val root = fixedRoot.getOrElse(pf.allocate())
           pf.writePage(root,
-            renderPage(leaf = false, interior, rightMost, headerAt = rootReserve))
+            renderPage(InteriorTable, interior, rightMost, headerAt = rootReserve))
           return root
         }
         // chunk this level into full interior pages and stack another
@@ -361,7 +494,7 @@ object SqliteSink {
           }
           val (rightPage, rightKey) = level(grp.last)
           val no = pf.allocate()
-          pf.writePage(no, renderPage(leaf = false, cs, rightPage, headerAt = 0))
+          pf.writePage(no, renderPage(InteriorTable, cs, rightPage, headerAt = 0))
           (no, rightKey)
         }
       }
@@ -369,27 +502,106 @@ object SqliteSink {
     }
   }
 
-  /** Stream one DataFrame into a fresh table b-tree; returns its root. */
-  private def writeTable(pf: PageFile, df: DataFrame): Int = {
+  // ---- index b-tree assembly -------------------------------------------
+
+  /** Streamed index b-tree bulk loader. Entries MUST arrive in index
+    * order ((key, rowid) under the indexed column's collation — the
+    * caller sorts in Spark). Unlike table b-trees, interior index pages
+    * hold real entries: when a page fills, its LAST buffered entry is
+    * promoted to the parent as the separator (left child = the flushed
+    * page), so every entry lives on exactly one page and the tree has
+    * uniform depth. Buffers hold payload records, not rendered cells, so
+    * overflow chains are only allocated for the page an entry finally
+    * lands on — nothing is orphaned. Driver memory: O(page) per level.
+    */
+  private final class IndexBuilder(pf: PageFile) {
+    // level 0 = leaves; item = (left-child page (unused at leaf), payload)
+    private val levels = ArrayBuffer(ArrayBuffer.empty[(Int, Array[Byte])])
+    private val levelBytes = ArrayBuffer(0)
+
+    private def cellLen(interior: Boolean, p: Int): Int = {
+      val local = localSize(p, MaxLocalIdx)
+      (if (interior) 4 else 0) + varint(p.toLong).length + local +
+        (if (local < p) 4 else 0)
+    }
+    private def capacity(interior: Boolean) = Usable - (if (interior) 12 else 8)
+
+    def add(payload: Array[Byte]): Unit = insert(0, 0, payload)
+
+    private def insert(li: Int, child: Int, payload: Array[Byte]): Unit = {
+      if (li == levels.length) { levels += ArrayBuffer.empty; levelBytes += 0 }
+      val interior = li > 0
+      val cl = cellLen(interior, payload.length)
+      val items = levels(li)
+      if (items.nonEmpty &&
+          levelBytes(li) + cl + 2 * (items.length + 1) > capacity(interior)) {
+        // flush all but the last buffered entry; the last entry becomes
+        // the parent separator (its child, if interior, becomes the
+        // flushed page's right-most pointer)
+        require(items.length >= 2, "index cell too large for a page pair")
+        val (promChild, promPayload) = items.remove(items.length - 1)
+        val page = writeLevelPage(items.toSeq, interior,
+          rightMost = if (interior) promChild else 0)
+        items.clear()
+        levelBytes(li) = 0
+        items += ((child, payload))
+        levelBytes(li) += cl
+        insert(li + 1, page, promPayload)
+      } else {
+        items += ((child, payload))
+        levelBytes(li) += cl
+      }
+    }
+
+    private def writeLevelPage(items: Seq[(Int, Array[Byte])],
+        interior: Boolean, rightMost: Int): Int = {
+      val cells = items.map { case (ch, p) =>
+        val c = ArrayBuffer.empty[Byte]
+        if (interior) c ++= java.nio.ByteBuffer.allocate(4).putInt(ch).array()
+        c ++= varint(p.length.toLong)
+        c ++= payloadBody(pf, p, MaxLocalIdx)
+        c.toArray
+      }
+      val no = pf.allocate()
+      pf.writePage(no, renderPage(
+        if (interior) InteriorIndex else LeafIndex, cells, rightMost, headerAt = 0))
+      no
+    }
+
+    /** @return the root page number */
+    def finish(): Int = {
+      // bottom-up: the finished page at each level rides the level
+      // above's right-most pointer; every level buffer holds ≥ 1 entry
+      // by construction (a level only exists once something promoted
+      // into it, and flushes refill immediately)
+      var child = writeLevelPage(levels(0).toSeq, interior = false, rightMost = 0)
+      var li = 1
+      while (li < levels.length) {
+        child = writeLevelPage(levels(li).toSeq, interior = true, rightMost = child)
+        li += 1
+      }
+      child
+    }
+  }
+
+  /** Stream rows into a fresh table b-tree; returns its root. */
+  private def writeTable(pf: PageFile, rows: Iterator[org.apache.spark.sql.Row]): Int = {
     val b = new BTreeBuilder(pf, fixedRoot = None)
     var rowid = 0L
-    val it = df.toLocalIterator()
-    while (it.hasNext) {
-      val row = it.next()
+    while (rows.hasNext) {
+      val row = rows.next()
       rowid += 1
       b.add(rowid, record(Seq.tabulate(row.length)(row.get)))
     }
     b.finish()
   }
 
-  /** sqlite_master rooted on page 1: one row per table —
+  /** sqlite_master rooted on page 1: one row per table/index —
     * (type, name, tbl_name, rootpage, sql).
     */
-  private def writeMaster(pf: PageFile, entries: Seq[(String, Int, String)]): Unit = {
+  private def writeMaster(pf: PageFile, rows: Seq[Seq[Any]]): Unit = {
     val b = new BTreeBuilder(pf, fixedRoot = Some(1))
-    entries.zipWithIndex.foreach { case ((name, root, sql), i) =>
-      b.add(i + 1L, record(Seq("table", name, name, root, sql)))
-    }
+    rows.zipWithIndex.foreach { case (r, i) => b.add(i + 1L, record(r)) }
     b.finish()
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import scala.sys.process._
 
 /** Benchmark main — runs the headline queries on SPARK_GRAFT_SF_DIR and
   * prints one JSON line. Uses the `noop` sink so the full plan executes
@@ -156,9 +157,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // b5: the SQLite page writer at fact scale — 600k docs streamed into
+    // a single .db table b-tree (the driver-side export path real users
+    // hit with --sqlite). Timed region is the write; the file is
+    // integrity-checked once after timing (validation, not throughput).
+    val b5Db = java.nio.file.Files.createTempDirectory("graft_bench_sqlite")
+      .toString + "/bench.db"
+    def runB5(dir: String): Unit =
+      graft.sinks.SqliteSink.writeSpecs(Seq(graft.sinks.SqliteSink.TableSpec(
+        "docs", bCorpus(dir),
+        """CREATE TABLE "docs"("doc_id" NUMERIC, "text" TEXT)""")), b5Db)
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
-    Seq(runB2 _, runB3 _, runB4 _).foreach { f =>
+    Seq(runB2 _, runB3 _, runB4 _, runB5 _).foreach { f =>
       try f("/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
 
@@ -166,7 +178,18 @@ object Bench {
       "b1_flatten_json_e2e" -> b1Times,
       "b2_minhash_600k" -> runTimes("b2")(runB2(sfDir)),
       "b3_near_dedup_apply_600k" -> runTimes("b3")(runB3(sfDir)),
-      "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)))
+      "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)),
+      "b5_sqlite_sink_600k" -> runTimes("b5")(runB5(sfDir)))
+
+    // post-timing validation: the last b5 file must be a database the real
+    // SQLite library verifies (failure is loud in the bench log, not a
+    // silent bogus throughput number)
+    try {
+      val check = Seq("python3", "-c",
+        s"""import sqlite3; print(sqlite3.connect("$b5Db").execute("PRAGMA integrity_check").fetchone()[0])""")
+        .!!.trim
+      if (check != "ok") System.err.println(s"[bench] b5 integrity_check: $check")
+    } catch { case e: Throwable => System.err.println(s"[bench] b5 check skipped: $e") }
 
     val loadEnd = osBean.getSystemLoadAverage
     def median(ts: Vector[Double]): Double = ts(ts.length / 2)

@@ -40,6 +40,15 @@ object SparkEntry {
     */
   private val PlantedOffset = 100000000L
 
+  /** Cap on documents staged into x40's driver-resident MemoryStream feed
+    * (the feed is harness plumbing; the operator under test is the
+    * streaming state). 200k covers every oracle SF (sf0.1 has ~60k docs)
+    * while keeping a misdirected big-SF Verify run from collecting an
+    * unbounded corpus to the driver. The x40 oracle SQL applies the same
+    * `ORDER BY doc_id LIMIT` cap.
+    */
+  private val StreamDocCap = 200000
+
   /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
     * rejects; read nanos as long and truncate to micros (integer division —
     * ns values exceed 2^53 so double math would lose precision).
@@ -716,7 +725,12 @@ object SparkEntry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.StreamingFlatten
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // bounded feed: MemoryStream is driver-resident by design, so cap
+      // the staged corpus at the StreamDocCap lowest doc_ids (a no-op at
+      // oracle scale factors, an OOM guard if Verify is pointed at a big
+      // SF dir) — the oracle SQL applies the identical cap
       val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(StreamDocCap)
         .as[(Long, String)].collect()
       val in = MemoryStream[(Long, String)]
       in.addData(docs.flatMap { case (id, t) =>
@@ -1073,9 +1087,12 @@ object SparkEntry {
 
     // streaming dedup over the corpus + one planted exact copy per doc
     // must leave exactly the distinct fingerprint set of the corpus
+    // (capped at the StreamDocCap lowest doc_ids, mirroring the query's
+    // bounded MemoryStream feed)
     "x40_streaming_dedup" ->
       s"""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint
-        |FROM documents ORDER BY fingerprint""".stripMargin,
+        |FROM (SELECT text FROM documents ORDER BY doc_id LIMIT $StreamDocCap)
+        |ORDER BY fingerprint""".stripMargin,
 
     "x2_token_stats" ->
       """SELECT doc_id,

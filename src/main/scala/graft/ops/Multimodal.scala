@@ -30,8 +30,48 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String, byte_len: Int,
       width: Int, height: Int, n_frames: Int, feature: Array[Float])
 
+  /** Header-only image decode through the JDK's OWN codecs
+    * (`javax.imageio` — PNG/JPEG/GIF/BMP readers ship in every JVM):
+    * `ImageReader.getWidth/getHeight(0)` parse just the header, never the
+    * pixel data, so this is metadata-extraction cheap even on megabyte
+    * payloads. Returns None when no installed reader recognizes the
+    * payload (wav/mp4/webp — codecs a stock JVM lacks; those fall back
+    * to [[decodeStub]] in [[decodeAuto]]).
+    */
+  def decodeImageHeader(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (payload == null || payload.isEmpty) return None
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          Some((r.getWidth(0), r.getHeight(0)))
+        } catch {
+          // recognized magic bytes but truncated/corrupt header
+          case _: java.io.IOException => None
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  /** Default decoder: REAL dimensions where the JDK has a codec (image
+    * headers via [[decodeImageHeader]]), deterministic [[decodeStub]]
+    * features elsewhere — swap in a JNI/ffmpeg decoder for the rest
+    * without touching the plumbing.
+    */
+  def decodeAuto(r: MediaRow): MediaFeatures =
+    decodeImageHeader(r.payload) match {
+      case Some((w, h)) => decodeStub(r).copy(width = w, height = h, n_frames = 1)
+      case None         => decodeStub(r)
+    }
+
   /** STUB decoder — deterministic fake standing in for the real codec.
-    * Real implementation would decode `payload` (jpeg/wav/mp4) here.
+    * Real implementation would decode `payload` (wav/mp4 — codecs the
+    * JVM lacks; real IMAGE headers decode via [[decodeImageHeader]]).
     * The fake derives stable pseudo-dimensions and a pseudo-feature vector
     * from the payload bytes so tests are reproducible.
     */
@@ -58,7 +98,7 @@ object Multimodal {
     * sources, or an explicit `repartition(n)` after a filter).
     */
   def extractFeatures(ds: Dataset[MediaRow])(
-      decode: MediaRow => MediaFeatures = decodeStub): Dataset[MediaFeatures] = {
+      decode: MediaRow => MediaFeatures = decodeAuto): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       // per-partition decoder/model initialization would go here (once)

@@ -226,6 +226,56 @@ class OpsSpec extends AnyFunSuite {
     assert(labels.size == 200 && labels.values.forall(_ == 1L))
   }
 
+  test("connected components: worst-case 10k-hop path converges in ~log2 rounds, fails fast otherwise") {
+    import spark.implicits._
+    // a 10k-node path is the worst-case diameter for its size: one-hop
+    // label propagation would need 10k rounds. Pointer jumping halves the
+    // remaining path every round, so it must close within
+    // ceil(log2(10000)) ≈ 14 rounds (+ the final no-change round) —
+    // maxIter = 17 both converges AND proves the log-diameter bound the
+    // Scaladoc claims; the default 20 is headroom, not a crutch
+    val n = 10000L
+    val path = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(path, maxIter = 17)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n && labels.values.forall(_ == 1L))
+    // and non-convergence raises instead of returning an under-merged
+    // labeling: 2 rounds can only close ~4 hops of a 10k-hop path
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("multimodal: JDK-decoded image headers give real dimensions, other codecs fall back to the stub") {
+    import spark.implicits._
+    def imgBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", imgBytes("png", 37, 21), "s"),
+      Multimodal.MediaRow(2L, "image", imgBytes("jpg", 640, 480), "s"),
+      Multimodal.MediaRow(3L, "audio", "not an image at all".getBytes("UTF-8"), "s"))
+    val out = Multimodal.extractFeatures(rows.toDS())()
+      .collect().map(f => f.media_id -> f).toMap
+    // planted ground truth: the JDK reader must report the true pixel dims
+    assert((out(1L).width, out(1L).height, out(1L).n_frames) == ((37, 21, 1)))
+    assert((out(2L).width, out(2L).height) == ((640, 480)))
+    // non-image payloads keep the documented deterministic stub behavior
+    val stub = Multimodal.decodeStub(rows(2))
+    assert(out(3L).width == stub.width && out(3L).height == stub.height)
+    assert(Multimodal.decodeImageHeader(rows(2).payload).isEmpty)
+    // truncated image header: recognized magic but unreadable → stub path
+    assert(Multimodal.decodeImageHeader(imgBytes("png", 5, 5).take(12)).isEmpty)
+  }
+
   test("fingerprint whitespace class: vertical tab and NBSP normalize like space") {
     val d = docsDf(Seq(
       1L -> "a b",

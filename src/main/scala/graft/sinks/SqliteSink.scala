@@ -162,10 +162,11 @@ object SqliteSink {
 
   // ---- page-level file plumbing ---------------------------------------
 
-  private final class PageFile(path: String) {
+  private[sinks] final class PageFile(path: String) {
     private val raf = new RandomAccessFile(path, "rw")
     raf.setLength(0)
     private var pages = 0
+    private[sinks] var ioNanos = 0L
 
     def reservePage1(): Unit = { require(pages == 0); pages = 1 }
 
@@ -178,8 +179,10 @@ object SqliteSink {
 
     def writePage(no: Int, data: Array[Byte]): Unit = {
       require(data.length == PageSize, s"page must be $PageSize bytes")
+      val t0 = System.nanoTime()
       raf.seek((no - 1).toLong * PageSize)
       raf.write(data)
+      ioNanos += System.nanoTime() - t0
     }
 
     /** Database header into the first 100 bytes of page 1 (page 1's
@@ -279,21 +282,32 @@ object SqliteSink {
   }
 
   /** SQLite record: header (self-inclusive length varint + serial types)
-    * then the value bodies.
+    * then the value bodies. Assembled with raw arrays + arraycopy — this
+    * is the per-row hot path of the whole sink, and an ArrayBuffer[Byte]
+    * here boxes every payload byte (measured 2-3× the write time).
     */
   private[sinks] def record(values: Seq[Any]): Array[Byte] = {
     val parts = values.map(serial)
     val typeVarints = parts.map(p => varint(p._1))
-    val tvLen = typeVarints.map(_.length).sum
+    var tvLen = 0
+    typeVarints.foreach(tvLen += _.length)
     // header length varint includes itself — fixpoint (stable in ≤ 2 steps)
     var hdrLen = tvLen + 1
     while (varint(hdrLen.toLong).length + tvLen != hdrLen)
       hdrLen = varint(hdrLen.toLong).length + tvLen
-    val out = ArrayBuffer.empty[Byte]
-    out ++= varint(hdrLen.toLong)
-    typeVarints.foreach(out ++= _)
-    parts.foreach(out ++= _._2)
-    out.toArray
+    val hv = varint(hdrLen.toLong)
+    var total = hdrLen
+    parts.foreach(total += _._2.length)
+    val out = new Array[Byte](total)
+    var off = 0
+    System.arraycopy(hv, 0, out, off, hv.length); off += hv.length
+    typeVarints.foreach { tv =>
+      System.arraycopy(tv, 0, out, off, tv.length); off += tv.length
+    }
+    parts.foreach { p =>
+      System.arraycopy(p._2, 0, out, off, p._2.length); off += p._2.length
+    }
+    out
   }
 
   /** How many payload bytes stay on the b-tree page (the format's K
@@ -308,43 +322,46 @@ object SqliteSink {
 
   /** Local payload bytes, plus the 4-byte first-overflow-page pointer if
     * the payload spills — allocating and writing the overflow chain now
-    * (page order is free).
+    * (page order is free). Returns `payload` itself when nothing spills
+    * (the common case) — callers only read it.
     */
   private def payloadBody(pf: PageFile, payload: Array[Byte],
       maxLocal: Int): Array[Byte] = {
     val p = payload.length
     val local = localSize(p, maxLocal)
-    val out = ArrayBuffer.empty[Byte]
-    out ++= payload.take(local)
-    if (local < p) {
-      var off = local
-      var firstPage = 0
-      var prev: (Int, Array[Byte]) = null
-      while (off < p) {
-        val no = pf.allocate()
-        if (prev == null) firstPage = no
-        else { // back-patch previous page's next pointer
-          putInt(prev._2, 0, no); pf.writePage(prev._1, prev._2)
-        }
-        val page = new Array[Byte](PageSize)
-        val n = math.min(Usable - 4, p - off)
-        System.arraycopy(payload, off, page, 4, n)
-        off += n
-        prev = (no, page)
+    if (local == p) return payload
+    val out = new Array[Byte](local + 4)
+    System.arraycopy(payload, 0, out, 0, local)
+    var off = local
+    var firstPage = 0
+    var prev: (Int, Array[Byte]) = null
+    while (off < p) {
+      val no = pf.allocate()
+      if (prev == null) firstPage = no
+      else { // back-patch previous page's next pointer
+        putInt(prev._2, 0, no); pf.writePage(prev._1, prev._2)
       }
-      pf.writePage(prev._1, prev._2)
-      out ++= java.nio.ByteBuffer.allocate(4).putInt(firstPage).array()
+      val page = new Array[Byte](PageSize)
+      val n = math.min(Usable - 4, p - off)
+      System.arraycopy(payload, off, page, 4, n)
+      off += n
+      prev = (no, page)
     }
-    out.toArray
+    pf.writePage(prev._1, prev._2)
+    putInt(out, local, firstPage)
+    out
   }
 
   /** Leaf-table cell: varint(payload) + varint(rowid) + local payload. */
   private def leafCell(pf: PageFile, rowid: Long, payload: Array[Byte]): Array[Byte] = {
-    val cell = ArrayBuffer.empty[Byte]
-    cell ++= varint(payload.length.toLong)
-    cell ++= varint(rowid)
-    cell ++= payloadBody(pf, payload, MaxLocal)
-    cell.toArray
+    val v1 = varint(payload.length.toLong)
+    val v2 = varint(rowid)
+    val body = payloadBody(pf, payload, MaxLocal)
+    val out = new Array[Byte](v1.length + v2.length + body.length)
+    System.arraycopy(v1, 0, out, 0, v1.length)
+    System.arraycopy(v2, 0, out, v1.length, v2.length)
+    System.arraycopy(body, 0, out, v1.length + v2.length, body.length)
+    out
   }
 
   private def putInt(a: Array[Byte], off: Int, v: Int): Unit = {
@@ -390,7 +407,7 @@ object SqliteSink {
     * into `fixedRoot` (page 1 for sqlite_master, with its 100-byte
     * reserve) when given, else on a fresh page.
     */
-  private final class BTreeBuilder(pf: PageFile, fixedRoot: Option[Int]) {
+  private[sinks] final class BTreeBuilder(pf: PageFile, fixedRoot: Option[Int]) {
     private val rootReserve = if (fixedRoot.isDefined) 100 else 0
     private var cells = ArrayBuffer.empty[Array[Byte]]
     private var rowids = ArrayBuffer.empty[Long]
@@ -443,15 +460,19 @@ object SqliteSink {
         flushed += ((n2, lastRid))
         cells = ArrayBuffer.empty; rowids = ArrayBuffer.empty; cellBytes = 0
       } else if (cells.nonEmpty) flushLeaf()
-      var level: Seq[(Int, Long)] = flushed.toSeq
+      // IndexedSeq, not Seq: the chunking below indexes into the level,
+      // and a List here made finish() quadratic in the leaf count
+      // (measured 5.8 s of a 6.1 s 300k-row write before the fix)
+      var level: IndexedSeq[(Int, Long)] = flushed.toIndexedSeq
       while (true) {
         // interior cells: 4-byte child + varint(max rowid of its subtree);
         // the level's last child rides the right-most pointer
         val interior = level.init.map { case (child, key) =>
-          val c = ArrayBuffer.empty[Byte]
-          c ++= java.nio.ByteBuffer.allocate(4).putInt(child).array()
-          c ++= varint(key)
-          c.toArray
+          val v = varint(key)
+          val c = new Array[Byte](4 + v.length)
+          putInt(c, 0, child)
+          System.arraycopy(v, 0, c, 4, v.length)
+          c
         }
         val rightMost = level.last._1
         val size = interior.map(_.length + 2).sum
@@ -468,13 +489,16 @@ object SqliteSink {
         val cellLen = level.map { case (child, key) => 4 + varint(key).length + 2 }
         val groups = ArrayBuffer.empty[Vector[Int]]
         var g = Vector.empty[Int]
+        var gSum = 0 // running Σ cellLen over g — no per-element re-summation
         level.indices.foreach { i =>
-          val cand = g :+ i
-          if (cand.length >= 2 &&
-              cand.init.map(cellLen).sum > interiorCapacity(0)) {
+          if (g.nonEmpty && gSum > interiorCapacity(0)) {
             groups += g
             g = Vector(i)
-          } else g = cand
+            gSum = cellLen(i)
+          } else {
+            g = g :+ i
+            gSum += cellLen(i)
+          }
         }
         groups += g
         // a trailing singleton group would render a 0-cell interior page
@@ -485,12 +509,13 @@ object SqliteSink {
           groups(groups.length - 1) = Vector(prev.last, groups.last.head)
           groups(groups.length - 2) = prev.init
         }
-        level = groups.toSeq.map { grp =>
+        level = groups.toIndexedSeq.map { grp =>
           val cs = grp.init.map { j =>
-            val c = ArrayBuffer.empty[Byte]
-            c ++= java.nio.ByteBuffer.allocate(4).putInt(level(j)._1).array()
-            c ++= varint(level(j)._2)
-            c.toArray
+            val v = varint(level(j)._2)
+            val c = new Array[Byte](4 + v.length)
+            putInt(c, 0, level(j)._1)
+            System.arraycopy(v, 0, c, 4, v.length)
+            c
           }
           val (rightPage, rightKey) = level(grp.last)
           val no = pf.allocate()
@@ -556,11 +581,14 @@ object SqliteSink {
     private def writeLevelPage(items: Seq[(Int, Array[Byte])],
         interior: Boolean, rightMost: Int): Int = {
       val cells = items.map { case (ch, p) =>
-        val c = ArrayBuffer.empty[Byte]
-        if (interior) c ++= java.nio.ByteBuffer.allocate(4).putInt(ch).array()
-        c ++= varint(p.length.toLong)
-        c ++= payloadBody(pf, p, MaxLocalIdx)
-        c.toArray
+        val v = varint(p.length.toLong)
+        val body = payloadBody(pf, p, MaxLocalIdx)
+        val childLen = if (interior) 4 else 0
+        val c = new Array[Byte](childLen + v.length + body.length)
+        if (interior) putInt(c, 0, ch)
+        System.arraycopy(v, 0, c, childLen, v.length)
+        System.arraycopy(body, 0, c, childLen + v.length, body.length)
+        c
       }
       val no = pf.allocate()
       pf.writePage(no, renderPage(

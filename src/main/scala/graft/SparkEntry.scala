@@ -311,6 +311,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x41_chunk_docs" -> ((s, dir) => {
+      // overlapping token-window chunking — maxTokens=64 / overlap=16 so
+      // the sf corpus produces a healthy multi-chunk tail (long docs) plus
+      // plenty of single-chunk short docs
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      TextAnalysis.chunkDocuments(d, "text", "doc_id", maxTokens = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "x3_fingerprint" -> ((s, dir) =>
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1105,6 +1115,27 @@ object SparkEntry {
     "x3_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // overlapping 64-token windows, stride 48 (= 64 - 16 overlap); chunk
+    // count is ceil((n - 64) / 48) + 1 with a floor of one chunk; empty
+    // docs chunk to nothing. Multiple unnests zip positionally in DuckDB,
+    // so chunk_id / chunk_text / n_tokens stay aligned.
+    "x41_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE len(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS INT)) + 1 AS nch
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  unnest(generate_series(0, nch - 1)) AS chunk_id,
+        |  unnest([array_to_string(toks[48*i + 1 : 48*i + 64], ' ')
+        |          for i in generate_series(0, nch - 1)]) AS chunk_text,
+        |  unnest([len(toks[48*i + 1 : 48*i + 64])
+        |          for i in generate_series(0, nch - 1)]) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "x4_quality" ->
       s"""SELECT doc_id,

@@ -30,6 +30,42 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Split documents into overlapping fixed-size token windows — the
+    * standard pre-tokenization chunking step of a training pipeline
+    * (long documents become `maxTokens`-token chunks that overlap by
+    * `overlap` tokens so no span is lost at a boundary).
+    *
+    * Output: one row per (doc, chunk) with `chunk_id` (0-based),
+    * `chunk_text` (the window re-joined with single spaces) and
+    * `n_tokens`. Documents with no tokens produce no chunks; documents
+    * at or under `maxTokens` produce exactly one. Chunk count is
+    * `ceil((n - maxTokens) / stride) + 1` with `stride = maxTokens -
+    * overlap`, so the last window always starts within the document.
+    *
+    * Pure column expressions (split → sequence → explode → slice) — the
+    * whole operator is one codegen'd projection + generate, no shuffle
+    * at all: chunking 100 TB is a scan.
+    */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(col("__toks"))
+    val nChunks = greatest(lit(0),
+      ceil((n - lit(maxTokens)).cast(DoubleType) / lit(stride)).cast(IntegerType)) + 1
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_id") * stride + 1, lit(maxTokens)))
+          .as("n_tokens"))
+  }
+
   /** Non-punctuation class (alphanumerics + the explicit whitespace set of
     * [[FingerprintWsJava]]) — same cross-engine rationale: a bare `\s`
     * here would count U+000B as whitespace in Spark but as punctuation in

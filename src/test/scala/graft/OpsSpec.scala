@@ -350,6 +350,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == Seq(0.0, 0.0))
   }
 
+  test("chunkDocuments: overlapping windows cover every token, short docs stay whole") {
+    import spark.implicits._
+    // 10 tokens, windows of 4 overlapping by 1 → stride 3 →
+    // ceil((10-4)/3)+1 = 3 chunks: [t1..t4], [t4..t7], [t7..t10]
+    val long = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq(
+      (1L, long),
+      (2L, "a b c"),       // under maxTokens → one whole chunk
+      (3L, "   "),         // no tokens → no chunks
+      (4L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "text", "doc_id", maxTokens = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4),
+      (1L, 1, "t4 t5 t6 t7", 4),
+      (1L, 2, "t7 t8 t9 t10", 4),
+      (2L, 0, "a b c", 3),
+      (4L, 0, "x", 1)))
+    // boundary: exactly maxTokens → one chunk; maxTokens+1 → two, the
+    // second carrying overlap+1 tokens
+    val edge = Seq((5L, "a b c d"), (6L, "a b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(edge, "text", "doc_id", maxTokens = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (5L, 0, "a b c d", 4),
+      (6L, 0, "a b c d", 4),
+      (6L, 1, "d e", 2)))
+    // the plan is a pure scan: no exchange anywhere
+    val plan = TextAnalysis.chunkDocuments(df, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
+  }
+
   test("groupPercentiles: exact quartiles with interpolation") {
     import spark.implicits._
     // en: values 1..5 → quartiles 2, 3, 4; fr: 10,20 → 12.5, 15, 17.5

@@ -50,6 +50,7 @@ object TextAnalysis {
       maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap >= 0 && maxTokens > overlap,
       s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    require(!df.columns.contains("__toks"), "column name __toks is reserved")
     val stride = maxTokens - overlap
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(col("__toks"))

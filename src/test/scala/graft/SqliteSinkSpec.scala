@@ -89,6 +89,33 @@ class SqliteSinkSpec extends AnyFunSuite {
     assert(pageTypes.contains(0x02), "expected an interior index page")
   }
 
+  test("deep index b-trees: long keys force multi-level interior promotion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sqlite_deep").toString
+    val db = s"$dir/deep.db"
+    // ~300-byte keys → ~12 entries per index leaf and ~12 per interior
+    // page → 20k entries need 3+ levels, so entries promote through an
+    // interior level into a higher one (the 20k short-key test only ever
+    // builds one interior level)
+    val rows = (1 to 20000).map(i => (f"k$i%08d" + "x" * 290, i.toLong))
+    val docs = rows.toDF("k", "n")
+    SqliteSink.writeSpecs(Seq(SqliteSink.TableSpec(
+      "d", docs, """CREATE TABLE "d"("k" TEXT, "n" NUMERIC)""",
+      Seq(SqliteSink.IndexSpec("idx_d_k", "k", unique = true,
+        Some("""CREATE UNIQUE INDEX "idx_d_k" ON "d"("k")"""))))), db)
+    assert(py(db, """print(con.execute("PRAGMA integrity_check").fetchone()[0])""") == "ok")
+    assert(py(db, """print(con.execute('SELECT n FROM "d" WHERE k = ?', ("k00000042" + "x"*290,)).fetchone()[0])""")
+      == "42")
+    assert(py(db, """print(con.execute('SELECT count(*) FROM "d" WHERE k BETWEEN \'k00010000\' AND \'k00010999z\'').fetchone()[0])""")
+      == "1000")
+    // ≥ 2 interior index levels really exist: at 12-ish fanout the root
+    // cannot sit directly over the leaves
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(db))
+    val interiorIdx = (1 until bytes.length / 4096)
+      .count(p => (bytes(p * 4096) & 0xff) == 0x02)
+    assert(interiorIdx > 20, s"expected a deep interior index layer, got $interiorIdx pages")
+  }
+
   test("page-1 master b-tree sizes across the reserved-root boundary stay valid") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sqlite_p1").toString

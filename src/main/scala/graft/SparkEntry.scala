@@ -321,6 +321,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "x42_dup_ngrams" -> ((s, dir) =>
+      // Gopher repetition signal: fraction of duplicate 3-grams per doc
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.dupNgramRatio(col("text"), 3).as("dup_3gram_ratio"))
+        .orderBy(col("doc_id"))),
+
     "x3_fingerprint" -> ((s, dir) =>
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1115,6 +1122,24 @@ object SparkEntry {
     "x3_fingerprint" ->
       s"""SELECT doc_id, md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // duplicate-3-gram fraction: 1 - distinct/total over whitespace
+    // 3-grams, 0.0 under 3 tokens; exact integer counts divided in double
+    // are bit-identical across engines
+    "x42_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN n - 2 <= 0 THEN 0.0
+        |       ELSE 1.0 - len(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |                                     for i in generate_series(1, n - 2)]))
+        |                  / CAST(n - 2 AS DOUBLE)
+        |  END AS dup_3gram_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     // overlapping 64-token windows, stride 48 (= 64 - 16 overlap); chunk
     // count is ceil((n - 64) / 48) + 1 with a floor of one chunk; empty

@@ -30,6 +30,23 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** Fraction of repeated `n`-grams over whitespace tokens — the Gopher
+    * repetition signal (published heuristic: heavily self-repeating
+    * documents are low-quality): 1 - distinct_ngrams / total_ngrams,
+    * 0.0 for documents with fewer than `n` tokens. Exact small-integer
+    * division in both engines, so the double is oracle-reproducible.
+    * Pure column expressions — scan-speed like every other text metric.
+    */
+  def dupNgramRatio(text: Column, n: Int = 3): Column = {
+    val toks = split(trim(text), "\\s+")
+    val total = size(toks) - (n - 1)
+    when(length(trim(text)) === 0 || total <= 0, 0.0).otherwise(
+      lit(1.0) -
+        size(array_distinct(transform(sequence(lit(1), total),
+          i => array_join(slice(toks, i, lit(n)), " ")))).cast(DoubleType) /
+        total)
+  }
+
   /** Split documents into overlapping fixed-size token windows — the
     * standard pre-tokenization chunking step of a training pipeline
     * (long documents become `maxTokens`-token chunks that overlap by

@@ -385,6 +385,24 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunking should not shuffle:\n$plan")
   }
 
+  test("dupNgramRatio: repeated 3-grams score, unique text scores 0, short text safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aa bb aa bb aa"),            // 3-grams: [aa bb aa][bb aa bb][aa bb aa] → 2/3 distinct
+      (2L, "one two three four"),        // all distinct → 0.0
+      (3L, "x y"),                       // under 3 tokens → 0.0
+      (4L, ""),                          // empty → 0.0
+      (5L, "go go go go go")).toDF("doc_id", "text") // all 3-grams identical → 1 - 1/3
+    val out = df.select($"doc_id",
+        TextAnalysis.dupNgramRatio($"text", 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(out(1L) - (1.0 - 2.0 / 3)) < 1e-12)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+    assert(out(4L) == 0.0)
+    assert(math.abs(out(5L) - (1.0 - 1.0 / 3)) < 1e-12)
+  }
+
   test("groupPercentiles: exact quartiles with interpolation") {
     import spark.implicits._
     // en: values 1..5 → quartiles 2, 3, 4; fr: 10,20 → 12.5, 15, 17.5

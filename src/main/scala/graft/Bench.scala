@@ -38,6 +38,13 @@ object Bench {
 
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // a loaded machine contaminates every number below (r5/r7 both lost an
+    // artifact to it) — make it loud at the TOP of the log and in the JSON
+    val cores = Runtime.getRuntime.availableProcessors
+    val loadWarn = loadStart > 0.25 * cores
+    if (loadWarn) System.err.println(
+      f"[bench] WARNING: load_avg_start $loadStart%.2f > 0.25 x $cores cores — " +
+        "timings will read high; re-run on an idle machine before trusting them")
 
     // JVM/Spark warmup outside the timed region: run every headline query
     // once at the smallest SF so codegen compilation and classloading are
@@ -168,9 +175,36 @@ object Bench {
         "docs", bCorpus(dir),
         """CREATE TABLE "docs"("doc_id" NUMERIC, "text" TEXT)""")), b5Db)
 
+    // b6: the INDEXED SQLite export at fact scale — the exact path
+    // `--sqlite` users hit (api/Flatten wires a unique index on `_link`
+    // plus one per `_link_<t>`, with FK DDL): 600k docs into a table
+    // b-tree PLUS two index b-trees, each index pass a Spark sortBy over
+    // the persisted zipWithIndex of the table. b5 measures the bare table
+    // writer; b6 adds the K+1-pass index machinery on top.
+    val b6Db = java.nio.file.Files.createTempDirectory("graft_bench_sqlite_idx")
+      .toString + "/bench_idx.db"
+    def runB6(dir: String): Unit = {
+      import org.apache.spark.sql.functions._
+      val docs = bCorpus(dir).select(
+        col("doc_id").cast("string").as("_link"),
+        (col("doc_id") % 1000).cast("string").as("_link_parent"),
+        col("text"))
+      graft.sinks.SqliteSink.writeSpecs(Seq(graft.sinks.SqliteSink.TableSpec(
+        "docs", docs,
+        """CREATE TABLE "docs"("_link" TEXT, "_link_parent" TEXT, "text" TEXT, """ +
+          """FOREIGN KEY ("_link_parent") REFERENCES "parent"("_link"))""",
+        Seq(
+          graft.sinks.SqliteSink.IndexSpec("idx_docs__link", "_link", unique = true,
+            Some("""CREATE UNIQUE INDEX "idx_docs__link" ON "docs"("_link")""")),
+          graft.sinks.SqliteSink.IndexSpec("idx_docs__link_parent", "_link_parent",
+            unique = false,
+            Some("""CREATE INDEX "idx_docs__link_parent" ON "docs"("_link_parent")"""))))),
+        b6Db)
+    }
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
-    Seq(runB2 _, runB3 _, runB4 _, runB5 _).foreach { f =>
+    Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _).foreach { f =>
       try f("/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
 
@@ -179,17 +213,20 @@ object Bench {
       "b2_minhash_600k" -> runTimes("b2")(runB2(sfDir)),
       "b3_near_dedup_apply_600k" -> runTimes("b3")(runB3(sfDir)),
       "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)),
-      "b5_sqlite_sink_600k" -> runTimes("b5")(runB5(sfDir)))
+      "b5_sqlite_sink_600k" -> runTimes("b5")(runB5(sfDir)),
+      "b6_sqlite_indexed_600k" -> runTimes("b6")(runB6(sfDir)))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a
     // silent bogus throughput number)
-    try {
-      val check = Seq("python3", "-c",
-        s"""import sqlite3; print(sqlite3.connect("$b5Db").execute("PRAGMA integrity_check").fetchone()[0])""")
-        .!!.trim
-      if (check != "ok") System.err.println(s"[bench] b5 integrity_check: $check")
-    } catch { case e: Throwable => System.err.println(s"[bench] b5 check skipped: $e") }
+    Seq("b5" -> b5Db, "b6" -> b6Db).foreach { case (name, db) =>
+      try {
+        val check = Seq("python3", "-c",
+          s"""import sqlite3; print(sqlite3.connect("$db").execute("PRAGMA integrity_check").fetchone()[0])""")
+          .!!.trim
+        if (check != "ok") System.err.println(s"[bench] $name integrity_check: $check")
+      } catch { case e: Throwable => System.err.println(s"[bench] $name check skipped: $e") }
+    }
 
     val loadEnd = osBean.getSystemLoadAverage
     def median(ts: Vector[Double]): Double = ts(ts.length / 2)
@@ -198,10 +235,13 @@ object Bench {
     val spread = allTimes.map { case (k, ts) =>
       "\"" + k + f"""\":[${ts.head}%.3f,${ts.last}%.3f]""" }.mkString("{", ",", "}")
     val total = allTimes.map { case (_, ts) => median(ts) }.sum
+    if (loadWarn) System.err.println(
+      f"[bench] WARNING: this artifact started at load_avg $loadStart%.2f " +
+        f"(>$cores%d-core idle threshold) — treat the numbers as upper bounds")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""runs":$Runs,"spread":$spread,""" +
+      f""""runs":$Runs,"spread":$spread,"load_warn":$loadWarn,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,""" +
-      s""""available_processors":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}""")
+      s""""available_processors":$cores,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,6 +31,8 @@ object SparkEntry {
 
   /** RE2 spellings of the shared regex classes, for DuckDB oracles. */
   private val FpWs = TextAnalysis.FingerprintWsRe2
+  private val TokWs = TextAnalysis.TokenWsRe2
+  private val WsChars = TextAnalysis.WsCharsRe2
   private val PunctEx = TextAnalysis.PunctExcludeRe2
 
   /** Offset added to planted-copy ids in the x-series queries — far above
@@ -1112,10 +1114,10 @@ object SparkEntry {
         |ORDER BY fingerprint""".stripMargin,
 
     "x2_token_stats" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |  CASE WHEN len(trim(text)) = 0 THEN 0
-        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens_ws,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS n_tokens_re,
+        |       ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_$WsChars]')) AS n_tokens_re,
         |  len(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1127,10 +1129,10 @@ object SparkEntry {
     // 3-grams, 0.0 under 3 tokens; exact integer counts divided in double
     // are bit-identical across engines
     "x42_dup_ngrams" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '$TokWs') AS toks,
         |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |         ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n
         |  FROM documents
         |)
         |SELECT doc_id,
@@ -1146,8 +1148,8 @@ object SparkEntry {
     // docs chunk to nothing. Multiple unnests zip positionally in DuckDB,
     // so chunk_id / chunk_text / n_tokens stay aligned.
     "x41_chunk_docs" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '$TokWs') AS toks
         |  FROM documents WHERE len(trim(text)) > 0
         |), c AS (
         |  SELECT doc_id, toks,
@@ -1383,10 +1385,10 @@ object SparkEntry {
         |FROM feat CROSS JOIN harr ORDER BY doc_id""".stripMargin,
 
     "x32_pack_tokens" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id,
         |    CASE WHEN len(trim(text)) = 0 THEN 0
-        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |         ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n_tokens,
         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT % 8 AS INT) AS shard
         |  FROM documents),
         |offs AS (
@@ -1408,13 +1410,13 @@ object SparkEntry {
         |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
     "x34_len_percentiles" ->
-      """SELECT lang, count(*) AS n,
+      s"""SELECT lang, count(*) AS n,
         |  quantile_cont(n_tokens, 0.25) AS p25,
         |  quantile_cont(n_tokens, 0.5)  AS p50,
         |  quantile_cont(n_tokens, 0.75) AS p75
         |FROM (SELECT lang,
         |        CASE WHEN len(trim(text)) = 0 THEN 0
-        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |             ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n_tokens
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
 

@@ -13,18 +13,47 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** The explicit whitespace character set (class contents, no brackets):
+    * ASCII whitespace incl. vertical tab U+000B, NEL, and the Unicode
+    * space separators. Spelled out so every engine agrees: a bare `\s`
+    * means different sets in java.util.regex (includes U+000B) vs
+    * RE2/DuckDB (does not), and both miss Unicode spaces — real-world
+    * text with an NBSP would tokenize/fingerprint differently per engine.
+    * `WsCharsRe2` is the same set in RE2 escape syntax for oracle/DuckDB.
+    */
+  val WsCharsJava: String =
+    " \\t\\n\\u000B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000"
+  val WsCharsRe2: String =
+    " \\t\\n\\x{000B}\\f\\r\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}"
+
+  /** Whitespace-run pattern built from [[WsCharsJava]] — used for both
+    * fingerprint normalization and whitespace tokenization so the token
+    * boundary definition is engine-portable. [[TokenWsRe2]] is the RE2
+    * spelling for DuckDB oracles.
+    */
+  val FingerprintWsJava: String = s"[$WsCharsJava]+"
+  val FingerprintWsRe2: String = s"[$WsCharsRe2]+"
+  val TokenWsJava: String = FingerprintWsJava
+  val TokenWsRe2: String = FingerprintWsRe2
+
+  /** Whitespace token count. Splits on [[TokenWsJava]] — the explicit
+    * whitespace class, not `\s` — so Spark and RE2-based oracle engines
+    * tokenize identically (java.util.regex counts U+000B as `\s`, RE2
+    * does not; see [[FingerprintWsJava]]).
+    */
   def tokenCountWs(text: Column): Column =
     when(length(trim(text)) === 0, 0)
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), TokenWsJava)))
 
   /** BPE-ish subword-ish token count: words and individual punctuation
     * marks counted separately (a cheap proxy for tokenizer cost — the
     * standard pretraining heuristic when the real tokenizer is too slow
-    * for a first pass).
+    * for a first pass). The whitespace set inside the negated class is
+    * spelled explicitly for the same cross-engine reason as [[tokenCountWs]].
     */
   def tokenCountRegex(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+    size(regexp_extract_all(text,
+      lit(s"[A-Za-z0-9_]+|[^A-Za-z0-9_$WsCharsJava]"), lit(0)))
 
   /** Tokens as an array column (lowercased words). */
   def tokens(text: Column): Column =
@@ -38,7 +67,7 @@ object TextAnalysis {
     * Pure column expressions — scan-speed like every other text metric.
     */
   def dupNgramRatio(text: Column, n: Int = 3): Column = {
-    val toks = split(trim(text), "\\s+")
+    val toks = split(trim(text), TokenWsJava)
     val total = size(toks) - (n - 1)
     when(length(trim(text)) === 0 || total <= 0, 0.0).otherwise(
       lit(1.0) -
@@ -69,7 +98,7 @@ object TextAnalysis {
       s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
     require(!df.columns.contains("__toks"), "column name __toks is reserved")
     val stride = maxTokens - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = split(trim(col(textCol)), TokenWsJava)
     val n = size(col("__toks"))
     val nChunks = greatest(lit(0),
       ceil((n - lit(maxTokens)).cast(DoubleType) / lit(stride)).cast(IntegerType)) + 1
@@ -90,10 +119,8 @@ object TextAnalysis {
     * an RE2 oracle, flipping quality gates near the threshold.
     * [[PunctExcludeRe2]] is the RE2 spelling for DuckDB oracles.
     */
-  val PunctExcludeJava: String =
-    "[A-Za-z0-9 \\t\\n\\u000B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]"
-  val PunctExcludeRe2: String =
-    "[A-Za-z0-9 \\t\\n\\x{000B}\\f\\r\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]"
+  val PunctExcludeJava: String = s"[A-Za-z0-9$WsCharsJava]"
+  val PunctExcludeRe2: String = s"[A-Za-z0-9$WsCharsRe2]"
 
   /** Ratio of punctuation characters to total characters. */
   def punctRatio(text: Column): Column =
@@ -127,19 +154,6 @@ object TextAnalysis {
     val wordOk  = (meanWordLen(text).between(2.0, 12.0)).cast(DoubleType)
     (lenOk + punctOk + stopOk + wordOk) / 4.0
   }
-
-  /** Whitespace class for fingerprint normalization, spelled out explicitly
-    * (ASCII whitespace incl. vertical tab U+000B, NEL, and the Unicode space separators)
-    * so every engine agrees: a bare `\s` means different sets in
-    * java.util.regex (includes U+000B) vs RE2/DuckDB (does not), and both
-    * miss Unicode spaces — real-world text with an NBSP would fingerprint
-    * differently per engine. [[FingerprintWsRe2]] is the same class in RE2
-    * syntax for oracle/DuckDB use.
-    */
-  val FingerprintWsJava: String =
-    "[ \\t\\n\\u000B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
-  val FingerprintWsRe2: String =
-    "[ \\t\\n\\x{000B}\\f\\r\\x{0085}\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
 
   /** Document fingerprint: md5 of whitespace-normalized lowercased text.
     * Stable across engines (md5 is md5 everywhere) — the exact-dedup key.

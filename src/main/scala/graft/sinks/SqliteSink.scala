@@ -114,7 +114,7 @@ object SqliteSink {
               // points), rowid ascending — the driver only streams
               val sorted = withId
                 .map { case (row, i) =>
-                  (if (row.isNullAt(fi)) null else row.getString(fi), i + 1L)
+                  (if (row.isNullAt(fi)) null else utf8Clean(row.getString(fi)), i + 1L)
                 }
                 .sortBy(identity)(IdxKeyOrdering,
                   scala.reflect.classTag[(String, Long)])
@@ -132,10 +132,31 @@ object SqliteSink {
     } finally pf.close()
   }
 
+  /** Normalize a key string the way UTF-8 encoding will: `getBytes(UTF_8)`
+    * encodes an unpaired surrogate as '?' (0x3F), so a key containing one
+    * would sort (by code point, 0xD800-0xDFFF) differently from its stored
+    * bytes and corrupt index binary-search order. Round-tripping through
+    * UTF-8 applies the same replacement up front; valid UTF-16 — the only
+    * thing parquet/JSON sources can produce — passes through untouched
+    * (paired surrogates survive the round-trip losslessly, and the
+    * surrogate scan is a cheap char-range check).
+    */
+  private[sinks] def utf8Clean(s: String): String = {
+    var i = 0
+    var hasSurrogate = false
+    while (!hasSurrogate && i < s.length) {
+      if (Character.isSurrogate(s.charAt(i))) hasSurrogate = true
+      i += 1
+    }
+    if (!hasSurrogate) s else new String(s.getBytes(UTF_8), UTF_8)
+  }
+
   /** SQLite index-record order over (key, rowid): NULLs first, then the
     * TEXT keys by BINARY collation — memcmp of the UTF-8 bytes, which
     * equals code-point order — then rowid. Code-point compare works
     * char-wise because equal prefixes keep `codePointAt` aligned.
+    * Precondition: keys are valid UTF-16 (callers run [[utf8Clean]]
+    * first), otherwise code-point order diverges from stored-byte order.
     */
   private[sinks] object IdxKeyOrdering extends Ordering[(String, Long)] {
     override def compare(a: (String, Long), b: (String, Long)): Int = {

@@ -40,6 +40,12 @@ object JsonInput {
   def ndjson(spark: SparkSession, paths: String*): DataFrame =
     spark.read.json(paths: _*)
 
+  /** Default per-file size cap for [[jsonStream]]: 1 GiB. Overridable via
+    * the `GRAFT_MAX_STREAM_FILE_BYTES` env var or the explicit overload.
+    */
+  val DefaultMaxStreamFileBytes: Long =
+    sys.env.get("GRAFT_MAX_STREAM_FILE_BYTES").map(_.toLong).getOrElse(1L << 30)
+
   /** S4: concatenated "JSON stream" — whitespace-separated top-level
     * objects, not line-aligned (`docs/options.md:309-341`). No native Spark
     * reader exists; we read file-per-row (`wholetext`) and split documents
@@ -50,13 +56,50 @@ object JsonInput {
     * The splitter is a per-file linear scan — fine for the reference's
     * workload shape (many modest files); NDJSON remains the recommended
     * format at 100 TB (as the reference itself documents,
-    * `docs/options.md:796-804`).
+    * `docs/options.md:796-804`). `wholetext` means one file = one String
+    * in one task, so a single multi-GB stream file would OOM an executor
+    * with no useful error — a pre-flight listing fails fast past
+    * `maxFileBytes` (on-disk size; note a `.gz` expands further) with a
+    * convert-to-NDJSON pointer instead.
     */
-  def jsonStream(spark: SparkSession, paths: String*): DataFrame = {
+  def jsonStream(spark: SparkSession, paths: String*): DataFrame =
+    jsonStream(spark, DefaultMaxStreamFileBytes, paths: _*)
+
+  def jsonStream(spark: SparkSession, maxFileBytes: Long, paths: String*): DataFrame = {
     import spark.implicits._
+    preflightSizeCheck(spark, paths, maxFileBytes)
     val whole: Dataset[String] = spark.read.option("wholetext", true).textFile(paths: _*)
     val docs = whole.flatMap(splitTopLevel _)
     spark.read.json(docs)
+  }
+
+  /** Fail fast when any input file exceeds `maxFileBytes` — before the
+    * scan starts, on the driver, with the file named. Globs and
+    * directories expand the way Spark's file source does (one listing
+    * round, non-recursive), so the check sees exactly the files the
+    * `wholetext` read would load whole.
+    */
+  private def preflightSizeCheck(spark: SparkSession, paths: Seq[String],
+      maxFileBytes: Long): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    paths.foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).filter(_.nonEmpty)
+        .getOrElse(Array(fs.getFileStatus(hp)))
+      val files = matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }
+      files.find(_.getLen > maxFileBytes).foreach { st =>
+        throw new IllegalArgumentException(
+          s"json-stream input ${st.getPath} is ${st.getLen} bytes, over the " +
+            s"$maxFileBytes-byte per-file cap: wholetext loads each stream file " +
+            "as ONE string in ONE task, so a file this size risks executor OOM. " +
+            "Convert the input to NDJSON (one document per line) — the scalable " +
+            "format for large inputs — or raise GRAFT_MAX_STREAM_FILE_BYTES.")
+      }
+    }
   }
 
   /** S5: driver-side iterator/collection ingest

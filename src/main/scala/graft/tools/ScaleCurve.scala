@@ -1,0 +1,158 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-shot 10× scale-curve evidence for the dedup/sink stack (VERDICT r7
+  * #2): the 100 TB claims rest on plan-shape arguments (banded equi-joins,
+  * bucket caps, payload semi-joins, O(page) driver streams); this probe
+  * adds ONE measured scaling point so any superlinear term that sf0.1 is
+  * too small to expose (bucket caps, CC rounds, driver-side index
+  * streams) shows up as a ratio well above the corpus multiple.
+  *
+  * Method: synthesize an N× corpus from sf0.1 lineitem (same doc shape and
+  * parameters as Bench's b2-b6 — 1% planted near-dups on top), materialize
+  * BOTH corpora to parquet (multi-file, so scans parallelize like real
+  * storage, unlike the single-row-group test artifact), then run each
+  * workload once per scale and print the time ratios. Replicas get a
+  * distinct " v<rep>" suffix so the N× corpus has the same duplicate
+  * STRUCTURE as the 1× one (1% planted), not N-fold duplicate text that
+  * would degenerate every LSH bucket.
+  *
+  * Run manually (NOT part of the Bench artifact loop):
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleCurve"
+  */
+object ScaleCurve {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-curve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    /** lineitem rows → (doc_id, text) docs, replicated `m`× with distinct
+      * suffixes (same doc shape as Bench.bCorpus), materialized to parquet.
+      */
+    def buildCorpus(dir: String, m: Int, out: String): Long = {
+      val base = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_partkey"),
+          col("l_suppkey"))
+        .repartition(cpus.toInt)
+        .select(monotonically_increasing_id().as("rid"),
+          concat_ws(" ", col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_partkey"), col("l_suppkey")).as("text"))
+      val docs = base
+        .withColumn("rep", explode(sequence(lit(0), lit(m - 1))))
+        .select((col("rid") * m + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" v"), col("rep"))).as("text"))
+      docs.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
+    }
+
+    def corpus(path: String): DataFrame = spark.read.parquet(path)
+
+    /** 1% planted near-dup copies — ids offset far above any real doc_id. */
+    def withPlanted(docs: DataFrame): DataFrame =
+      docs.unionAll(docs.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text")))
+
+    // workloads mirror Bench b2-b6 parameter-for-parameter
+    def sb2(path: String): Unit =
+      graft.ops.Dedup.minhashDedupPairs(withPlanted(corpus(path)), "text", "doc_id",
+        threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3, maxBucket = 1000)
+        .write.format("noop").mode("overwrite").save()
+
+    def sb3(path: String): Unit = {
+      val docs = withPlanted(corpus(path))
+      val pairs = graft.ops.Dedup.minhashDedupPairs(docs, "text", "doc_id",
+        threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
+        maxBucket = 1000).select("id_a", "id_b")
+      graft.ops.Dedup.dedupByPairs(docs, "doc_id", pairs)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    def sb4(path: String): Unit = {
+      val base = corpus(path)
+      val dupes = base.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
+      val fresh = base.where(col("doc_id") % 100 === 50)
+        .select((col("doc_id") + 2000000000000L).as("doc_id"),
+          concat(col("text"), lit(" appended")).as("text"))
+      graft.ops.Dedup.dedupIncrement(base, dupes.unionAll(fresh), "text", "doc_id")
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    def sb5(path: String, db: String): Unit =
+      graft.sinks.SqliteSink.writeSpecs(Seq(graft.sinks.SqliteSink.TableSpec(
+        "docs", corpus(path),
+        """CREATE TABLE "docs"("doc_id" NUMERIC, "text" TEXT)""")), db)
+
+    def sb6(path: String, db: String): Unit = {
+      val docs = corpus(path).select(
+        col("doc_id").cast("string").as("_link"),
+        (col("doc_id") % 1000).cast("string").as("_link_parent"),
+        col("text"))
+      graft.sinks.SqliteSink.writeSpecs(Seq(graft.sinks.SqliteSink.TableSpec(
+        "docs", docs,
+        """CREATE TABLE "docs"("_link" TEXT, "_link_parent" TEXT, "text" TEXT, """ +
+          """FOREIGN KEY ("_link_parent") REFERENCES "parent"("_link"))""",
+        Seq(
+          graft.sinks.SqliteSink.IndexSpec("idx_docs__link", "_link", unique = true,
+            Some("""CREATE UNIQUE INDEX "idx_docs__link" ON "docs"("_link")""")),
+          graft.sinks.SqliteSink.IndexSpec("idx_docs__link_parent", "_link_parent",
+            unique = false,
+            Some("""CREATE INDEX "idx_docs__link_parent" ON "docs"("_link_parent")"""))))),
+        db)
+    }
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime()
+      f
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // JIT/codegen warmup on a tiny corpus, untimed
+    val warmPath = s"$work/warm"
+    buildCorpus("/root/testdata/sf0.001", 1, warmPath)
+    sb2(warmPath); sb3(warmPath); sb4(warmPath)
+    sb5(warmPath, s"$work/warm5.db"); sb6(warmPath, s"$work/warm6.db")
+
+    val p1 = s"$work/corpus1"
+    val pN = s"$work/corpus$mult"
+    val rows1 = buildCorpus(sfDir, 1, p1)
+    val rowsN = buildCorpus(sfDir, mult, pN)
+    System.err.println(s"[scale] corpora ready: $rows1 rows at 1x, $rowsN rows at ${mult}x")
+
+    val names = Seq("b2_minhash", "b3_near_dedup_apply", "b4_incremental_dedup",
+      "b5_sqlite_sink", "b6_sqlite_indexed")
+    def runAll(path: String, tag: String): Seq[(String, Double)] = {
+      val ts = Seq(
+        time(sb2(path)), time(sb3(path)), time(sb4(path)),
+        time(sb5(path, s"$work/$tag-5.db")), time(sb6(path, s"$work/$tag-6.db")))
+      names.zip(ts)
+    }
+    val t1 = runAll(p1, "s1")
+    val tN = runAll(pN, s"s$mult")
+
+    val items = names.indices.map { i =>
+      val (n, a) = t1(i); val b = tN(i)._2
+      f""""$n":{"t1":$a%.2f,"t$mult%d":$b%.2f,"ratio":${b / a}%.2f}"""
+    }
+    println(s"""{"mult":$mult,"rows1":$rows1,"rowsN":$rowsN,""" +
+      items.mkString("", ",", "}"))
+    spark.stop()
+  }
+}

@@ -98,6 +98,21 @@ class FlattenGoldenSpec extends AnyFunSuite {
       Seq("_link", "id", "title", "releaseDate", "rating_code", "rating_name"))
   }
 
+  test("json-stream source (S4) fails fast on files over the wholetext size cap") {
+    // wholetext = one file → one String in one task; a multi-GB stream
+    // file would OOM an executor with no useful error, so jsonStream
+    // pre-flights file sizes. A tiny cap exercises the error path.
+    val tmp = Files.createTempFile("graft_stream_big", ".json")
+    Files.writeString(tmp, """{"a": 1} {"a": 2} {"a": 3}""")
+    val e = intercept[IllegalArgumentException] {
+      JsonInput.jsonStream(spark, 10L, tmp.toString)
+    }
+    assert(e.getMessage.contains("NDJSON"))
+    assert(e.getMessage.contains(tmp.getFileName.toString))
+    // at the default cap the same file reads fine
+    assert(JsonInput.jsonStream(spark, tmp.toString).count() == 3)
+  }
+
   test("iterator ingest (S5) matches file ingest") {
     val lines = JsonInput.jsonArray(spark, s"$fixtures/basic.json").toJSON.collect()
     val input = JsonInput.fromIterator(spark, lines.iterator, parallelism = 2)

@@ -520,6 +520,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((100L, 101L)))
   }
 
+  test("cosineDedupPairs: the self-join reuses ONE signature exchange (no double scan)") {
+    import spark.implicits._
+    // the a/b sides of the bucket self-join are the same signature+window
+    // pipeline; Catalyst must plan ONE exchange and reuse it — a future
+    // asymmetric edit would silently double the corpus scan otherwise
+    val rows = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(123 + i)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val out = Similarity.cosineDedupPairs(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, nBits = 4, maxBucket = 50)
+    out.collect() // AQE finalizes reuse decisions at runtime
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"self-join sides should reuse one signature exchange:\n$plan")
+  }
+
   test("IVF Lloyd refinement: recall vs brute force on a clustered corpus") {
     import spark.implicits._
     val dim = 8

@@ -178,4 +178,5 @@ class SqliteSinkSpec extends AnyFunSuite {
     assert(py(db, """print(con.execute('SELECT id FROM "docs" ORDER BY rowid DESC LIMIT 1').fetchone()[0])""")
       == "20000")
   }
+
 }

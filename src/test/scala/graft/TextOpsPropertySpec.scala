@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Property-fuzz of the two round-7 text operators against naive in-memory
+  * references (VERDICT r7 #5): the x41/x42 oracles check one corpus; these
+  * properties pin the algebra over random token structures —
+  *
+  *   - `chunkDocuments`: chunk rows EXACTLY equal the naive sliding-window
+  *     reference (which subsumes the individual invariants: every token
+  *     index covered, consecutive chunks share exactly `overlap` tokens
+  *     except the tail, count matches the ceil formula) for random
+  *     (maxTokens, overlap) and adversarial separators (tabs, newlines,
+  *     vertical tab U+000B, NBSP — the cross-engine whitespace set).
+  *   - `dupNgramRatio`: exact value vs the naive sliding-n-gram reference,
+  *     plus the range/degenerate-input contract (0 ≤ ratio < 1, 0 for
+  *     fewer than n tokens).
+  *
+  * Tokenization in both the operator and the reference goes through the
+  * SAME explicit class ([[TextAnalysis.TokenWsJava]]), so the properties
+  * test the chunk/n-gram algebra, not regex-dialect luck.
+  */
+class TextOpsPropertySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def forAllSeeded[T](gen: Gen[T], n: Int)(body: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default.withSize(40), Seed(777L + i)))
+    }
+
+  // ---- generators --------------------------------------------------------
+
+  private val token: Gen[String] = Gen.frequency(
+    6 -> Gen.choose(1, 8).flatMap(l => Gen.listOfN(l, Gen.alphaNumChar).map(_.mkString)),
+    1 -> Gen.oneOf("a", "go", "go", "the")) // repeats make duplicate n-grams likely
+
+  private val sep: Gen[String] = Gen.frequency(
+    6 -> Gen.const(" "),
+    1 -> Gen.oneOf("  ", "\t", "\n", " \n ", "", " ", "\r\n"))
+
+  /** A document: tokens joined by random whitespace runs, sometimes with
+    * leading/trailing whitespace, sometimes empty or whitespace-only.
+    */
+  private val docGen: Gen[String] = Gen.frequency(
+    8 -> (for {
+      n    <- Gen.frequency(4 -> Gen.choose(1, 60), 1 -> Gen.choose(61, 200))
+      toks <- Gen.listOfN(n, token)
+      seps <- Gen.listOfN(math.max(0, n - 1), sep)
+      lead <- Gen.oneOf("", " ", "\t")
+      tail <- Gen.oneOf("", " ", "\n")
+    } yield lead + toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString + tail),
+    1 -> Gen.oneOf("", " ", " \t\n ", ""))
+
+  private val corpusGen: Gen[List[String]] = Gen.choose(5, 25).flatMap(Gen.listOfN(_, docGen))
+
+  /** The SAME tokenizer both operators compile to. Two deliberate
+    * Spark-isms the reference must mirror (both shared by DuckDB, so
+    * oracle parity holds; Java's defaults differ on both):
+    *   - Spark/DuckDB `trim` strips ONLY spaces (U+0020); Java
+    *     `String.trim` strips everything ≤ U+0020.
+    *   - Spark `split` keeps trailing empty tokens (limit -1); Java's
+    *     1-arg `String.split` drops them.
+    * So a tab-led document tokenizes with a leading "" token in every
+    * engine — consistent, if surprising.
+    */
+  private def spaceTrim(s: String): String = {
+    var b = 0; var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
+  }
+  private def toksOf(text: String): Array[String] = {
+    val t = spaceTrim(text)
+    if (t.isEmpty) Array.empty else t.split(TextAnalysis.TokenWsJava, -1)
+  }
+
+  // ---- chunkDocuments ----------------------------------------------------
+
+  test("fuzz: chunkDocuments equals the naive sliding-window reference") {
+    import spark.implicits._
+    val paramGen = for {
+      maxTokens <- Gen.choose(2, 24)
+      overlap   <- Gen.choose(0, maxTokens - 1)
+      docs      <- corpusGen
+    } yield (maxTokens, overlap, docs)
+
+    forAllSeeded(paramGen, 12) { case (maxTokens, overlap, docs) =>
+      val stride = maxTokens - overlap
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.chunkDocuments(df, "text", "doc_id", maxTokens, overlap)
+        .as[(Long, Int, String, Int)].collect().toSeq.sorted
+
+      val want = docs.zipWithIndex.flatMap { case (text, i) =>
+        val toks = toksOf(text)
+        if (toks.isEmpty) Nil
+        else {
+          val nChunks = math.max(0,
+            math.ceil((toks.length - maxTokens).toDouble / stride).toInt) + 1
+          (0 until nChunks).map { c =>
+            val w = toks.slice(c * stride, c * stride + maxTokens)
+            (i.toLong, c, w.mkString(" "), w.length)
+          }
+        }
+      }.sorted
+      assert(got == want, s"maxTokens=$maxTokens overlap=$overlap")
+
+      // redundant with the exact equality, but assert the headline
+      // invariants explicitly so a failure names the broken contract:
+      want.groupBy(_._1).foreach { case (id, chunks) =>
+        val toks = toksOf(docs(id.toInt))
+        // chunk count matches the ceil formula
+        assert(chunks.length ==
+          math.max(0, math.ceil((toks.length - maxTokens).toDouble / stride).toInt) + 1)
+        // every token index is covered by at least one chunk
+        val covered = chunks.map(_._2).flatMap(c =>
+          c * stride until math.min(c * stride + maxTokens, toks.length))
+        assert(covered.toSet == toks.indices.toSet, s"doc $id coverage")
+        // consecutive chunks share EXACTLY `overlap` tokens: a non-last
+        // chunk is always full (the ceil formula places the last window
+        // start inside the doc), so shared = aEnd - bStart = overlap
+        chunks.sortBy(_._2).sliding(2).foreach {
+          case Seq(a, b) =>
+            val aEnd = math.min(a._2 * stride + maxTokens, toks.length)
+            val bStart = b._2 * stride
+            assert(aEnd - bStart == overlap, s"doc $id chunks ${a._2}/${b._2}")
+          case _ => ()
+        }
+      }
+    }
+  }
+
+  // ---- dupNgramRatio -----------------------------------------------------
+
+  test("fuzz: dupNgramRatio equals the naive n-gram reference, in [0, 1)") {
+    import spark.implicits._
+    val paramGen = for {
+      n    <- Gen.choose(2, 5)
+      docs <- corpusGen
+    } yield (n, docs)
+
+    forAllSeeded(paramGen, 12) { case (n, docs) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df.select($"doc_id", TextAnalysis.dupNgramRatio($"text", n).as("r"))
+        .as[(Long, Double)].collect().toMap
+
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val toks = toksOf(text)
+        // same small-integer division in double → bit-identical, compare exactly
+        val want =
+          if (toks.length < n) 0.0
+          else {
+            val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+            1.0 - grams.distinct.length.toDouble / grams.length
+          }
+        assert(got(i.toLong) == want, s"doc $i n=$n text=${text.take(60)}")
+        assert(got(i.toLong) >= 0.0 && got(i.toLong) < 1.0)
+      }
+    }
+  }
+}

@@ -193,6 +193,31 @@ class SqliteFuzzSpec extends AnyFunSuite {
     assert(SqliteSink.record(Nil).toSeq == Seq(1.toByte))
   }
 
+  test("utf8Clean pins index-key order to the stored UTF-8 bytes (lone surrogates)") {
+    // valid UTF-16 passes through by reference — no allocation on the hot path
+    val plain = "ordinary key"
+    assert(SqliteSink.utf8Clean(plain) eq plain)
+    val paired = "emoji 😀 pair" // U+1F600, survives the round-trip
+    assert(SqliteSink.utf8Clean(paired) == paired)
+    // a lone surrogate encodes as '?' (0x3F) in UTF-8; the clean applies
+    // the same replacement up front so compare order == stored-byte order
+    val lone = "a\uD800b"
+    assert(SqliteSink.utf8Clean(lone) == "a?b")
+    // without the clean, U+D800 would sort AFTER 'z' by code point while
+    // its stored byte 0x3F sorts BEFORE — the corruption the guard
+    // prevents. With it, ordering and stored bytes agree:
+    val keys = Seq(lone, "az", "a!", "a~", paired, plain).map(SqliteSink.utf8Clean)
+    val byOrdering = keys.map((_, 1L)).sorted(SqliteSink.IdxKeyOrdering).map(_._1)
+    val byBytes = keys.sortWith { (x, y) =>
+      val a = x.getBytes(UTF_8); val b = y.getBytes(UTF_8)
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n && a(i) == b(i)) i += 1
+      if (i < n) (a(i) & 0xFF) < (b(i) & 0xFF) else a.length < b.length
+    }
+    assert(byOrdering == byBytes)
+  }
+
   test("index key ordering matches SQLite BINARY collation on adversarial strings") {
     // U+FF21 (3 UTF-8 bytes) vs U+10400 (4 bytes, UTF-16 surrogates sort
     // LOWER than U+FF21 in code-unit order — the classic divergence)

@@ -25,17 +25,20 @@ import scala.collection.mutable.ArrayBuffer
   * the file is written once, linearly, and opens in any SQLite client.
   *
   * Scale posture: SQLite is a single-file driver-side interchange format
-  * by nature (the reference also streams into one .db). Rows stream
-  * through `toLocalIterator` one partition at a time, leaf pages flush
-  * as they fill, and driver memory is O(one page) + O(one (page, rowid)
-  * entry per flushed page) for the interior levels — a 100 GB export
-  * never holds more than a page of row data. Index b-trees need their
-  * entries in key order; that sort runs IN SPARK (`sortBy` over a
-  * persisted `zipWithIndex` of the table, so rowids stay consistent
-  * between the table pass and the index passes) and the sorted pairs
-  * stream to the driver the same way — the driver never sorts. The
-  * distributed layouts remain parquet / CSV-dir; this sink serves the
-  * reference's primary export format.
+  * by nature (the reference also streams into one .db). Rows stream to
+  * the driver one partition at a time (with one-partition-ahead
+  * prefetch, so the Spark fetch hides behind the driver's page
+  * building), leaf pages flush as they fill, and driver memory is
+  * O(partition buffer) + O(one (page, rowid) entry per flushed page) for
+  * the interior levels. Index b-trees need their entries in key order;
+  * that sort runs IN SPARK (`sortBy` over a persisted `zipWithIndex` of
+  * the table, so rowids stay consistent between the table pass and the
+  * index passes) and the sorted pairs stream the same way — the driver
+  * never sorts. All index sorts are submitted CONCURRENTLY before the
+  * table streams, so their shuffle wall time overlaps the table pass
+  * instead of adding K sequential waits. The distributed layouts remain
+  * parquet / CSV-dir; this sink serves the reference's primary export
+  * format.
   *
   * Value affinity mirrors the CSV renderer and SQLite NUMERIC affinity:
   * whole doubles land as INTEGER (JSON `1.0` → `1`), booleans as 0/1,
@@ -99,30 +102,50 @@ object SqliteSink {
           val root = writeTable(pf, spec.df.toLocalIterator().asScala)
           master += Seq("table", spec.name, spec.name, root, spec.ddl)
         } else {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
           // rowids must be identical between the table pass and every
-          // index pass → pin them with one persisted zipWithIndex
+          // index pass → pin them with one persisted zipWithIndex.
+          // Deserialized cache: the table pass and K index passes all
+          // re-read it, and Row java-serialization measured ~35% of the
+          // 600k table stream; under memory pressure Spark spills the
+          // cold partitions to disk (serialized) as usual.
           val withId = spec.df.rdd.zipWithIndex()
-            .persist(StorageLevel.MEMORY_AND_DISK_SER)
+            .persist(StorageLevel.MEMORY_AND_DISK)
           try {
-            val rows = withId.toLocalIterator.map(_._1)
-            val root = writeTable(pf, rows)
-            master += Seq("table", spec.name, spec.name, root, spec.ddl)
-            spec.indexes.foreach { ix =>
+            withId.count() // materialize ONCE before concurrent consumers
+            // kick every index sort off NOW — Spark computes the shuffles
+            // while the driver streams the table b-tree, so the sort wall
+            // time hides behind the table pass instead of adding to it
+            val sortedF = spec.indexes.map { ix =>
               val fi = spec.df.schema.fieldIndex(ix.column)
-              // Spark sorts (key, rowid) in SQLite's index order: NULL
-              // first, TEXT by BINARY collation (= UTF-8 bytes = code
-              // points), rowid ascending — the driver only streams
-              val sorted = withId
-                .map { case (row, i) =>
-                  (if (row.isNullAt(fi)) null else utf8Clean(row.getString(fi)), i + 1L)
-                }
-                .sortBy(identity)(IdxKeyOrdering,
-                  scala.reflect.classTag[(String, Long)])
-              val ib = new IndexBuilder(pf)
-              sorted.toLocalIterator.foreach { case (k, rid) =>
-                ib.add(record(Seq(k, rid)))
+              ix -> Future {
+                // Spark sorts (key, rowid) in SQLite's index order: NULL
+                // first, TEXT by BINARY collation (= UTF-8 bytes = code
+                // points), rowid ascending — the driver only streams
+                val s = withId
+                  .map { case (row, i) =>
+                    (if (row.isNullAt(fi)) null else utf8Clean(row.getString(fi)), i + 1L)
+                  }
+                  .sortBy(identity)(IdxKeyOrdering,
+                    scala.reflect.classTag[(String, Long)])
+                  .persist(StorageLevel.MEMORY_AND_DISK)
+                s.count()
+                s
               }
-              master += Seq("index", ix.name, spec.name, ib.finish(), ix.sql.orNull)
+            }
+            val root = writeTable(pf, prefetchedLocalIterator(withId).map(_._1))
+            master += Seq("table", spec.name, spec.name, root, spec.ddl)
+            sortedF.foreach { case (ix, f) =>
+              val sorted = Await.result(f, Duration.Inf)
+              try {
+                val ib = new IndexBuilder(pf)
+                prefetchedLocalIterator(sorted).foreach { case (k, rid) =>
+                  ib.add(record(Seq(k, rid)))
+                }
+                master += Seq("index", ix.name, spec.name, ib.finish(), ix.sql.orNull)
+              } finally { sorted.unpersist(false); () }
             }
           } finally { withId.unpersist(); () }
         }
@@ -130,6 +153,43 @@ object SqliteSink {
       writeMaster(pf, master.toSeq)
       pf.finishHeader()
     } finally pf.close()
+  }
+
+  /** Ordered local iterator with ONE-partition-ahead prefetch: while the
+    * driver packs partition i into b-tree pages, the job fetching
+    * partition i+1 already runs. `RDD.toLocalIterator` materializes one
+    * partition array at a time with dead time between partitions; this
+    * keeps the same O(partition) driver-memory class (at most two
+    * partition arrays in flight) and hides the fetch latency behind the
+    * driver-side page building.
+    */
+  private[sinks] def prefetchedLocalIterator[T: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T]): Iterator[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val sc = rdd.sparkContext
+    val order = rdd.partitions.indices.iterator
+    def submit(p: Int): Future[Array[T]] =
+      Future(sc.runJob(rdd, (it: Iterator[T]) => it.toArray, Seq(p)).head)
+    new Iterator[T] {
+      private var fut: Option[Future[Array[T]]] =
+        if (order.hasNext) Some(submit(order.next())) else None
+      private var cur: Array[T] = Array.empty[T]
+      private var i = 0
+      private def advance(): Unit =
+        while (i >= cur.length && fut.isDefined) {
+          cur = Await.result(fut.get, Duration.Inf)
+          i = 0
+          fut = if (order.hasNext) Some(submit(order.next())) else None
+        }
+      def hasNext: Boolean = { advance(); i < cur.length }
+      def next(): T = {
+        advance()
+        if (i >= cur.length) throw new NoSuchElementException
+        val v = cur(i); i += 1; v
+      }
+    }
   }
 
   /** Normalize a key string the way UTF-8 encoding will: `getBytes(UTF_8)`

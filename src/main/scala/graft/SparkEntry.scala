@@ -330,6 +330,27 @@ object SparkEntry {
           TextAnalysis.dupNgramRatio(col("text"), 3).as("dup_3gram_ratio"))
         .orderBy(col("doc_id"))),
 
+    "x43_shared_windows" -> ((s, dir) => {
+      // exact substring-dedup signal (doc-level Lee-et-al): plant verbatim
+      // copies of every 10th doc; the copies (higher ids) must flag, and
+      // every natural window collision scores too — the oracle replays
+      // the identical window pipeline in SQL
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
+      Dedup.sharedWindowFlags(d.unionAll(copies), "text", "doc_id", n = 10)
+        .withColumn("keep", col("keep").cast("int"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "x44_rare_tokens" -> ((s, dir) =>
+      // rare-token quality filter: fraction of token occurrences whose
+      // corpus frequency is under 5 — integer-exact across engines
+      TextAnalysis.rareTokenRatio(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")),
+        "text", "doc_id", minCount = 5)
+        .orderBy(col("doc_id"))),
+
     "x3_fingerprint" -> ((s, dir) =>
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1163,6 +1184,53 @@ object SparkEntry {
         |  unnest([len(toks[48*i + 1 : 48*i + 64])
         |          for i in generate_series(0, nch - 1)]) AS n_tokens
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // exact-substring dedup signal: identical window pipeline in SQL —
+    // engine-portable tokenizer class, per-doc distinct windows, min-id
+    // owner per window, count of windows owned by an earlier doc
+    "x43_shared_windows" ->
+      s"""WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |), t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '$TokWs') AS toks,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS nt
+        |  FROM docs
+        |), wins AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+9], ' ')
+        |                                       for i in generate_series(1, nt - 9)])) AS w
+        |  FROM t WHERE nt - 9 > 0
+        |), o AS (
+        |  SELECT w, min(doc_id) AS owner FROM wins GROUP BY w
+        |), f AS (
+        |  SELECT wins.doc_id,
+        |    CAST(sum(CASE WHEN o.owner < wins.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM wins JOIN o USING (w) GROUP BY wins.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(f.n_shared, 0) AS n_shared,
+        |  CAST(coalesce(f.n_shared, 0) = 0 AS INT) AS keep
+        |FROM docs d LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // rare-token ratio: corpus vocabulary counts then per-doc fraction of
+    // occurrences under the threshold — integers divided in double, exact
+    "x44_rare_tokens" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |                       t -> len(t) > 0)) AS token
+        |  FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |), f AS (
+        |  SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c.cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM tok JOIN c USING (token) GROUP BY tok.doc_id
+        |)
+        |SELECT d.doc_id, coalesce(f.n_rare, 0) AS n_rare,
+        |  coalesce(CAST(f.n_rare AS DOUBLE) / f.n_tokens, 0.0) AS rare_ratio
+        |FROM documents d LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "x4_quality" ->
       s"""SELECT doc_id,

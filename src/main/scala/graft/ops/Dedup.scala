@@ -391,6 +391,48 @@ object Dedup {
     * shuffle is the per-document reassembly, which any line-level
     * rewrite fundamentally needs.
     */
+  /** Doc-level exact-substring duplication signal — the published
+    * "substring dedup" idea (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": exact repeated spans, not
+    * fuzzy similarity) at document granularity: flag every document
+    * that shares ANY exact `n`-token window with a lower-id document.
+    * Unlike MinHash (which needs high overall Jaccard), one long
+    * verbatim quotation is enough to flag.
+    *
+    * Output: one row per input doc — (id, n_shared, keep) where
+    * `n_shared` counts this doc's DISTINCT windows owned by (= first
+    * seen in) an earlier doc and `keep` = (n_shared == 0). Docs shorter
+    * than `n` tokens have no windows and always keep.
+    *
+    * Scale shape: windows are distinct-ed PER DOC before anything
+    * shuffles (`array_distinct` inside the projection), then reduced to
+    * 16-byte md5 keys, so the shuffle carries fixed-width keys — two
+    * shuffles total (window min-owner groupBy, per-doc re-agg), both
+    * with map-side partial aggregation. Tokenization uses the same
+    * engine-portable whitespace class as chunkDocuments, and the window
+    * key is md5 (identical in every engine), so the oracle reproduces
+    * the exact pipeline.
+    */
+  def sharedWindowFlags(df: DataFrame, textCol: String, idCol: String,
+      n: Int = 10): DataFrame = {
+    val toks = split(trim(col(textCol)), TextAnalysis.TokenWsJava)
+    val total = size(toks) - (n - 1)
+    val grams = array_distinct(transform(sequence(lit(1), total),
+      i => array_join(slice(toks, i, lit(n)), " ")))
+    val win = df
+      .where(length(trim(col(textCol))) > 0 && total > 0)
+      .select(col(idCol), explode(grams).as("__w"))
+      .select(col(idCol), unhex(md5(col("__w").cast(BinaryType))).as("__wh"))
+    val owners = win.groupBy(col("__wh")).agg(min(col(idCol)).as("__owner"))
+    val flags = win.join(owners, Seq("__wh"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("__owner") < col(idCol), 1L).otherwise(0L)).as("__n"))
+    df.select(col(idCol)).join(flags, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared"),
+        (coalesce(col("__n"), lit(0L)) === 0L).as("keep"))
+  }
+
   def dedupLines(docs: DataFrame, textCol: String, idCol: String,
       minDupCount: Int = 5): DataFrame = {
     val lines = docs.select(col(idCol),

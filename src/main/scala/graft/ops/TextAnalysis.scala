@@ -184,6 +184,35 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(ls)).cast(DoubleType) / size(ls))
   }
 
+  /** Fraction of a document's token OCCURRENCES whose corpus-wide
+    * frequency is below `minCount` — the cheap "is this mostly garbage /
+    * OCR noise / random identifiers" filter: real prose is dominated by
+    * common words, junk is dominated by near-unique tokens. Integer-exact
+    * by construction (counts and a final division), so the oracle is
+    * bit-identical — unlike a unigram log-prob score, where libm `log`
+    * differs across engines in the last ulp.
+    *
+    * Output: (id, n_rare, rare_ratio) per input doc; token-less docs get
+    * (0, 0.0). Two shuffles: the vocabulary count (map-side combined; the
+    * token stream itself shuffles as (token, count) partials) and the
+    * token→count join back (standard vocabulary-join shape; at 100 TB the
+    * counts frame is vocabulary-sized and can be broadcast when the
+    * vocabulary fits).
+    */
+  def rareTokenRatio(df: DataFrame, textCol: String, idCol: String,
+      minCount: Long = 5): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__token"))
+    val counts = tok.groupBy(col("__token")).agg(count(lit(1)).as("__cnt"))
+    val scored = tok.join(counts, Seq("__token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__cnt") < minCount, 1L).otherwise(0L)).as("__r"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__r"), lit(0L)).as("n_rare"),
+        coalesce(col("__r").cast(DoubleType) / col("__n"), lit(0.0)).as("rare_ratio"))
+  }
+
   /** Corpus-level top-k vocabulary: token → document-stream frequency,
     * deterministically ordered (count desc, token asc). Partial map-side
     * aggregation then one shuffle of (token, count) pairs — the token

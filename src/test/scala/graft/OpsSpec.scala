@@ -403,6 +403,45 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out(5L) - (1.0 - 1.0 / 3)) < 1e-12)
   }
 
+  test("sharedWindowFlags: verbatim quote flags, low-jaccard overlap alone does not") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ") // exactly one 10-token window
+    val df = Seq(
+      (1L, s"alpha beta $quote gamma delta"),                 // owner of the quote window
+      (2L, s"completely different text body here $quote and more words"), // shares it
+      (3L, "no overlap with anything else in this corpus at all"), // clean
+      (4L, "q1 q2 q3 q4 q5"),                                 // 5 tokens < n → no windows
+      (5L, s"alpha beta $quote gamma delta")                  // full copy of doc 1
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.sharedWindowFlags(df, "text", "doc_id", n = 10)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, true)))   // first owner keeps
+    // doc 2 shares exactly ONE window with doc 1: the quote itself (its
+    // other windows mix in its own distinct surrounding tokens)
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((0L, true)))
+    assert(out(4L) == ((0L, true)))   // too short for any window
+    // doc 5 = verbatim copy of doc 1: 14 tokens → 5 windows, all owned by doc 1
+    assert(out(5L) == ((5L, false)))
+  }
+
+  test("rareTokenRatio: exact corpus-frequency fractions, empty docs score 0") {
+    import spark.implicits._
+    // corpus counts: "the"=4, "cat"=2, "zz"=1, "qq"=1, "sat"=2
+    val df = Seq(
+      (1L, "the cat sat"),     // the(4) cat(2) sat(2) → rare(<2): none → 0/3
+      (2L, "the cat sat zz"),  // zz count 1 → 1/4
+      (3L, "the the qq"),      // qq 1 → 1/3
+      (4L, "")                 // no tokens → 0.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rareTokenRatio(df, "text", "doc_id", minCount = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((0L, 0.0)))
+    assert(out(2L) == ((1L, 0.25)))
+    assert(out(3L) == ((1L, 1.0 / 3)))
+    assert(out(4L) == ((0L, 0.0)))
+  }
+
   test("groupPercentiles: exact quartiles with interpolation") {
     import spark.implicits._
     // en: values 1..5 → quartiles 2, 3, 4; fr: 10,20 → 12.5, 15, 17.5

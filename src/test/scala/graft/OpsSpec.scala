@@ -425,6 +425,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, false)))
   }
 
+  test("x43/x44 plan shape: map-side partial aggregation, no window, no cartesian") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (i.toLong, s"tok$i " * 12)).toDF("doc_id", "text")
+    def planOf(d: org.apache.spark.sql.DataFrame): String = {
+      d.collect(); d.queryExecution.executedPlan.toString
+    }
+    val p43 = planOf(graft.ops.Dedup.sharedWindowFlags(df, "text", "doc_id", n = 10))
+    // both shuffles aggregate partially on the map side; nothing plans a
+    // window or a cartesian product
+    assert(p43.contains("partial_min"), s"window-owner agg not partial:\n$p43")
+    assert(p43.contains("partial_sum"), s"per-doc agg not partial:\n$p43")
+    assert(!p43.contains("Window") && !p43.contains("CartesianProduct"), p43)
+    val p44 = planOf(TextAnalysis.rareTokenRatio(df, "text", "doc_id", 5))
+    assert(p44.contains("partial_count"), s"vocab count not partial:\n$p44")
+    assert(!p44.contains("Window") && !p44.contains("CartesianProduct"), p44)
+  }
+
   test("rareTokenRatio: exact corpus-frequency fractions, empty docs score 0") {
     import spark.implicits._
     // corpus counts: "the"=4, "cat"=2, "zz"=1, "qq"=1, "sat"=2

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 import graft.api.Flatten
 import graft.model._
@@ -111,6 +112,31 @@ class FlattenGoldenSpec extends AnyFunSuite {
     assert(e.getMessage.contains(tmp.getFileName.toString))
     // at the default cap the same file reads fine
     assert(JsonInput.jsonStream(spark, tmp.toString).count() == 3)
+  }
+
+  test("daily_16.json.gz: 4999 real-world nested docs flatten like the reference") {
+    // mirrors the reference's own large-ingest test
+    // (`/root/reference/flatterer/tests.py:60`: main table = 4999 rows)
+    // on the real-world weather fixture — gzip NDJSON in (S8+S3), nested
+    // structs promoted, arrays of objects (incl. second level) to child
+    // tables with a closed FK forest
+    val input = JsonInput.ndjson(spark, s"$fixtures/daily_16.json.gz")
+    val tables = FlattenPlanner.flatten(input, FlattenOptions())
+    assert(tables("main").count() == 4999)
+    // city sub-object promoted into main, not a child table
+    assert(tables("main").columns.exists(_.startsWith("city_")))
+    // the 16-day forecast array and its nested weather array become tables
+    val data = tables("data")
+    val weather = tables("data_weather")
+    assert(data.count() > 4999) // many forecast rows per city
+    assert(weather.count() > 0)
+    // FK closure at this scale: every child link resolves to a parent row
+    val orphans = data.join(tables("main").select(col("_link").as("_link_main")),
+      Seq("_link_main"), "left_anti").count()
+    assert(orphans == 0)
+    val orphanWeather = weather.join(data.select(col("_link").as("_link_data")),
+      Seq("_link_data"), "left_anti").count()
+    assert(orphanWeather == 0)
   }
 
   test("iterator ingest (S5) matches file ingest") {

@@ -351,6 +351,22 @@ object SparkEntry {
         "text", "doc_id", minCount = 5)
         .orderBy(col("doc_id"))),
 
+    "x45_neardup_increment" -> ((s, dir) => {
+      // incremental near-dup, daily-batch shape: exact copies of every
+      // corpus doc must drop (jaccard 1.0 ⇒ identical signatures ⇒ every
+      // band collides ⇒ recall 1 at any threshold), token-disjoint fresh
+      // docs must survive (exact verification kills even a freak band
+      // collision), so the output is exactly the fresh set
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
+      val fresh = d.select((col("doc_id") + 2 * PlantedOffset).as("doc_id"),
+        concat(lit("zzqx"), col("doc_id"), lit(" vvwk"), col("doc_id"),
+          lit(" ppmj"), col("doc_id")).as("text"))
+      Dedup.nearDupIncrement(d, copies.unionAll(fresh), "text", "doc_id",
+        threshold = 0.9, numHashes = 32, bands = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x3_fingerprint" -> ((s, dir) =>
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1212,6 +1228,11 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(f.n_shared, 0) AS n_shared,
         |  CAST(coalesce(f.n_shared, 0) = 0 AS INT) AS keep
         |FROM docs d LEFT JOIN f USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // incremental near-dup: copies (jaccard 1.0) drop with certainty,
+    // token-disjoint fresh docs verify to ~0 — output is the fresh set
+    "x45_neardup_increment" ->
+      """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
 
     // rare-token ratio: corpus vocabulary counts then per-doc fraction of
     // occurrences under the threshold — integers divided in double, exact

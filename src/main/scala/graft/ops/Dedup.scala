@@ -77,6 +77,67 @@ object Dedup {
     incoming.join(keepIds, Seq(idCol), "left_semi")
   }
 
+  /** Incremental NEAR-dup for continuous ingestion — the fuzzy analog of
+    * [[dedupIncrement]] and the batch form the streaming Scaladoc points
+    * to (streaming state cannot hold corpus-scale signatures; a daily
+    * banded anti-join can): drop incoming docs whose exact shingle
+    * Jaccard against ANY existing doc reaches `threshold`.
+    *
+    * Scale shape: both sides reduce to (band, bandHash, id) frames —
+    * fixed-width keys, never documents — and meet in ONE equi-join; the
+    * existing side's per-(band, hash) fan-out is capped at `maxBucket`
+    * (the same degenerate-signature guard as [[minhashCandidates]]:
+    * without it one boilerplate-heavy bucket multiplies every colliding
+    * incoming row by the bucket size). Texts move only for verification
+    * candidates, via semi-joins. The corpus signature scan is per call —
+    * a standing pipeline would persist the corpus band frame and replace
+    * `existing` here with that table.
+    *
+    * Within-batch near-dups are NOT collapsed (compose
+    * [[minhashDedupPairs]] + [[dedupByPairs]] on the batch for that);
+    * this operator is one corpus pass answering "which incoming docs are
+    * already covered".
+    */
+  def nearDupIncrement(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def banded(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        TextHash.minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)).as("bh"))
+      .select(col("id"), posexplode(col("bh")).as(Seq("band", "bandHash")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bandHash"))
+    val ex = banded(existing)
+      .withColumn("__n", count(lit(1)).over(w))
+      .where(col("__n") <= maxBucket)
+      .select(col("id").as("old_id"), col("band"), col("bandHash"))
+    val in = banded(incoming)
+      .select(col("id").as("new_id"), col("band"), col("bandHash"))
+    val cands = in.join(ex, Seq("band", "bandHash"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .localCheckpoint(false)
+    // exact-Jaccard verification across the two frames, candidates only —
+    // LSH recall misses and even band-hash collisions cannot change the
+    // output band: verification is exact, candidates are a superset filter
+    def sh(df: DataFrame, ids: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), col(textCol))
+      .join(ids, Seq("id"), "left_semi")
+      .select(col("id"),
+        array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
+      .localCheckpoint(false)
+    val shNew = sh(incoming, cands.select(col("new_id").as("id")).distinct())
+    val shOld = sh(existing, cands.select(col("old_id").as("id")).distinct())
+    val dupIds = cands
+      .join(shNew.withColumnsRenamed(Map("id" -> "new_id", "sh" -> "sh_a")), Seq("new_id"))
+      .join(shOld.withColumnsRenamed(Map("id" -> "old_id", "sh" -> "sh_b")), Seq("old_id"))
+      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+        size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact-dup groups: fingerprint → member count + kept id. */
   def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))

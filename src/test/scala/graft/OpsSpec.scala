@@ -425,6 +425,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((5L, false)))
   }
 
+  test("nearDupIncrement: copies and near-variants drop, disjoint docs survive") {
+    import spark.implicits._
+    val corpus = (1 to 30).map { i =>
+      val rnd = new scala.util.Random(1000 + i)
+      (i.toLong, (1 to 40).map(_ => s"w${rnd.nextInt(500)}").mkString(" "))
+    }
+    val existing = corpus.toDF("doc_id", "text")
+    val copy = (101L, corpus(4)._2)                       // exact copy → drop
+    val nearVar = (102L, corpus(7)._2 + " tail")          // 1 extra token, jaccard ≈ 38/41 > 0.7 → drop
+    val fresh = (103L, "entirely disjoint vocabulary right here friends")
+    val short = (104L, "ab")                              // < shingleSize tokens → no bands → keep
+    val incoming = Seq(copy, nearVar, fresh, short).toDF("doc_id", "text")
+    val kept = graft.ops.Dedup.nearDupIncrement(existing, incoming, "text", "doc_id",
+      threshold = 0.7, numHashes = 32, bands = 8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(103L, 104L))
+  }
+
   test("x43/x44 plan shape: map-side partial aggregation, no window, no cartesian") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, s"tok$i " * 12)).toDF("doc_id", "text")

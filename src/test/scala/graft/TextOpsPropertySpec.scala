@@ -134,6 +134,67 @@ class TextOpsPropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- sharedWindowFlags ---------------------------------------------------
+
+  test("fuzz: sharedWindowFlags equals the naive min-owner reference") {
+    import spark.implicits._
+    val paramGen = for {
+      n    <- Gen.choose(2, 6)
+      docs <- corpusGen
+      // planted copies guarantee real collisions beyond generator luck
+      dupOf <- Gen.someOf(docs.indices)
+    } yield (n, docs, dupOf.toList)
+
+    forAllSeeded(paramGen, 10) { case (n, docs, dupOf) =>
+      val all = docs ++ dupOf.map(docs)
+      val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.sharedWindowFlags(df, "text", "doc_id", n)
+        .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+      val windows: Seq[(Long, Seq[String])] = all.zipWithIndex.map { case (t, i) =>
+        i.toLong -> toksOf(t).sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq.distinct
+      }
+      val owner: Map[String, Long] = windows
+        .flatMap { case (id, ws) => ws.map(_ -> id) }
+        .groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).min }
+      windows.foreach { case (id, ws) =>
+        val shared = ws.count(w => owner(w) < id)
+        assert(got(id) == ((shared.toLong, shared == 0)), s"doc $id n=$n")
+      }
+      assert(got.size == all.length)
+    }
+  }
+
+  // ---- rareTokenRatio ------------------------------------------------------
+
+  test("fuzz: rareTokenRatio equals the naive corpus-count reference") {
+    import spark.implicits._
+    val paramGen = for {
+      minCount <- Gen.choose(1, 6)
+      docs     <- corpusGen
+    } yield (minCount, docs)
+
+    forAllSeeded(paramGen, 10) { case (minCount, docs) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.rareTokenRatio(df, "text", "doc_id", minCount.toLong)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+      // the operator's `tokens()`: lowercase, split on [^a-z0-9]+, drop empties
+      def alnumToks(t: String): Seq[String] =
+        t.toLowerCase.split("[^a-z0-9]+", -1).toSeq.filter(_.nonEmpty)
+      val counts = docs.flatMap(alnumToks).groupBy(identity).map { case (k, v) => k -> v.size }
+      docs.zipWithIndex.foreach { case (t, i) =>
+        val toks = alnumToks(t)
+        val rare = toks.count(tk => counts(tk) < minCount)
+        val want =
+          if (toks.isEmpty) (0L, 0.0)
+          else (rare.toLong, rare.toDouble / toks.length)
+        assert(got(i.toLong) == want, s"doc $i minCount=$minCount")
+      }
+    }
+  }
+
   // ---- dupNgramRatio -----------------------------------------------------
 
   test("fuzz: dupNgramRatio equals the naive n-gram reference, in [0, 1)") {

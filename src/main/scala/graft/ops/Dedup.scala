@@ -77,6 +77,34 @@ object Dedup {
     incoming.join(keepIds, Seq(idCol), "left_semi")
   }
 
+  /** Materialize a corpus' dedup fingerprints as a BUCKETED catalog
+    * table — the standing layout for exchange-free incremental dedup at
+    * 100 TB: the fingerprints shuffle ONCE here, at write time, and
+    * every subsequent daily batch anti-joins against the bucketed scan
+    * with no corpus-side exchange ([[dedupIncrementBucketed]]) — only
+    * the small batch shuffles, into the same bucketing. Append new
+    * batches' fingerprints to the table to keep it standing.
+    */
+  def writeFingerprintTable(df: DataFrame, textCol: String, table: String,
+      numBuckets: Int = 256): Unit =
+    graft.sinks.Sinks.parquetBucketed(
+      df.select(TextAnalysis.fingerprintBin(col(textCol)).as("__k")),
+      table, Seq("__k"), numBuckets)
+
+  /** [[dedupIncrement]] against a standing fingerprint table from
+    * [[writeFingerprintTable]] — same semantics; the corpus side is a
+    * bucketed in-place scan instead of a per-batch fingerprint shuffle.
+    */
+  def dedupIncrementBucketed(fpTable: String, incoming: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val seen = incoming.sparkSession.table(fpTable)
+    val fp = TextAnalysis.fingerprintBin(col(textCol))
+    val freshKeys = incoming.select(fp.as("__k"), col(idCol))
+      .join(seen, Seq("__k"), "left_anti")
+    val keepIds = freshKeys.groupBy("__k").agg(min(col(idCol)).as(idCol)).select(idCol)
+    incoming.join(keepIds, Seq(idCol), "left_semi")
+  }
+
   /** Incremental NEAR-dup for continuous ingestion — the fuzzy analog of
     * [[dedupIncrement]] and the batch form the streaming Scaladoc points
     * to (streaming state cannot hold corpus-scale signatures; a daily

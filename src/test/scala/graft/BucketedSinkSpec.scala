@@ -36,4 +36,36 @@ class BucketedSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_lineitem")
     }
   }
+
+  test("bucketed fingerprint table: incremental dedup drops the corpus-side exchange") {
+    import spark.implicits._
+    val corpus = (1L to 400L).map(i => (i, s"corpus document number $i body"))
+      .toDF("doc_id", "text")
+    val incoming = ((1L to 40L).map(i => (1000L + i, s"corpus document number $i body")) ++
+      (1L to 40L).map(i => (2000L + i, s"brand new daily text $i"))).toDF("doc_id", "text")
+    graft.ops.Dedup.writeFingerprintTable(corpus, "text", "graft_bkt_fp", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = graft.ops.Dedup.dedupIncrementBucketed(
+        "graft_bkt_fp", incoming, "text", "doc_id")
+      val plan = bucketed.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"fp table scan not bucketed:\n$plan")
+      // same semantics as the per-batch-shuffle form…
+      val viaShuffle = graft.ops.Dedup.dedupIncrement(corpus, incoming, "text", "doc_id")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(bucketed.select($"doc_id").as[Long].collect().toSet == viaShuffle)
+      assert(viaShuffle == (1L to 40L).map(2000L + _).toSet)
+      // …with strictly fewer exchanges: the corpus fingerprints scan in
+      // place instead of re-shuffling every batch
+      val planShuffle = graft.ops.Dedup.dedupIncrement(corpus, incoming, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges(plan) < exchanges(planShuffle),
+        s"bucketed plan has no fewer exchanges:\nbucketed:\n$plan\nplain:\n$planShuffle")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_fp")
+    }
+  }
 }

@@ -202,9 +202,21 @@ object Bench {
         b6Db)
     }
 
+    // b7: exact substring-window dedup at fact scale — 600k 7-token docs
+    // (~3 distinct 5-token windows each) + 1% planted copies through the
+    // full window → min-owner → per-doc flag pipeline (x43's operator).
+    def runB7(dir: String): Unit = {
+      import org.apache.spark.sql.functions._
+      val base = bCorpus(dir)
+      val planted = base.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      graft.ops.Dedup.sharedWindowFlags(base.unionAll(planted), "text", "doc_id", n = 5)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
-    Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _).foreach { f =>
+    Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
       try f("/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
 
@@ -214,7 +226,8 @@ object Bench {
       "b3_near_dedup_apply_600k" -> runTimes("b3")(runB3(sfDir)),
       "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)),
       "b5_sqlite_sink_600k" -> runTimes("b5")(runB5(sfDir)),
-      "b6_sqlite_indexed_600k" -> runTimes("b6")(runB6(sfDir)))
+      "b6_sqlite_indexed_600k" -> runTimes("b6")(runB6(sfDir)),
+      "b7_shared_windows_600k" -> runTimes("b7")(runB7(sfDir)))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

@@ -351,6 +351,19 @@ object SparkEntry {
         "text", "doc_id", minCount = 5)
         .orderBy(col("doc_id"))),
 
+    "x46_window_increment" -> ((s, dir) => {
+      // incremental substring dedup: a copy drops iff it has at least one
+      // 10-token window (all its windows exist in the corpus original);
+      // short copies and the 3-token fresh docs have no windows and pass
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
+      val fresh = d.select((col("doc_id") + 2 * PlantedOffset).as("doc_id"),
+        concat(lit("qqzx"), col("doc_id"), lit(" wwvk"), col("doc_id"),
+          lit(" jjpm"), col("doc_id")).as("text"))
+      Dedup.sharedWindowIncrement(d, copies.unionAll(fresh), "text", "doc_id", n = 10)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x45_neardup_increment" -> ((s, dir) => {
       // incremental near-dup, daily-batch shape: exact copies of every
       // corpus doc must drop (jaccard 1.0 ⇒ identical signatures ⇒ every
@@ -1233,6 +1246,20 @@ object SparkEntry {
     // token-disjoint fresh docs verify to ~0 — output is the fresh set
     "x45_neardup_increment" ->
       """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
+
+    // incremental substring dedup: copies keep only when too short for a
+    // window; token-disjoint 3-token fresh docs always pass
+    "x46_window_increment" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS nt
+        |  FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id + 100000000 AS doc_id FROM t WHERE nt - 9 <= 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000000 AS doc_id FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // rare-token ratio: corpus vocabulary counts then per-doc fraction of
     // occurrences under the threshold — integers divided in double, exact

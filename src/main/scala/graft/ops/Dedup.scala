@@ -522,6 +522,33 @@ object Dedup {
         (coalesce(col("__n"), lit(0L)) === 0L).as("keep"))
   }
 
+  /** Incremental exact-substring dedup — the substring member of the
+    * incremental family (exact [[dedupIncrement]], fuzzy
+    * [[nearDupIncrement]]): drop incoming docs that share ANY exact
+    * `n`-token window with the existing corpus. Window equality is
+    * exact, so unlike the fuzzy form there is no verification stage:
+    * both sides reduce to 16-byte md5 window keys (distinct per doc
+    * inside the projection), the batch's keys semi-join the corpus keys,
+    * and the corpus payload never moves. Incoming docs shorter than `n`
+    * tokens have no windows and always pass.
+    */
+  def sharedWindowIncrement(existing: DataFrame, incoming: DataFrame,
+      textCol: String, idCol: String, n: Int = 10): DataFrame = {
+    def keys(df: DataFrame): DataFrame = {
+      val toks = split(trim(col(textCol)), TextAnalysis.TokenWsJava)
+      val total = size(toks) - (n - 1)
+      val grams = array_distinct(transform(sequence(lit(1), total),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      df.where(length(trim(col(textCol))) > 0 && total > 0)
+        .select(col(idCol), explode(grams).as("__w"))
+        .select(col(idCol), unhex(md5(col("__w").cast(BinaryType))).as("__wh"))
+    }
+    val dupIds = keys(incoming)
+      .join(keys(existing).select(col("__wh")), Seq("__wh"), "left_semi")
+      .select(col(idCol)).distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   def dedupLines(docs: DataFrame, textCol: String, idCol: String,
       minDupCount: Int = 5): DataFrame = {
     val lines = docs.select(col(idCol),

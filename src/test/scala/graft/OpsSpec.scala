@@ -443,6 +443,21 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(103L, 104L))
   }
 
+  test("sharedWindowIncrement: one verbatim window drops, short and disjoint pass") {
+    import spark.implicits._
+    val quote = (1 to 10).map(i => s"s$i").mkString(" ")
+    val existing = Seq(
+      (1L, s"intro words $quote closing words"),
+      (2L, "other corpus doc with its own ten tokens here now yes")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, s"totally new framing but $quote hides inside this one"), // shares the quote window
+      (102L, "fully disjoint vocabulary in every position of this line extended further"), // ≥10 toks, no shared window
+      (103L, "too short")).toDF("doc_id", "text") // < n tokens → no windows → pass
+    val kept = graft.ops.Dedup.sharedWindowIncrement(existing, incoming, "text", "doc_id", n = 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 103L))
+  }
+
   test("x43/x44 plan shape: map-side partial aggregation, no window, no cartesian") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, s"tok$i " * 12)).toDF("doc_id", "text")

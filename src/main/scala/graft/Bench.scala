@@ -203,8 +203,12 @@ object Bench {
     }
 
     // b7: exact substring-window dedup at fact scale — 600k 7-token docs
-    // (~3 distinct 5-token windows each) + 1% planted copies through the
-    // full window → min-owner → per-doc flag pipeline (x43's operator).
+    // (~3 distinct 5-token windows each) + ~1% duplicate texts through
+    // the full window → min-owner → per-doc flag pipeline (x43's
+    // operator). Like b2/b3, the planted branch re-evaluates bCorpus, so
+    // copy ids need not pair with the base row carrying the same text
+    // (monotonically_increasing_id is stable only per evaluation) — the
+    // duplicate-text VOLUME is what the timing needs, not id pairing.
     def runB7(dir: String): Unit = {
       import org.apache.spark.sql.functions._
       val base = bCorpus(dir)

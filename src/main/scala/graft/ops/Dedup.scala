@@ -82,14 +82,21 @@ object Dedup {
     * 100 TB: the fingerprints shuffle ONCE here, at write time, and
     * every subsequent daily batch anti-joins against the bucketed scan
     * with no corpus-side exchange ([[dedupIncrementBucketed]]) — only
-    * the small batch shuffles, into the same bucketing. Append new
-    * batches' fingerprints to the table to keep it standing.
+    * the small batch shuffles, into the same bucketing.
+    *
+    * `append = true` adds rows to an existing table THROUGH THE SAME
+    * bucketed writer (identical projection, bucket count and spec), so
+    * the kept batch's fingerprints fold into the standing table after
+    * each [[dedupIncrementBucketed]] run without the caller reproducing
+    * the layout by hand — a mismatched hand-rolled append would silently
+    * disable the exchange-free join.
     */
   def writeFingerprintTable(df: DataFrame, textCol: String, table: String,
-      numBuckets: Int = 256): Unit =
+      numBuckets: Int = 256, append: Boolean = false): Unit =
     graft.sinks.Sinks.parquetBucketed(
       df.select(TextAnalysis.fingerprintBin(col(textCol)).as("__k")),
-      table, Seq("__k"), numBuckets)
+      table, Seq("__k"), numBuckets,
+      mode = if (append) "append" else "overwrite")
 
   /** [[dedupIncrement]] against a standing fingerprint table from
     * [[writeFingerprintTable]] — same semantics; the corpus side is a

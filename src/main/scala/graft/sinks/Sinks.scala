@@ -73,8 +73,8 @@ object Sinks {
     * trust the layout; a plain path write cannot carry it).
     */
   def parquetBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
-      numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+      numBuckets: Int, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

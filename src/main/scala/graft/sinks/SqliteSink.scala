@@ -102,9 +102,16 @@ object SqliteSink {
           val root = writeTable(pf, spec.df.toLocalIterator().asScala)
           master += Seq("table", spec.name, spec.name, root, spec.ddl)
         } else {
-          import scala.concurrent.{Await, Future}
+          import scala.concurrent.{Await, ExecutionContext, Future}
           import scala.concurrent.duration.Duration
-          import scala.concurrent.ExecutionContext.Implicits.global
+          // dedicated cached pool for the sort futures and partition
+          // prefetch: they BLOCK on Spark job waits, and blocking the
+          // shared global fork-join pool can starve it (K indexes ≥ its
+          // parallelism would queue the prefetch behind the sorts and
+          // serialize the very work the futures exist to overlap)
+          val pool = java.util.concurrent.Executors.newCachedThreadPool(
+            (r: Runnable) => { val t = new Thread(r, "sqlite-sink"); t.setDaemon(true); t })
+          implicit val sinkEc: ExecutionContext = ExecutionContext.fromExecutorService(pool)
           // rowids must be identical between the table pass and every
           // index pass → pin them with one persisted zipWithIndex.
           // Deserialized cache: the table pass and K index passes all
@@ -113,14 +120,19 @@ object SqliteSink {
           // cold partitions to disk (serialized) as usual.
           val withId = spec.df.rdd.zipWithIndex()
             .persist(StorageLevel.MEMORY_AND_DISK)
+          // registered up front so a failure anywhere (table stream, an
+          // earlier index) still unpersists every sort's cache once its
+          // in-flight job finishes — nothing leaks in a long session
+          val sortedF = scala.collection.mutable.ArrayBuffer
+            .empty[(IndexSpec, Future[org.apache.spark.rdd.RDD[(String, Long)]])]
           try {
             withId.count() // materialize ONCE before concurrent consumers
             // kick every index sort off NOW — Spark computes the shuffles
             // while the driver streams the table b-tree, so the sort wall
             // time hides behind the table pass instead of adding to it
-            val sortedF = spec.indexes.map { ix =>
+            spec.indexes.foreach { ix =>
               val fi = spec.df.schema.fieldIndex(ix.column)
-              ix -> Future {
+              sortedF += (ix -> Future {
                 // Spark sorts (key, rowid) in SQLite's index order: NULL
                 // first, TEXT by BINARY collation (= UTF-8 bytes = code
                 // points), rowid ascending — the driver only streams
@@ -133,7 +145,7 @@ object SqliteSink {
                   .persist(StorageLevel.MEMORY_AND_DISK)
                 s.count()
                 s
-              }
+              })
             }
             val root = writeTable(pf, prefetchedLocalIterator(withId).map(_._1))
             master += Seq("table", spec.name, spec.name, root, spec.ddl)
@@ -147,7 +159,23 @@ object SqliteSink {
                 master += Seq("index", ix.name, spec.name, ib.finish(), ix.sql.orNull)
               } finally { sorted.unpersist(false); () }
             }
-          } finally { withId.unpersist(); () }
+          } catch {
+            case e: Throwable =>
+              // best-effort: unpersist each sort's RDD when (if) its
+              // future completes, without delaying the error
+              sortedF.foreach { case (_, f) =>
+                f.onComplete {
+                  case scala.util.Success(s) => try s.unpersist(false) catch { case _: Throwable => () }
+                  case _ => ()
+                }
+              }
+              throw e
+          } finally {
+            // no pool.shutdown(): the error-path onComplete callbacks may
+            // still need to run on it; its threads are daemon and a cached
+            // pool reaps idle threads after 60 s, so nothing leaks
+            withId.unpersist()
+          }
         }
       }
       writeMaster(pf, master.toSeq)
@@ -164,10 +192,10 @@ object SqliteSink {
     * driver-side page building.
     */
   private[sinks] def prefetchedLocalIterator[T: scala.reflect.ClassTag](
-      rdd: org.apache.spark.rdd.RDD[T]): Iterator[T] = {
+      rdd: org.apache.spark.rdd.RDD[T])(
+      implicit ec: scala.concurrent.ExecutionContext): Iterator[T] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
     val sc = rdd.sparkContext
     val order = rdd.partitions.indices.iterator
     def submit(p: Int): Future[Array[T]] =

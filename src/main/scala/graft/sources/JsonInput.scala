@@ -41,10 +41,19 @@ object JsonInput {
     spark.read.json(paths: _*)
 
   /** Default per-file size cap for [[jsonStream]]: 1 GiB. Overridable via
-    * the `GRAFT_MAX_STREAM_FILE_BYTES` env var or the explicit overload.
+    * the `GRAFT_MAX_STREAM_FILE_BYTES` env var (a plain byte count) or
+    * the explicit overload. Parsed defensively — a malformed value must
+    * name the setting, not surface as an ExceptionInInitializerError.
     */
-  val DefaultMaxStreamFileBytes: Long =
-    sys.env.get("GRAFT_MAX_STREAM_FILE_BYTES").map(_.toLong).getOrElse(1L << 30)
+  lazy val DefaultMaxStreamFileBytes: Long =
+    sys.env.get("GRAFT_MAX_STREAM_FILE_BYTES") match {
+      case None => 1L << 30
+      case Some(v) =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"GRAFT_MAX_STREAM_FILE_BYTES must be a plain byte count (e.g. 1073741824), got '$v'")
+        }
+    }
 
   /** S4: concatenated "JSON stream" — whitespace-separated top-level
     * objects, not line-aligned (`docs/options.md:309-341`). No native Spark
@@ -82,14 +91,21 @@ object JsonInput {
   private def preflightSizeCheck(spark: SparkSession, paths: Seq[String],
       maxFileBytes: Long): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // Spark's file index skips hidden entries (`_`/`.` prefixes — e.g. a
+    // leftover _temporary spill); the pre-flight must not reject files
+    // the read would never load
+    def visible(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
     paths.foreach { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).filter(_.nonEmpty)
         .getOrElse(Array(fs.getFileStatus(hp)))
       val files = matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
-        else Array(st)
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(s => s.isFile && visible(s))
+        else Array(st).filter(visible)
       }
       files.find(_.getLen > maxFileBytes).foreach { st =>
         throw new IllegalArgumentException(

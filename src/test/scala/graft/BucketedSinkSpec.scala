@@ -63,6 +63,15 @@ class BucketedSinkSpec extends AnyFunSuite {
       def exchanges(p: String) = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
       assert(exchanges(plan) < exchanges(planShuffle),
         s"bucketed plan has no fewer exchanges:\nbucketed:\n$plan\nplain:\n$planShuffle")
+      // the standing-table loop: fold the kept batch's fingerprints back
+      // in via append (same writer, same layout) — a re-run of the same
+      // batch must now drop everything, and the scan must stay bucketed
+      val kept = incoming.join(bucketed.select($"doc_id"), Seq("doc_id"), "left_semi")
+      graft.ops.Dedup.writeFingerprintTable(kept, "text", "graft_bkt_fp", 8, append = true)
+      val rerun = graft.ops.Dedup.dedupIncrementBucketed(
+        "graft_bkt_fp", incoming, "text", "doc_id")
+      assert(rerun.count() == 0)
+      assert(rerun.queryExecution.executedPlan.toString.contains("Bucketed: true"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_bkt_fp")

@@ -45,11 +45,21 @@ object Dedup {
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // 16-byte binary key — half the shuffle bytes of the hex fingerprint
     val key = TextAnalysis.fingerprintBin(col(textCol))
-    val keep = df.select(key.as("__k"), col(idCol))
-      .groupBy("__k").agg(min(col(idCol)).as(idCol))
+    val keyed = df.select(key.as("__k"), col(idCol))
+    val keep = keyed.groupBy("__k").agg(min(col(idCol)).as("__keep"))
+    // anti-join on the DROPPED ids, not semi-join on the kept ones: the
+    // dropped frame is only the duplicate fraction of the corpus (a few
+    // percent on real data), so it broadcasts and the document payload
+    // never passes through an exchange at all. A semi-join against the
+    // keep ids — corpus-sized, never broadcastable at scale — forced the
+    // payload through a full shuffle. Worst case (everything duplicate)
+    // degrades to the old single payload shuffle. The keyed frame's own
+    // exchange is computed once and reused between the groupBy and the
+    // join (identical subtrees), spec-asserted in ShuffleEvidenceSpec.
+    val dropped = keyed.join(keep, Seq("__k"))
+      .where(col(idCol) =!= col("__keep"))
       .select(idCol)
-    // left_semi on the id — document payload never shuffles
-    df.join(keep, Seq(idCol), "left_semi")
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** Incremental exact dedup for continuous ingestion: drop incoming

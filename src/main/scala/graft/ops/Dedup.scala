@@ -49,13 +49,15 @@ object Dedup {
     val keep = keyed.groupBy("__k").agg(min(col(idCol)).as("__keep"))
     // anti-join on the DROPPED ids, not semi-join on the kept ones: the
     // dropped frame is only the duplicate fraction of the corpus (a few
-    // percent on real data), so it broadcasts and the document payload
-    // never passes through an exchange at all. A semi-join against the
-    // keep ids — corpus-sized, never broadcastable at scale — forced the
-    // payload through a full shuffle. Worst case (everything duplicate)
-    // degrades to the old single payload shuffle. The keyed frame's own
-    // exchange is computed once and reused between the groupBy and the
-    // join (identical subtrees), spec-asserted in ShuffleEvidenceSpec.
+    // percent on real data, 8 bytes per dup), so it broadcasts and the
+    // document payload never passes through an exchange — at extreme
+    // corpus sizes raise spark.sql.autoBroadcastJoinThreshold to keep
+    // that true (a billion dups is still only ~8 GB of ids; the payload
+    // it saves shuffling is three orders larger). A semi-join against
+    // the keep ids — corpus-sized, NEVER broadcastable — forced the
+    // payload through a full shuffle unconditionally; worst case here
+    // degrades to exactly that. Shuffle volume is spec-asserted in
+    // ShuffleEvidenceSpec from the executed plan's metrics.
     val dropped = keyed.join(keep, Seq("__k"))
       .where(col(idCol) =!= col("__keep"))
       .select(idCol)

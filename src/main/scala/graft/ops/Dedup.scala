@@ -43,8 +43,15 @@ object Dedup {
     * (whitespace-normalized) text. Shuffles only (hash, id) pairs.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    // 16-byte binary key — half the shuffle bytes of the hex fingerprint
-    val key = TextAnalysis.fingerprintBin(col(textCol))
+    // 16-byte binary key — half the shuffle bytes of the hex fingerprint.
+    // NULL text hashes to NULL; coalesce to a zero-length sentinel (a
+    // real md5 is always 16 bytes, so no collision) because the dropped
+    // set below comes from an EQUI-join — with a null key, null-text
+    // duplicates would never match it and all survive, where groupBy
+    // (which groups nulls together, like the old semi-join form and the
+    // SQL oracle) keeps exactly one.
+    val key = coalesce(TextAnalysis.fingerprintBin(col(textCol)),
+      lit(Array.emptyByteArray))
     val keyed = df.select(key.as("__k"), col(idCol))
     val keep = keyed.groupBy("__k").agg(min(col(idCol)).as("__keep"))
     // anti-join on the DROPPED ids, not semi-join on the kept ones: the

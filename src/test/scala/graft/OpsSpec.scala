@@ -32,6 +32,17 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L, 4L, 6L)) // 2 and 5 are dups of 1
   }
 
+  test("exact dedup groups null texts like the SQL oracle: one survivor") {
+    import spark.implicits._
+    // null fingerprints must still dedup together (groupBy semantics, as
+    // in SQL GROUP BY) — an equi-join on a null key would keep them all
+    val df = Seq((1L, "real doc"), (2L, null), (3L, null), (4L, "real doc"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "text", "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L))
+  }
+
   test("minhash near-dup finds the planted near pair and not unrelated docs") {
     val pairs = Dedup.minhashDedupPairs(corpus, "text", "doc_id",
       threshold = 0.4, numHashes = 64, bands = 32, shingleSize = 2)

@@ -235,29 +235,40 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nlist: Int = 64,
       nprobe: Int = 8, lloydPasses: Int = 1): DataFrame = {
-    require(nprobe >= 1 && nprobe <= nlist, "need 1 <= nprobe <= nlist")
+    val centroids = ivfTrain(corpus, idCol, vecCol, nlist, lloydPasses)
+    ivfSearchIndexed(ivfIndex(corpus, idCol, vecCol, centroids), centroids,
+      queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** Compiled per-row kernel (TextHash-style exception): an argmin over
+    * nlist centroids as an expression tree would inline nlist copies of
+    * the vector pipeline.
+    */
+  private def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+    udf { (v: Seq[Float], m: Int) =>
+      val cs = bc.value
+      val scored = cs.indices.map { c =>
+        val cv = cs(c)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0
+        var i = 0
+        val d = math.min(v.length, cv.length)
+        while (i < d) { dot += v(i) * cv(i); nv += v(i) * v(i); nc += cv(i) * cv(i); i += 1 }
+        c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
+      }
+      scored.sortBy(_._2).take(m).map(_._1).toArray
+    }
+
+  /** Train the IVF coarse quantizer: deterministic seeds (nlist
+    * smallest-hash vectors, a distributed TakeOrdered) refined by
+    * `lloydPasses` Lloyd iterations. Returned centroids are plain data —
+    * persist them once and reuse across query batches instead of
+    * re-training per call ([[ivfTopK]] composes train → index → search
+    * for the one-shot form).
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 64, lloydPasses: Int = 1): Array[Array[Float]] = {
     require(lloydPasses >= 0, "lloydPasses must be >= 0")
     val spark = corpus.sparkSession
-
-    // compiled per-row kernel (TextHash-style exception): an argmin over
-    // nlist centroids as an expression tree would inline nlist copies of
-    // the vector pipeline
-    def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
-      udf { (v: Seq[Float], m: Int) =>
-        val cs = bc.value
-        val scored = cs.indices.map { c =>
-          val cv = cs(c)
-          var dot = 0.0; var nv = 0.0; var nc = 0.0
-          var i = 0
-          val d = math.min(v.length, cv.length)
-          while (i < d) { dot += v(i) * cv(i); nv += v(i) * v(i); nc += cv(i) * cv(i); i += 1 }
-          c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
-        }
-        scored.sortBy(_._2).take(m).map(_._1).toArray
-      }
-
-    // deterministic coarse seeds: nlist smallest-hash vectors
-    // (distributed TakeOrdered — per-partition top-k then merge)
     var centroids: Array[Array[Float]] = corpus
       .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("v"))
       .orderBy(xxhash64(col(idCol)))
@@ -296,23 +307,48 @@ object Similarity {
       bc = spark.sparkContext.broadcast(centroids)
       old.destroy() // the pass's jobs have collected; the stale nlist×dim block is dead weight
     }
+    val out = centroids
+    bc.destroy()
+    out
+  }
 
+  /** Assign every corpus vector its IVF cell — the persistable index
+    * frame (id, vector, cell). Write it to parquet (optionally
+    * partitioned or bucketed by `cell` so a probe scans only its cells)
+    * and search it repeatedly with [[ivfSearchIndexed]]; the corpus is
+    * scanned once here instead of once per query batch.
+    */
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    corpus.select(col(idCol),
+      col(vecCol).cast(ArrayType(FloatType)).as(vecCol))
+      .withColumn("cell", element_at(nearCellsUdf(bc)(col(vecCol), lit(1)), 1))
+  }
+
+  /** ANN search over a prebuilt [[ivfIndex]] frame: queries probe their
+    * `nprobe` nearest cells, score only those cells' members, and rank
+    * through the bounded map-side top-k. Same join shape and guarantees
+    * as [[ivfTopK]] — each corpus vector lives in exactly one cell and a
+    * query's probe cells are distinct, so no dedup shuffle is needed.
+    */
+  def ivfSearchIndexed(index: DataFrame, centroids: Array[Array[Float]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nprobe: Int = 8): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      "need 1 <= nprobe <= nlist")
+    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
     val nearCells = nearCellsUdf(bc)
-
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast(ArrayType(FloatType)).as("cv"))
-      .withColumn("cell", element_at(nearCells(col("cv"), lit(1)), 1))
+    val c = index.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast(ArrayType(FloatType)).as("cv"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast(ArrayType(FloatType)).as("qv"))
       .withColumn("cell", explode(nearCells(col("qv"), lit(nprobe))))
-    // no distinct needed: each corpus vector lives in exactly one cell and
-    // a query's probe cells are distinct, so each (query, neighbor) pair
-    // joins at most once — a dedup here would be a second full shuffle
     val scored = q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv").cast(ArrayType(DoubleType)), col("cv").cast(ArrayType(DoubleType))).as("score"))
-    rankTopK(scored, k, corpus.schema(idCol).dataType)
+    rankTopK(scored, k, index.schema(idCol).dataType)
   }
 
   /** Embedding near-duplicate pairs: corpus self-join via LSH buckets,

@@ -637,6 +637,32 @@ class OpsSpec extends AnyFunSuite {
       s"self-join sides should reuse one signature exchange:\n$plan")
   }
 
+  test("IVF train/index/search split: parquet-persisted index reproduces ivfTopK") {
+    import spark.implicits._
+    val dim = 8
+    val points = (0 until 120).map { i =>
+      val rnd = new scala.util.Random(77 * i + 5)
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 4)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = keyed(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3, lloydPasses = 1))
+    // train once, persist the index to parquet, search the REloaded frame —
+    // the standing-index workflow must reproduce the one-shot results
+    val centroids = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 8, lloydPasses = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.ivfIndex(emb, "vec_id", "embedding", centroids)
+      .write.mode("overwrite").parquet(s"$dir/index.parquet")
+    val reloaded = spark.read.parquet(s"$dir/index.parquet")
+    val viaIndex = keyed(Similarity.ivfSearchIndexed(reloaded, centroids,
+      queries, "vec_id", "embedding", k = 5, nprobe = 3))
+    assert(viaIndex == oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("IVF Lloyd refinement: recall vs brute force on a clustered corpus") {
     import spark.implicits._
     val dim = 8

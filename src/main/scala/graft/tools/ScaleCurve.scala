@@ -118,17 +118,31 @@ object ScaleCurve {
         db)
     }
 
-    def time(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
-    }
+    def sb7(path: String): Unit =
+      graft.ops.Dedup.sharedWindowFlags(withPlanted(corpus(path)), "text", "doc_id", n = 5)
+        .write.format("noop").mode("overwrite").save()
+
+    /** min of two runs, each preceded by a GC + settle: six 10× workloads
+      * back-to-back in ONE JVM heat the session (GC debris from earlier
+      * shuffles degrades the later driver-side streams by 2-3×, measured
+      * across three r8 sessions), and min-of-2 with a clean heap is the
+      * statistic that survives that contamination.
+      */
+    def time(f: => Unit): Double =
+      (1 to 2).map { _ =>
+        System.gc()
+        Thread.sleep(2000)
+        val t0 = System.nanoTime()
+        f
+        (System.nanoTime() - t0) / 1e9
+      }.min
 
     // JIT/codegen warmup on a tiny corpus, untimed
     val warmPath = s"$work/warm"
     buildCorpus("/root/testdata/sf0.001", 1, warmPath)
     sb2(warmPath); sb3(warmPath); sb4(warmPath)
     sb5(warmPath, s"$work/warm5.db"); sb6(warmPath, s"$work/warm6.db")
+    sb7(warmPath)
 
     val p1 = s"$work/corpus1"
     val pN = s"$work/corpus$mult"
@@ -137,11 +151,12 @@ object ScaleCurve {
     System.err.println(s"[scale] corpora ready: $rows1 rows at 1x, $rowsN rows at ${mult}x")
 
     val names = Seq("b2_minhash", "b3_near_dedup_apply", "b4_incremental_dedup",
-      "b5_sqlite_sink", "b6_sqlite_indexed")
+      "b5_sqlite_sink", "b6_sqlite_indexed", "b7_shared_windows")
     def runAll(path: String, tag: String): Seq[(String, Double)] = {
       val ts = Seq(
         time(sb2(path)), time(sb3(path)), time(sb4(path)),
-        time(sb5(path, s"$work/$tag-5.db")), time(sb6(path, s"$work/$tag-6.db")))
+        time(sb5(path, s"$work/$tag-5.db")), time(sb6(path, s"$work/$tag-6.db")),
+        time(sb7(path)))
       names.zip(ts)
     }
     val t1 = runAll(p1, "s1")

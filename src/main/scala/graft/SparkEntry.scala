@@ -1215,8 +1215,10 @@ object SparkEntry {
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // exact-substring dedup signal: identical window pipeline in SQL —
-    // engine-portable tokenizer class, per-doc distinct windows, min-id
-    // owner per window, count of windows owned by an earlier doc
+    // engine-portable tokenizer class, per-doc distinct md5 window keys
+    // (hashed inside the comprehension, mirroring the engine's
+    // hash-inside-transform), min-id owner per key, count of keys owned
+    // by an earlier doc
     "x43_shared_windows" ->
       s"""WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -1228,7 +1230,7 @@ object SparkEntry {
         |         ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS nt
         |  FROM docs
         |), wins AS (
-        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+9], ' ')
+        |  SELECT doc_id, unnest(list_distinct([md5(array_to_string(toks[i:i+9], ' '))
         |                                       for i in generate_series(1, nt - 9)])) AS w
         |  FROM t WHERE nt - 9 > 0
         |), o AS (

@@ -41,6 +41,14 @@ object Dedup {
 
   /** Exact dedup: keep the row with the minimum `idCol` per distinct
     * (whitespace-normalized) text. Shuffles only (hash, id) pairs.
+    *
+    * PRECONDITION: `idCol` is unique and non-null (like every id-keyed
+    * operator here — it is the join key). The dropped-ids anti-join
+    * leans on it: with duplicate ids, an id that wins one fingerprint
+    * group but loses another would have its winning row removed too,
+    * and null ids never match the equi-join on the dropped set, so
+    * null-id rows would all survive. (Null TEXT is handled — see the
+    * sentinel below; null ids are the caller's bug, not a text shape.)
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // 16-byte binary key — half the shuffle bytes of the hex fingerprint.
@@ -147,6 +155,19 @@ object Dedup {
     * a standing pipeline would persist the corpus band frame and replace
     * `existing` here with that table.
     *
+    * The cap is NOT silent: corpus band rows it drops bump the named
+    * accumulator `neardup_dropped_bucket_rows` (visible in the Spark UI
+    * and readable off the SparkContext after the action) — a non-zero
+    * value means some incoming docs' only collisions may have lived in a
+    * degenerate bucket and passed as fresh; raise `maxBucket` or
+    * pre-scrub boilerplate if that matters for the corpus. The sizes
+    * come from a window count over the band keys — one exchange of
+    * fixed-width (id, band, hash) rows and an in-partition sort; a
+    * degenerate bucket does land in one task, but the work there is a
+    * linear count over small rows, and the alternative (groupBy-count +
+    * anti-join of oversized keys) would run the minhash kernel — the
+    * dominant cost — over the corpus twice.
+    *
     * Within-batch near-dups are NOT collapsed (compose
     * [[minhashDedupPairs]] + [[dedupByPairs]] on the batch for that);
     * this operator is one corpus pass answering "which incoming docs are
@@ -163,9 +184,19 @@ object Dedup {
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "bandHash")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bandHash"))
+    // no-silent-caps accounting: every corpus band row the maxBucket
+    // guard drops is counted in a named accumulator (see Scaladoc). The
+    // marker is nondeterministic so the filter isn't folded away or
+    // double-evaluated by collapsed projections.
+    val acc = existing.sparkSession.sparkContext
+      .longAccumulator("neardup_dropped_bucket_rows")
+    val keepMark = udf { (keep: Boolean) =>
+      if (!keep) acc.add(1L)
+      keep
+    }.asNondeterministic()
     val ex = banded(existing)
       .withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n") <= maxBucket)
+      .where(keepMark(col("__n") <= maxBucket))
       .select(col("id").as("old_id"), col("band"), col("bandHash"))
     val in = banded(incoming)
       .select(col("id").as("new_id"), col("band"), col("bandHash"))
@@ -492,20 +523,6 @@ object Dedup {
       shingleSize, threshold)
   }
 
-  /** Corpus-level duplicate-line removal (the CCNet/RefinedWeb
-    * boilerplate scrub): any trimmed non-empty line occurring at least
-    * `minDupCount` times ACROSS the corpus is deleted from every
-    * document; the rest of each document is reassembled in line order.
-    * Documents whose every line dies come back with empty text.
-    *
-    * Scale shape: the heavy-hitter count aggregates 16-byte md5 line
-    * keys with map-side partial aggregation (only (key, partial-count)
-    * pairs shuffle); the surviving-line filter is an anti-join against
-    * that count's output — a tiny frame by construction (boilerplate is
-    * rare among distinct lines), so AQE broadcasts it. The one full-text
-    * shuffle is the per-document reassembly, which any line-level
-    * rewrite fundamentally needs.
-    */
   /** Doc-level exact-substring duplication signal — the published
     * "substring dedup" idea (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better": exact repeated spans, not
@@ -519,25 +536,26 @@ object Dedup {
     * seen in) an earlier doc and `keep` = (n_shared == 0). Docs shorter
     * than `n` tokens have no windows and always keep.
     *
-    * Scale shape: windows are distinct-ed PER DOC before anything
-    * shuffles (`array_distinct` inside the projection), then reduced to
-    * 16-byte md5 keys, so the shuffle carries fixed-width keys — two
-    * shuffles total (window min-owner groupBy, per-doc re-agg), both
-    * with map-side partial aggregation. Tokenization uses the same
-    * engine-portable whitespace class as chunkDocuments, and the window
-    * key is md5 (identical in every engine), so the oracle reproduces
-    * the exact pipeline.
+    * Scale shape: each window is hashed to its 16-byte md5 key INSIDE
+    * the per-doc transform — the window string exists only transiently
+    * per element, `array_distinct` dedups 16-byte keys, and the explode
+    * ships keys, never n-token strings (~n× narrower intermediates than
+    * hashing after the explode). Two shuffles total (window min-owner
+    * groupBy, per-doc re-agg), both fixed-width keys with map-side
+    * partial aggregation. Tokenization uses the same engine-portable
+    * whitespace class as chunkDocuments, and the window key is md5
+    * (identical in every engine), so the oracle reproduces the exact
+    * pipeline.
     */
   def sharedWindowFlags(df: DataFrame, textCol: String, idCol: String,
       n: Int = 10): DataFrame = {
     val toks = split(trim(col(textCol)), TextAnalysis.TokenWsJava)
     val total = size(toks) - (n - 1)
     val grams = array_distinct(transform(sequence(lit(1), total),
-      i => array_join(slice(toks, i, lit(n)), " ")))
+      i => unhex(md5(array_join(slice(toks, i, lit(n)), " ").cast(BinaryType)))))
     val win = df
       .where(length(trim(col(textCol))) > 0 && total > 0)
-      .select(col(idCol), explode(grams).as("__w"))
-      .select(col(idCol), unhex(md5(col("__w").cast(BinaryType))).as("__wh"))
+      .select(col(idCol), explode(grams).as("__wh"))
     val owners = win.groupBy(col("__wh")).agg(min(col(idCol)).as("__owner"))
     val flags = win.join(owners, Seq("__wh"))
       .groupBy(col(idCol))
@@ -553,10 +571,12 @@ object Dedup {
     * [[nearDupIncrement]]): drop incoming docs that share ANY exact
     * `n`-token window with the existing corpus. Window equality is
     * exact, so unlike the fuzzy form there is no verification stage:
-    * both sides reduce to 16-byte md5 window keys (distinct per doc
-    * inside the projection), the batch's keys semi-join the corpus keys,
-    * and the corpus payload never moves. Incoming docs shorter than `n`
-    * tokens have no windows and always pass.
+    * both sides reduce to 16-byte md5 window keys (hashed and
+    * distinct-ed per doc inside the projection, like
+    * [[sharedWindowFlags]] — the explode ships keys, not window
+    * strings), the batch's keys semi-join the corpus keys, and the
+    * corpus payload never moves. Incoming docs shorter than `n` tokens
+    * have no windows and always pass.
     */
   def sharedWindowIncrement(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, n: Int = 10): DataFrame = {
@@ -564,10 +584,9 @@ object Dedup {
       val toks = split(trim(col(textCol)), TextAnalysis.TokenWsJava)
       val total = size(toks) - (n - 1)
       val grams = array_distinct(transform(sequence(lit(1), total),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+        i => unhex(md5(array_join(slice(toks, i, lit(n)), " ").cast(BinaryType)))))
       df.where(length(trim(col(textCol))) > 0 && total > 0)
-        .select(col(idCol), explode(grams).as("__w"))
-        .select(col(idCol), unhex(md5(col("__w").cast(BinaryType))).as("__wh"))
+        .select(col(idCol), explode(grams).as("__wh"))
     }
     val dupIds = keys(incoming)
       .join(keys(existing).select(col("__wh")), Seq("__wh"), "left_semi")
@@ -575,6 +594,20 @@ object Dedup {
     incoming.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-level duplicate-line removal (the CCNet/RefinedWeb
+    * boilerplate scrub): any trimmed non-empty line occurring at least
+    * `minDupCount` times ACROSS the corpus is deleted from every
+    * document; the rest of each document is reassembled in line order.
+    * Documents whose every line dies come back with empty text.
+    *
+    * Scale shape: the heavy-hitter count aggregates 16-byte md5 line
+    * keys with map-side partial aggregation (only (key, partial-count)
+    * pairs shuffle); the surviving-line filter is an anti-join against
+    * that count's output — a tiny frame by construction (boilerplate is
+    * rare among distinct lines), so AQE broadcasts it. The one full-text
+    * shuffle is the per-document reassembly, which any line-level
+    * rewrite fundamentally needs.
+    */
   def dedupLines(docs: DataFrame, textCol: String, idCol: String,
       minDupCount: Int = 5): DataFrame = {
     val lines = docs.select(col(idCol),

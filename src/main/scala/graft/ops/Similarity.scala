@@ -335,15 +335,19 @@ object Similarity {
   def ivfSearchIndexed(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, idCol: String, vecCol: String,
       k: Int = 10, nprobe: Int = 8): DataFrame = {
-    require(nprobe >= 1 && nprobe <= centroids.length,
-      "need 1 <= nprobe <= nlist")
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    // clamp instead of require: ivfTrain returns min(nlist, corpus rows)
+    // centroids, so a small corpus with the default nprobe must degrade
+    // to probing every cell, not throw
+    val probes = math.min(nprobe, centroids.length)
     val bc = queries.sparkSession.sparkContext.broadcast(centroids)
     val nearCells = nearCellsUdf(bc)
     val c = index.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast(ArrayType(FloatType)).as("cv"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast(ArrayType(FloatType)).as("qv"))
-      .withColumn("cell", explode(nearCells(col("qv"), lit(nprobe))))
+      .withColumn("cell", explode(nearCells(col("qv"), lit(probes))))
     val scored = q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

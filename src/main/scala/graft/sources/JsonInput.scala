@@ -83,10 +83,16 @@ object JsonInput {
   }
 
   /** Fail fast when any input file exceeds `maxFileBytes` — before the
-    * scan starts, on the driver, with the file named. Globs and
-    * directories expand the way Spark's file source does (one listing
-    * round, non-recursive), so the check sees exactly the files the
-    * `wholetext` read would load whole.
+    * scan starts, on the driver, with the file named. Directory listing
+    * RECURSES into visible subdirectories, with the hidden-prefix rule
+    * applied to every path segment — a conservative SUPERSET of what
+    * the read loads: Spark's discovery descends into `key=value`
+    * partition layouts (verified empirically — a nested partition file
+    * is read, and would OOM unchecked) but ignores plain subdirectories.
+    * Listing both means no oversized file the scan might load can slip
+    * past the cap; the cost is a false rejection when an oversized file
+    * sits in a plain subdirectory the read would skip — point at
+    * explicit files or a glob to exclude it.
     */
   private def preflightSizeCheck(spark: SparkSession, paths: Seq[String],
       maxFileBytes: Long): Unit = {
@@ -103,10 +109,11 @@ object JsonInput {
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).filter(_.nonEmpty)
         .getOrElse(Array(fs.getFileStatus(hp)))
-      val files = matched.flatMap { st =>
-        if (st.isDirectory) fs.listStatus(st.getPath).filter(s => s.isFile && visible(s))
-        else Array(st).filter(visible)
-      }
+      def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq.filter(visible).flatMap(leaves)
+        else if (visible(st)) Seq(st) else Nil
+      val files = matched.flatMap(leaves)
       files.find(_.getLen > maxFileBytes).foreach { st =>
         throw new IllegalArgumentException(
           s"json-stream input ${st.getPath} is ${st.getLen} bytes, over the " +

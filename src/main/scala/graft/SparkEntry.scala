@@ -380,6 +380,30 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "x47_neardup_threshold" -> ((s, dir) => {
+      // near-THRESHOLD replay (the computed complement to x45's planted
+      // extremes): incoming docs are corpus docs with k = doc_id % 4 junk
+      // tokens appended, so their exact 3-shingle Jaccard vs the source,
+      // (m-2)/(m+k-2) for an m-token doc, straddles 0.9 with the corpus'
+      // natural length spread — m=20,k=2 lands EXACTLY on the threshold —
+      // and banding recall + exact verification are tested where they
+      // interact. 32 bands × 4 rows: P(all bands miss | j ≥ 0.9) < 2e-15,
+      // and seeded hashing makes the outcome fixed. The oracle recomputes
+      // the exact shingle-set Jaccard truth in SQL (the x8 pattern) and
+      // keeps exactly the incoming ids whose max Jaccard vs ANY corpus
+      // doc stays under the threshold.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val k = col("doc_id") % 4
+      val junk = Seq("a", "b", "c").zipWithIndex.map { case (tag, j) =>
+        when(k >= j + 1, concat(lit(s" zq$tag"), col("doc_id"))).otherwise(lit(""))
+      }
+      val inc = d.select((col("doc_id") + 2 * PlantedOffset).as("doc_id"),
+        concat(col("text") +: junk: _*).as("text"))
+      Dedup.nearDupIncrement(d, inc, "text", "doc_id",
+        threshold = 0.9, numHashes = 128, bands = 32)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x3_fingerprint" -> ((s, dir) =>
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
@@ -1248,6 +1272,53 @@ object SparkEntry {
     // token-disjoint fresh docs verify to ~0 — output is the fresh set
     "x45_neardup_increment" ->
       """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
+
+    // near-threshold incremental near-dup: recompute the incoming docs
+    // (k = doc_id % 4 junk tokens appended), then the EXACT shingle-set
+    // Jaccard of every shingle-sharing (incoming, existing) pair — the
+    // same tokenizer ([a-z0-9] runs), 3-shingle rule (whole text when
+    // ≤ 3 tokens), per-doc distinct shingles, and integer-ratio double
+    // division the engine uses — and keep incoming ids whose max
+    // Jaccard stays under 0.9. Shared-shingle blocking is exact: a pair
+    // with Jaccard > 0 shares a shingle.
+    "x47_neardup_threshold" ->
+      """WITH exist AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS t
+        |  FROM documents
+        |), inc AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(
+        |      text
+        |      || CASE WHEN doc_id % 4 >= 1 THEN ' zqa' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |      || CASE WHEN doc_id % 4 >= 2 THEN ' zqb' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |      || CASE WHEN doc_id % 4 >= 3 THEN ' zqc' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    ), '[^a-z0-9]+'), t -> len(t) > 0) AS t
+        |  FROM documents
+        |), she AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, chr(31))]
+        |    ELSE list_distinct([t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) END AS s
+        |  FROM exist
+        |), shi AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, chr(31))]
+        |    ELSE list_distinct([t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) END AS s
+        |  FROM inc
+        |), pe AS (
+        |  SELECT doc_id AS eid, len(s) AS ne, unnest(s) AS w FROM she
+        |), pi AS (
+        |  SELECT doc_id AS iid, len(s) AS ni, unnest(s) AS w FROM shi
+        |), dup AS (
+        |  SELECT DISTINCT iid FROM (
+        |    SELECT pi.iid, pe.eid, count(*) AS c,
+        |      any_value(pi.ni) AS ni, any_value(pe.ne) AS ne
+        |    FROM pi JOIN pe USING (w) GROUP BY pi.iid, pe.eid)
+        |  WHERE CAST(c AS DOUBLE) / (ni + ne - c) >= 0.9
+        |)
+        |SELECT i.doc_id + 200000000 AS doc_id
+        |FROM inc i ANTI JOIN dup ON i.doc_id = dup.iid
+        |ORDER BY doc_id""".stripMargin,
 
     // incremental substring dedup: copies keep only when too short for a
     // window; token-disjoint 3-token fresh docs always pass

@@ -195,14 +195,21 @@ object TextAnalysis {
     * Output: (id, n_rare, rare_ratio) per input doc; token-less docs get
     * (0, 0.0). Two shuffles: the vocabulary count (map-side combined; the
     * token stream itself shuffles as (token, count) partials) and the
-    * token→count join back (standard vocabulary-join shape; at 100 TB the
-    * counts frame is vocabulary-sized and can be broadcast when the
-    * vocabulary fits).
+    * token→count join back (standard vocabulary-join shape). At 100 TB
+    * the counts frame is vocabulary-sized — when the caller knows it
+    * fits in executor memory (natural-language corpora: tens of
+    * millions of (token, count) rows, a few GB), pass
+    * `broadcastCounts = true` to make the fast path DELIBERATE: the
+    * join back is then a broadcast-hash join and the second token-stream
+    * shuffle disappears, instead of depending on AQE noticing the count
+    * frame is small. Identifier-heavy corpora with unbounded
+    * vocabularies keep the default shuffle join.
     */
   def rareTokenRatio(df: DataFrame, textCol: String, idCol: String,
-      minCount: Long = 5): DataFrame = {
+      minCount: Long = 5, broadcastCounts: Boolean = false): DataFrame = {
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__token"))
-    val counts = tok.groupBy(col("__token")).agg(count(lit(1)).as("__cnt"))
+    val counts0 = tok.groupBy(col("__token")).agg(count(lit(1)).as("__cnt"))
+    val counts = if (broadcastCounts) broadcast(counts0) else counts0
     val scored = tok.join(counts, Seq("__token"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__n"),

@@ -503,6 +503,22 @@ class OpsSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0.0)))
   }
 
+  test("rareTokenRatio: broadcastCounts plans a broadcast join, results unchanged") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"common tokens here plus unique$i")).toDF("doc_id", "text")
+    val slow = TextAnalysis.rareTokenRatio(df, "text", "doc_id", minCount = 5)
+    val fast = TextAnalysis.rareTokenRatio(df, "text", "doc_id", minCount = 5,
+      broadcastCounts = true)
+    val expected = slow.as[(Long, Long, Double)].collect().toSet
+    assert(fast.as[(Long, Long, Double)].collect().toSet == expected)
+    // the vocabulary-join fast path must be deliberate, not an AQE accident:
+    // with the hint, the token→count join back is a broadcast-hash join
+    fast.collect()
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"broadcastCounts should plan a broadcast-hash vocabulary join:\n$plan")
+  }
+
   test("groupPercentiles: exact quartiles with interpolation") {
     import spark.implicits._
     // en: values 1..5 → quartiles 2, 3, 4; fr: 10,20 → 12.5, 15, 17.5

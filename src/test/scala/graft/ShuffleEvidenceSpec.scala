@@ -42,6 +42,101 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
     sum(df.queryExecution.executedPlan)
   }
 
+  test("sharedWindowFlags shuffles window keys, not text: 10x longer tokens, flat shuffle") {
+    import spark.implicits._
+    // same token STRUCTURE (2000 docs x 60 tokens), token length 4 vs 40
+    // (~9x the text bytes). The shuffle carries 16-byte md5 window keys, so
+    // it is a function of token COUNT, not text size — if a regression
+    // ships window strings through the explode again, the long corpus's
+    // shuffle grows ~8x and the flatness assert fails by a mile.
+    def corpus(tokLen: Int) = (1 to 2000).map { i =>
+      val toks = (1 to 60).map(j => s"d${i}t$j".padTo(tokLen, 'x'))
+      (i.toLong, toks.mkString(" "))
+    }
+    val short = corpus(8)
+    val long  = corpus(40)
+    def run(docs: Seq[(Long, String)]): Long = {
+      val out = graft.ops.Dedup.sharedWindowFlags(docs.toDF("doc_id", "text"),
+        "text", "doc_id", n = 10)
+      val bytes = shuffleBytesWritten(out)
+      assert(out.count() == 2000)
+      bytes
+    }
+    val shortBytes = run(short)
+    val longBytes  = run(long)
+    val longText = long.map(_._2.length.toLong).sum
+    info(f"short-token shuffle $shortBytes%d B, long-token shuffle $longBytes%d B, " +
+      f"long text $longText%d B (${100.0 * longBytes / longText}%.1f%% of text)")
+    assert(longBytes < (shortBytes * 1.5).toLong,
+      f"window shuffle grew with text bytes ($shortBytes -> $longBytes) — " +
+        "window STRINGS are reaching the exchange instead of md5 keys")
+  }
+
+  test("dedupIncrement shuffles corpus fingerprints, not the corpus payload") {
+    import spark.implicits._
+    val existing = (1 to 3000).map(i => (i.toLong, s"corpus body $i " * 150)) // ~1.8 KB
+    val incoming = ((1 to 150).map(i => (10000L + i, s"corpus body $i " * 150)) ++
+      (1 to 150).map(i => (20000L + i, s"fresh daily text $i " * 150)))
+    val out = graft.ops.Dedup.dedupIncrement(
+      existing.toDF("doc_id", "text"), incoming.toDF("doc_id", "text"),
+      "text", "doc_id")
+    val shuffled = shuffleBytesWritten(out)
+    val textBytes = (existing ++ incoming).map(_._2.length.toLong).sum
+    assert(out.count() == 150) // only the fresh half survives
+    info(f"shuffled $shuffled%d B vs $textBytes%d B total text " +
+      f"(${100.0 * shuffled / textBytes}%.1f%%)")
+    assert(shuffled < textBytes / 10,
+      f"incremental dedup shuffled $shuffled B vs $textBytes B text — " +
+        "a payload is leaking into an exchange")
+  }
+
+  test("dedupIncrementBucketed: standing table keeps even fingerprints out of the exchange") {
+    import spark.implicits._
+    val existing = (1 to 3000).map(i => (i.toLong, s"corpus body $i " * 150))
+    val incoming = ((1 to 150).map(i => (10000L + i, s"corpus body $i " * 150)) ++
+      (1 to 150).map(i => (20000L + i, s"fresh daily text $i " * 150)))
+    graft.ops.Dedup.writeFingerprintTable(
+      existing.toDF("doc_id", "text"), "text", "graft_sev_fp", 8)
+    try {
+      val out = graft.ops.Dedup.dedupIncrementBucketed(
+        "graft_sev_fp", incoming.toDF("doc_id", "text"), "text", "doc_id")
+      val shuffled = shuffleBytesWritten(out)
+      val corpusText = existing.map(_._2.length.toLong).sum
+      val batchText = incoming.map(_._2.length.toLong).sum
+      assert(out.count() == 150)
+      info(f"shuffled $shuffled%d B vs corpus $corpusText%d B / batch $batchText%d B")
+      // the corpus-side scan is bucketed in place — the per-batch shuffle
+      // is bounded by the BATCH, not the corpus
+      assert(shuffled < batchText,
+        f"bucketed incremental dedup shuffled $shuffled B (batch text $batchText B) — " +
+          "the standing layout is not keeping the corpus out of the exchange")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sev_fp")
+  }
+
+  test("nearDupIncrement ships band keys and candidate shingles, not the corpus text") {
+    import spark.implicits._
+    // ~2 KB unique docs; 15 planted copies + 15 disjoint fresh incoming.
+    // Shuffle = banded corpus/batch frames (bands x ~28 B per doc) plus
+    // candidate-bounded verify shingles — the 2 KB payloads move only via
+    // broadcast semi-joins, never through an exchange.
+    val existing = (1 to 2000).map { i =>
+      (i.toLong, (1 to 300).map(j => s"w$i-$j").mkString(" ")) // ~2 KB
+    }
+    val incoming = (existing.take(15).map { case (i, t) => (10000L + i, t) } ++
+      (1 to 15).map(i => (20000L + i, (1 to 300).map(j => s"f$i-$j").mkString(" "))))
+    val out = graft.ops.Dedup.nearDupIncrement(
+      existing.toDF("doc_id", "text"), incoming.toDF("doc_id", "text"),
+      "text", "doc_id", threshold = 0.9, numHashes = 32, bands = 4)
+    val shuffled = shuffleBytesWritten(out)
+    val textBytes = (existing ++ incoming).map(_._2.length.toLong).sum
+    assert(out.count() == 15) // copies dropped, fresh kept
+    info(f"shuffled $shuffled%d B vs $textBytes%d B text " +
+      f"(${100.0 * shuffled / textBytes}%.1f%%)")
+    assert(shuffled < textBytes / 3,
+      f"nearDupIncrement shuffled $shuffled B vs $textBytes B text — " +
+        "the payload (not band keys) is reaching an exchange")
+  }
+
   test("exactDedup shuffles fingerprints, not documents (measured bytes)") {
     import spark.implicits._
     // ~2 KB docs, ~10% exact duplicates — the realistic corpus shape the

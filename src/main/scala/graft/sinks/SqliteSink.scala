@@ -79,6 +79,19 @@ object SqliteSink {
       ddlFor: String => String): Unit =
     writeSpecs(tables.map { case (n, df) => TableSpec(n, df, ddlFor(n)) }, path)
 
+  /** Test-only fault-injection seam, called once per streamed table row
+    * (`("table", rowIdx)`) and once per streamed index entry
+    * (`("index", rowid)`) on the INDEXED export path. The concurrent
+    * export materializes the corpus fully (persist + count) before any
+    * stream runs, so its driver-side failure paths — table stream dying
+    * with index sorts in flight, an index stream dying with later sorts
+    * pending — are unreachable from data alone; specs throw from here to
+    * pin the cancel/unpersist/shutdown behavior deterministically
+    * (SqliteFaultSpec). No-op in production; the per-row call is noise
+    * next to record building.
+    */
+  private[sinks] var faultInjection: (String, Long) => Unit = (_, _) => ()
+
   /** Write `specs` into a single SQLite database file at `path`. */
   def writeSpecs(specs: Seq[TableSpec], path: String): Unit = {
     java.nio.file.Files.createDirectories(
@@ -103,7 +116,8 @@ object SqliteSink {
           master += Seq("table", spec.name, spec.name, root, spec.ddl)
         } else {
           import scala.concurrent.{Await, ExecutionContext, Future}
-          import scala.concurrent.duration.Duration
+          import scala.concurrent.duration._
+          import scala.jdk.CollectionConverters._
           // dedicated cached pool for the sort futures and partition
           // prefetch: they BLOCK on Spark job waits, and blocking the
           // shared global fork-join pool can starve it (K indexes ≥ its
@@ -112,6 +126,16 @@ object SqliteSink {
           val pool = java.util.concurrent.Executors.newCachedThreadPool(
             (r: Runnable) => { val t = new Thread(r, "sqlite-sink"); t.setDaemon(true); t })
           implicit val sinkEc: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          val sc = spec.df.sparkSession.sparkContext
+          // all of this spec's jobs (sorts, prefetch) run under one job
+          // group, so the error path can CANCEL them instead of letting K
+          // corpus-scale sorts run to completion after the export already
+          // failed. Pool threads inherit the group (thread-locals copy at
+          // thread creation, and the pool is created after setJobGroup).
+          val group = s"sqlite-sink-${spec.name}-${java.util.UUID.randomUUID().toString.take(8)}"
+          val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+          val prevDesc = sc.getLocalProperty("spark.job.description")
+          sc.setJobGroup(group, s"sqlite export of ${spec.name}", interruptOnCancel = false)
           // rowids must be identical between the table pass and every
           // index pass → pin them with one persisted zipWithIndex.
           // Deserialized cache: the table pass and K index passes all
@@ -120,9 +144,11 @@ object SqliteSink {
           // cold partitions to disk (serialized) as usual.
           val withId = spec.df.rdd.zipWithIndex()
             .persist(StorageLevel.MEMORY_AND_DISK)
-          // registered up front so a failure anywhere (table stream, an
-          // earlier index) still unpersists every sort's cache once its
-          // in-flight job finishes — nothing leaks in a long session
+          // every RDD a sort future persists is registered here the moment
+          // persist() is called — even when the future later dies mid-sort,
+          // the cleanup in `finally` can still reach and unpersist it
+          val persisted =
+            new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
           val sortedF = scala.collection.mutable.ArrayBuffer
             .empty[(IndexSpec, Future[org.apache.spark.rdd.RDD[(String, Long)]])]
           try {
@@ -142,18 +168,21 @@ object SqliteSink {
                   }
                   .sortBy(identity)(IdxKeyOrdering,
                     scala.reflect.classTag[(String, Long)])
-                  .persist(StorageLevel.MEMORY_AND_DISK)
+                s.persist(StorageLevel.MEMORY_AND_DISK)
+                persisted.add(s)
                 s.count()
                 s
               })
             }
-            val root = writeTable(pf, prefetchedLocalIterator(withId).map(_._1))
+            val root = writeTable(pf, prefetchedLocalIterator(withId)
+              .map { case (row, i) => faultInjection("table", i); row })
             master += Seq("table", spec.name, spec.name, root, spec.ddl)
             sortedF.foreach { case (ix, f) =>
               val sorted = Await.result(f, Duration.Inf)
               try {
                 val ib = new IndexBuilder(pf)
                 prefetchedLocalIterator(sorted).foreach { case (k, rid) =>
+                  faultInjection("index", rid)
                   ib.add(record(Seq(k, rid)))
                 }
                 master += Seq("index", ix.name, spec.name, ib.finish(), ix.sql.orNull)
@@ -161,20 +190,24 @@ object SqliteSink {
             }
           } catch {
             case e: Throwable =>
-              // best-effort: unpersist each sort's RDD when (if) its
-              // future completes, without delaying the error
+              // fail fast AND clean: cancel this spec's in-flight jobs,
+              // then bound-wait for the (now cancelled) futures to settle
+              // so the finally below finds every persisted RDD; the wait
+              // is bounded so a wedged job cannot delay the error forever
+              try sc.cancelJobGroup(group) catch { case _: Throwable => () }
               sortedF.foreach { case (_, f) =>
-                f.onComplete {
-                  case scala.util.Success(s) => try s.unpersist(false) catch { case _: Throwable => () }
-                  case _ => ()
-                }
+                try { Await.ready(f, 30.seconds); () } catch { case _: Throwable => () }
               }
               throw e
           } finally {
-            // no pool.shutdown(): the error-path onComplete callbacks may
-            // still need to run on it; its threads are daemon and a cached
-            // pool reaps idle threads after 60 s, so nothing leaks
+            sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+            sc.setLocalProperty("spark.job.description", prevDesc)
             withId.unpersist()
+            persisted.asScala.foreach(r =>
+              try r.unpersist(false) catch { case _: Throwable => () })
+            // safe now: every future has settled (success, or awaited in
+            // the catch), so no completion callback can be stranded
+            pool.shutdown()
           }
         }
       }

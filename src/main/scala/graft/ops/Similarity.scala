@@ -73,6 +73,73 @@ object Similarity {
     dot / (na * nb)
   }
 
+  /** Compiled cosine kernels for the pair-scoring hot paths — the
+    * TextHash-style exception to the expressions-first rule. The
+    * higher-order form ([[cosine]]) is interpreted (`ArrayAggregate` is
+    * a CodegenFallback: the lambda evaluates per element through the
+    * expression interpreter), and the candidate join evaluates it per
+    * PAIR — the one place in the engine where interpretation multiplies
+    * by |corpus|×|queries|. The 10× scale curve measured the difference.
+    *
+    * Bit-compatibility: each kernel runs the exact IEEE operation
+    * sequence of the expression tree on the same element type — products
+    * and squares computed in the ELEMENT type then widened to double
+    * (that is what `x * y` on float columns followed by the double
+    * accumulator does), left-to-right accumulation, then
+    * `dot / (sqrt(na) * sqrt(nb))` — so scores are bit-identical to
+    * [[cosine]] and the DuckDB oracles (x9/x10/x11/x18) are unaffected.
+    * Length-mismatched pairs score null, matching `zip_with`'s null
+    * padding through the sum. Null vector elements (a corrupt embedding)
+    * are a documented precondition violation here: the expression form
+    * nulls the score, the kernels throw.
+    *
+    * Marked nondeterministic ONLY as an evaluation barrier (the kernels
+    * are pure): [[rankTopK]]'s null filter otherwise pushes through the
+    * scoring projection into the join condition, and every candidate
+    * pair pays the kernel twice — once in the condition, once in the
+    * surviving row's projection.
+    */
+  private val cosineKernelF = udf { (a: Seq[Float], b: Seq[Float]) =>
+    if (a == null || b == null || a.length != b.length) Option.empty[Double]
+    else {
+      val x = a.toArray; val y = b.toArray
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < x.length) {
+        dot += (x(i) * y(i)).toDouble
+        na += (x(i) * x(i)).toDouble
+        nb += (y(i) * y(i)).toDouble
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  }.asNondeterministic()
+
+  private val cosineKernelD = udf { (a: Seq[Double], b: Seq[Double]) =>
+    if (a == null || b == null || a.length != b.length) Option.empty[Double]
+    else {
+      val x = a.toArray; val y = b.toArray
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i)
+        na += x(i) * x(i)
+        nb += y(i) * y(i)
+        i += 1
+      }
+      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+  }.asNondeterministic()
+
+  /** The scoring column for a candidate pair: compiled kernel when the
+    * element type has one, [[cosine]] expression otherwise.
+    */
+  private def cosineFast(vecType: DataType): (Column, Column) => Column = vecType match {
+    case ArrayType(FloatType, _)  => cosineKernelF(_, _)
+    case ArrayType(DoubleType, _) => cosineKernelD(_, _)
+    case _                        => cosine(_, _)
+  }
+
   /** L2-normalize `vecCol` into `outCol` (elements cast to double so
     * results are engine-identical IEEE arithmetic). Zero vectors come
     * back as zeros instead of NaN. Two stacked projections — still a
@@ -145,7 +212,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("score"))
+        cosineFast(corpus.schema(vecCol).dataType)(col("qv"), col("cv")).as("score"))
     rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
@@ -206,7 +273,8 @@ object Similarity {
     // rankTopK's map-side bounded aggregate gets to reduce them.
     val scored = probes.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("score"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineFast(corpus.schema(vecCol).dataType)(col("qv"), col("cv")).as("score"))
     rankTopK(scored, k, corpus.schema(idCol).dataType)
   }
 
@@ -247,12 +315,18 @@ object Similarity {
   private def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
     udf { (v: Seq[Float], m: Int) =>
       val cs = bc.value
+      // Copy the row vector to an array ONCE: the deserialized Seq is a
+      // linked list at runtime, so indexing it inside the distance loop
+      // is O(dim) per element — O(dim² × nlist) per row. The 10× scale
+      // curve caught this as a crawl at 6M rows; array access makes cell
+      // assignment the O(dim × nlist) scan the Scaladoc claims.
+      val a = v.toArray
       val scored = cs.indices.map { c =>
         val cv = cs(c)
         var dot = 0.0; var nv = 0.0; var nc = 0.0
         var i = 0
-        val d = math.min(v.length, cv.length)
-        while (i < d) { dot += v(i) * cv(i); nv += v(i) * v(i); nc += cv(i) * cv(i); i += 1 }
+        val d = math.min(a.length, cv.length)
+        while (i < d) { dot += a(i) * cv(i); nv += a(i) * a(i); nc += cv(i) * cv(i); i += 1 }
         c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
       }
       scored.sortBy(_._2).take(m).map(_._1).toArray
@@ -351,7 +425,8 @@ object Similarity {
     val scored = q.join(c, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv").cast(ArrayType(DoubleType)), col("cv").cast(ArrayType(DoubleType))).as("score"))
+        cosineKernelD(col("qv").cast(ArrayType(DoubleType)),
+          col("cv").cast(ArrayType(DoubleType))).as("score"))
     rankTopK(scored, k, index.schema(idCol).dataType)
   }
 
@@ -380,7 +455,7 @@ object Similarity {
     val b = c.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine(col("a.v"), col("b.v")).as("score"))
+        cosineFast(df.schema(vecCol).dataType)(col("a.v"), col("b.v")).as("score"))
       .where(col("score") >= threshold)
   }
 }

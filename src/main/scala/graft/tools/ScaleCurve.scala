@@ -19,14 +19,21 @@ import org.apache.spark.sql.functions._
   * STRUCTURE as the 1× one (1% planted), not N-fold duplicate text that
   * would degenerate every LSH bucket.
   *
+  * The ANN family (brute-force / LSH / IVF — VERDICT r8 #4) runs over a
+  * deterministic synthetic vector corpus (64-dim, hash-derived — no RNG)
+  * with a FIXED 100-query batch at both scales, so the measured ratio is
+  * the corpus-side scan/bucket/cell cost alone.
+  *
   * Run manually (NOT part of the Bench artifact loop):
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleCurve"
+  * Optional second arg selects a family: all | dedup | ann.
   */
 object ScaleCurve {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    val family = args.drop(1).headOption.getOrElse("all")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -122,6 +129,46 @@ object ScaleCurve {
       graft.ops.Dedup.sharedWindowFlags(withPlanted(corpus(path)), "text", "doc_id", n = 5)
         .write.format("noop").mode("overwrite").save()
 
+    /** Deterministic 64-dim vector corpus: element j of vector `id` is
+      * xxhash64(id, j) mapped to [-1, 1) — reproducible at any scale, no
+      * RNG, realistic spread for bucketing/quantization.
+      */
+    def buildVecs(n: Long, out: String): Unit =
+      spark.range(n).toDF("vec_id")
+        .repartition(cpus.toInt)
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
+              .cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(out)
+
+    def vecs(path: String): org.apache.spark.sql.DataFrame = spark.read.parquet(path)
+
+    /** The SAME 100 queries at every scale (read from the 1× corpus), so
+      * the ratio isolates corpus-side cost. */
+    def queries(path1: String): org.apache.spark.sql.DataFrame =
+      vecs(path1).where(col("vec_id") < 100)
+
+    def sa1(path: String, q1: String): Unit =
+      graft.ops.Similarity.bruteForceTopK(vecs(path), queries(q1),
+        "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+
+    def sa2(path: String, q1: String): Unit =
+      graft.ops.Similarity.lshTopK(vecs(path), queries(q1),
+        "vec_id", "embedding", k = 10, nBits = 12, probe1 = true)
+        .write.format("noop").mode("overwrite").save()
+
+    def sa3(path: String, q1: String): Unit = {
+      val c = vecs(path)
+      val cents = graft.ops.Similarity.ivfTrain(c, "vec_id", "embedding",
+        nlist = 64, lloydPasses = 1)
+      graft.ops.Similarity.ivfSearchIndexed(
+        graft.ops.Similarity.ivfIndex(c, "vec_id", "embedding", cents),
+        cents, queries(q1), "vec_id", "embedding", k = 10, nprobe = 8)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     /** min of two runs, each preceded by a GC + settle: six 10× workloads
       * back-to-back in ONE JVM heat the session (GC debris from earlier
       * shuffles degrades the later driver-side streams by 2-3×, measured
@@ -137,33 +184,64 @@ object ScaleCurve {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    // JIT/codegen warmup on a tiny corpus, untimed
-    val warmPath = s"$work/warm"
-    buildCorpus("/root/testdata/sf0.001", 1, warmPath)
-    sb2(warmPath); sb3(warmPath); sb4(warmPath)
-    sb5(warmPath, s"$work/warm5.db"); sb6(warmPath, s"$work/warm6.db")
-    sb7(warmPath)
+    val runDedup = family == "all" || family == "dedup"
+    val runAnn = family == "all" || family == "ann"
+    require(runDedup || runAnn, s"unknown family '$family' (all | dedup | ann)")
 
-    val p1 = s"$work/corpus1"
-    val pN = s"$work/corpus$mult"
-    val rows1 = buildCorpus(sfDir, 1, p1)
-    val rowsN = buildCorpus(sfDir, mult, pN)
-    System.err.println(s"[scale] corpora ready: $rows1 rows at 1x, $rowsN rows at ${mult}x")
+    var rows1 = 0L
+    var rowsN = 0L
+    var results = Seq.empty[(String, Double, Double)] // (name, t1, tN)
 
-    val names = Seq("b2_minhash", "b3_near_dedup_apply", "b4_incremental_dedup",
-      "b5_sqlite_sink", "b6_sqlite_indexed", "b7_shared_windows")
-    def runAll(path: String, tag: String): Seq[(String, Double)] = {
-      val ts = Seq(
-        time(sb2(path)), time(sb3(path)), time(sb4(path)),
-        time(sb5(path, s"$work/$tag-5.db")), time(sb6(path, s"$work/$tag-6.db")),
-        time(sb7(path)))
-      names.zip(ts)
+    if (runDedup) {
+      // JIT/codegen warmup on a tiny corpus, untimed
+      val warmPath = s"$work/warm"
+      buildCorpus("/root/testdata/sf0.001", 1, warmPath)
+      sb2(warmPath); sb3(warmPath); sb4(warmPath)
+      sb5(warmPath, s"$work/warm5.db"); sb6(warmPath, s"$work/warm6.db")
+      sb7(warmPath)
+
+      val p1 = s"$work/corpus1"
+      val pN = s"$work/corpus$mult"
+      rows1 = buildCorpus(sfDir, 1, p1)
+      rowsN = buildCorpus(sfDir, mult, pN)
+      System.err.println(s"[scale] corpora ready: $rows1 rows at 1x, $rowsN rows at ${mult}x")
+
+      val names = Seq("b2_minhash", "b3_near_dedup_apply", "b4_incremental_dedup",
+        "b5_sqlite_sink", "b6_sqlite_indexed", "b7_shared_windows")
+      def runAll(path: String, tag: String): Seq[(String, Double)] = {
+        val ts = Seq(
+          time(sb2(path)), time(sb3(path)), time(sb4(path)),
+          time(sb5(path, s"$work/$tag-5.db")), time(sb6(path, s"$work/$tag-6.db")),
+          time(sb7(path)))
+        names.zip(ts)
+      }
+      val t1 = runAll(p1, "s1")
+      val tN = runAll(pN, s"s$mult")
+      results ++= names.indices.map(i => (names(i), t1(i)._2, tN(i)._2))
     }
-    val t1 = runAll(p1, "s1")
-    val tN = runAll(pN, s"s$mult")
 
-    val items = names.indices.map { i =>
-      val (n, a) = t1(i); val b = tN(i)._2
+    if (runAnn) {
+      val warmV = s"$work/warmv"
+      buildVecs(2000, warmV)
+      sa1(warmV, warmV); sa2(warmV, warmV); sa3(warmV, warmV)
+
+      val v1 = s"$work/vecs1"
+      val vN = s"$work/vecs$mult"
+      val vRows = 600000L
+      buildVecs(vRows, v1)
+      buildVecs(vRows * mult, vN)
+      if (rows1 == 0) { rows1 = vRows; rowsN = vRows * mult }
+      System.err.println(s"[scale] vector corpora ready: $vRows at 1x, ${vRows * mult} at ${mult}x")
+
+      val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf")
+      def runAll(path: String): Seq[(String, Double)] =
+        names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)), time(sa3(path, v1))))
+      val t1 = runAll(v1)
+      val tN = runAll(vN)
+      results ++= names.indices.map(i => (names(i), t1(i)._2, tN(i)._2))
+    }
+
+    val items = results.map { case (n, a, b) =>
       f""""$n":{"t1":$a%.2f,"t$mult%d":$b%.2f,"ratio":${b / a}%.2f}"""
     }
     println(s"""{"mult":$mult,"rows1":$rows1,"rowsN":$rowsN,""" +

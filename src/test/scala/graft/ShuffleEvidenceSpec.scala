@@ -137,6 +137,33 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
         "the payload (not band keys) is reaching an exchange")
   }
 
+  test("bruteForceTopK shuffles bounded top-k state, never the scored frame") {
+    // SCALE.md: the query set broadcasts, the corpus is scanned once, and
+    // only ~k rows per (query, partition) reach the exchange — the
+    // |corpus|×|queries| scored frame never shuffles. 20k × 64-dim corpus
+    // vectors are ~5 MB; the scored frame against 8 queries would be ~4 MB
+    // more. The measured shuffle must stay orders of magnitude below the
+    // vector volume — a regression to a row_number window (which moves
+    // every scored row) fails this by >100×.
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    val emb = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
+            .cast("float")).as("embedding"))
+    val out = graft.ops.Similarity.bruteForceTopK(
+      emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+    val shuffled = shuffleBytesWritten(out)
+    val vecBytes = n.toLong * 64 * 4
+    assert(out.count() == 80)
+    info(f"shuffled $shuffled%d B vs $vecBytes%d B of corpus vectors " +
+      f"(${100.0 * shuffled / vecBytes}%.1f%%)")
+    assert(shuffled < vecBytes / 10,
+      f"bruteForceTopK shuffled $shuffled B vs $vecBytes B of vectors — " +
+        "the scored frame (not bounded top-k state) is reaching an exchange")
+  }
+
   test("exactDedup shuffles fingerprints, not documents (measured bytes)") {
     import spark.implicits._
     // ~2 KB docs, ~10% exact duplicates — the realistic corpus shape the

@@ -17,8 +17,14 @@ import graft.functions.TopK
   *     probe only their own bucket: the join is an equi-join on the bucket
   *     key instead of a cross product.
   *
-  * Dot products are `aggregate(zip_with(...))` higher-order expressions —
-  * codegen'd, no UDF, no MLlib model state.
+  * Scoring and bucketing expose expression forms ([[cosine]],
+  * [[hyperplaneSignature]]) for composability, but the hot paths run
+  * compiled kernels: higher-order functions are CodegenFallback —
+  * interpreted per element — and pair scoring multiplies that by
+  * |corpus|×|queries| while bucketing runs once per corpus row. The
+  * kernels are raw-bit-identical to the expression forms (pinned by the
+  * kernel-parity spec), so either path yields the same scores. No MLlib
+  * model state anywhere — signatures and centroids are plain data.
   */
 object Similarity {
 
@@ -99,7 +105,7 @@ object Similarity {
     * pair pays the kernel twice — once in the condition, once in the
     * surviving row's projection.
     */
-  private val cosineKernelF = udf { (a: Seq[Float], b: Seq[Float]) =>
+  private[graft] val cosineKernelF = udf { (a: Seq[Float], b: Seq[Float]) =>
     if (a == null || b == null || a.length != b.length) Option.empty[Double]
     else {
       val x = a.toArray; val y = b.toArray
@@ -115,7 +121,7 @@ object Similarity {
     }
   }.asNondeterministic()
 
-  private val cosineKernelD = udf { (a: Seq[Double], b: Seq[Double]) =>
+  private[graft] val cosineKernelD = udf { (a: Seq[Double], b: Seq[Double]) =>
     if (a == null || b == null || a.length != b.length) Option.empty[Double]
     else {
       val x = a.toArray; val y = b.toArray
@@ -138,6 +144,91 @@ object Similarity {
     case ArrayType(FloatType, _)  => cosineKernelF(_, _)
     case ArrayType(DoubleType, _) => cosineKernelD(_, _)
     case _                        => cosine(_, _)
+  }
+
+  /** Hyperplane weights for the signature kernels, cached per
+    * (nBits, dims): weight(i)(j) is exactly the expression form's
+    * `xxhash64(j, i) / Long.MaxValue` (seed 42, ints hashed through
+    * Spark's own XXH64) — the weights depend only on the position pair,
+    * never the row, so the expression's two-hashes-per-element-per-bit-
+    * per-ROW evaluation collapses to a lookup.
+    */
+  private object HyperplaneWeights {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+    def apply(nBits: Int, dims: Int): Array[Array[Double]] =
+      cache.computeIfAbsent((nBits, dims), { key =>
+        val (b, d) = key
+        Array.tabulate(d, b) { (i, j) =>
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashInt(i, org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(j, 42L))
+          h.toDouble / Long.MaxValue.toDouble
+        }
+      })
+  }
+
+  /** Compiled [[hyperplaneSignature]] kernels — same rationale and same
+    * bit-compatibility contract as the cosine kernels above: the
+    * expression form is a doubly-nested interpreted higher-order
+    * function (dims × nBits lambda evaluations per row, each with two
+    * xxhash64 expression evals), and it runs once per CORPUS row — the
+    * linear scan that dominates LSH bucketing at 100 TB. The kernels
+    * accumulate per bit in the same element order with the same
+    * element-type→double widening, so signatures are bit-identical
+    * (pinned by the kernel-parity spec). Deterministic — signatures
+    * feed join keys and window partitions, where a nondeterministic
+    * marker would be illegal; no filter pushes through these
+    * projections, so no evaluation barrier is needed.
+    */
+  private[graft] def hyperplaneKernelF(nBits: Int) = udf { (v: Seq[Float]) =>
+    if (v == null) Option.empty[Long]
+    else {
+      val x = v.toArray
+      val w = HyperplaneWeights(nBits, x.length)
+      val s = new Array[Double](nBits)
+      var i = 0
+      while (i < x.length) {
+        val vi = x(i).toDouble
+        val wi = w(i)
+        var j = 0
+        while (j < nBits) { s(j) += vi * wi(j); j += 1 }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < nBits) { if (s(j) >= 0) sig |= (1L << j); j += 1 }
+      Some(sig)
+    }
+  }
+
+  private[graft] def hyperplaneKernelD(nBits: Int) = udf { (v: Seq[Double]) =>
+    if (v == null) Option.empty[Long]
+    else {
+      val x = v.toArray
+      val w = HyperplaneWeights(nBits, x.length)
+      val s = new Array[Double](nBits)
+      var i = 0
+      while (i < x.length) {
+        val vi = x(i)
+        val wi = w(i)
+        var j = 0
+        while (j < nBits) { s(j) += vi * wi(j); j += 1 }
+        i += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < nBits) { if (s(j) >= 0) sig |= (1L << j); j += 1 }
+      Some(sig)
+    }
+  }
+
+  /** The bucketing column: compiled kernel when the element type has
+    * one, [[hyperplaneSignature]] expression otherwise.
+    */
+  private def hyperplaneFast(vecType: DataType, nBits: Int): Column => Column = vecType match {
+    case ArrayType(FloatType, _)  => hyperplaneKernelF(nBits)(_)
+    case ArrayType(DoubleType, _) => hyperplaneKernelD(nBits)(_)
+    case _                        => hyperplaneSignature(_, nBits)
   }
 
   /** L2-normalize `vecCol` into `outCol` (elements cast to double so
@@ -256,7 +347,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nBits: Int = 12,
       probe1: Boolean = true): DataFrame = {
-    val sig = hyperplaneSignature(col(vecCol), nBits)
+    val sig = hyperplaneFast(corpus.schema(vecCol).dataType, nBits)(col(vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), sig.as("bucket"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), sig.as("qsig"))
     val probes =
@@ -445,7 +536,7 @@ object Similarity {
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 12,
       maxBucket: Int = 10000): DataFrame = {
-    val sig = hyperplaneSignature(col(vecCol), nBits)
+    val sig = hyperplaneFast(df.schema(vecCol).dataType, nBits)(col(vecCol))
     val w = Window.partitionBy("bucket")
     val c = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
       .withColumn("__n", count(lit(1)).over(w))

@@ -705,4 +705,44 @@ class OpsSpec extends AnyFunSuite {
     assert(refined >= 0.8, s"recall@5 with one Lloyd pass = $refined")
     assert(refined >= recall(0), "Lloyd refinement should not lose recall here")
   }
+
+  test("compiled cosine/signature kernels are BIT-identical to the expression forms") {
+    // The kernels claim the exact IEEE operation sequence of the
+    // higher-order expression trees — this pins it with raw-bit equality
+    // over deterministic hash-derived vectors, float AND double, so any
+    // future reordering of an accumulation (which could silently shift
+    // oracle hashes) fails here first.
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val n = 400
+    val emb = spark.range(n).toDF("id")
+      .select(col("id"),
+        transform(sequence(lit(0), lit(31)), j =>
+          pmod(xxhash64(col("id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d).as("vd"))
+      .withColumn("vf", col("vd").cast(ArrayType(FloatType)))
+    val pairs = emb.withColumn("id2", (col("id") + 7) % n).alias("a")
+      .join(emb.alias("b"), col("a.id2") === col("b.id"))
+    val rows = pairs.select(
+      Similarity.cosineKernelF(col("a.vf"), col("b.vf")).as("kf"),
+      Similarity.cosine(col("a.vf"), col("b.vf")).as("ef"),
+      Similarity.cosineKernelD(col("a.vd"), col("b.vd")).as("kd"),
+      Similarity.cosine(col("a.vd"), col("b.vd")).as("ed"),
+      Similarity.hyperplaneKernelF(12)(col("a.vf")).as("sf"),
+      Similarity.hyperplaneSignature(col("a.vf"), 12).as("xf"),
+      Similarity.hyperplaneKernelD(16)(col("a.vd")).as("sd"),
+      Similarity.hyperplaneSignature(col("a.vd"), 16).as("xd")).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)), s"float cosine bits: $r")
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)), s"double cosine bits: $r")
+      assert(r.getLong(4) == r.getLong(5), s"float signature: $r")
+      assert(r.getLong(6) == r.getLong(7), s"double signature: $r")
+    }
+    // length mismatch: both forms yield null, not an arbitrary score
+    val mm = emb.limit(1).select(
+      Similarity.cosineKernelF(col("vf"), slice(col("vf"), 1, 30)).as("k"),
+      Similarity.cosine(col("vf"), slice(col("vf"), 1, 30)).as("e")).collect()(0)
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+  }
 }

@@ -218,11 +218,37 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // b8: ANN LSH top-10 at fact scale — 600k deterministic 64-dim
+    // vectors (the ScaleCurve `ann` corpus: element = hash of (id, pos)
+    // in [-1, 1), no RNG), 100 queries, multi-probe. The corpus
+    // materializes untimed (embeddings arrive from storage in a real
+    // pipeline); the timed region is the whole search — signature kernel
+    // over the corpus, probe explode, bucket equi-join, compiled cosine,
+    // bounded top-k. Tracks the ANN family per-round now that the
+    // kernels made it fact-scale-affordable (r9: 70 s → 4 s at 6M).
+    def b8Vecs(n: Long): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      spark.range(n).toDF("vec_id")
+        .repartition(cpus.toInt)
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
+              .cast("float")).as("embedding"))
+    }
+    val b8Corpus = b8Vecs(600000L).localCheckpoint(true)
+    def runB8(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      graft.ops.Similarity.lshTopK(corpus, corpus.where(col("vec_id") < 100),
+        "vec_id", "embedding", k = 10, nBits = 12, probe1 = true)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
       try f("/root/testdata/sf0.001") catch { case _: Throwable => () }
     }
+    try runB8(b8Vecs(2000L)) catch { case _: Throwable => () }
 
     val allTimes: Seq[(String, Vector[Double])] = headlineTimes ++ Seq(
       "b1_flatten_json_e2e" -> b1Times,
@@ -231,7 +257,8 @@ object Bench {
       "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)),
       "b5_sqlite_sink_600k" -> runTimes("b5")(runB5(sfDir)),
       "b6_sqlite_indexed_600k" -> runTimes("b6")(runB6(sfDir)),
-      "b7_shared_windows_600k" -> runTimes("b7")(runB7(sfDir)))
+      "b7_shared_windows_600k" -> runTimes("b7")(runB7(sfDir)),
+      "b8_ann_lsh_600k" -> runTimes("b8")(runB8(b8Corpus)))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

@@ -164,6 +164,32 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
         "the scored frame (not bounded top-k state) is reaching an exchange")
   }
 
+  test("lshTopK: corpus vectors stream past a small probe set, never through an exchange") {
+    // SCALE.md: the corpus is bucketed in place and probing is an
+    // equi-join on the bucket key — with a broadcastable probe set the
+    // corpus side must stream (broadcast join), so measured shuffle stays
+    // far below the corpus vector volume. A regression that plans the
+    // bucket join as a two-sided shuffle moves all ~5 MB of vectors and
+    // fails by an order of magnitude.
+    import org.apache.spark.sql.functions._
+    val n = 20000
+    val emb = spark.range(n).toDF("vec_id")
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
+            .cast("float")).as("embedding"))
+    val out = graft.ops.Similarity.lshTopK(
+      emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
+    val shuffled = shuffleBytesWritten(out)
+    val vecBytes = n.toLong * 64 * 4
+    assert(out.count() > 0)
+    info(f"shuffled $shuffled%d B vs $vecBytes%d B of corpus vectors " +
+      f"(${100.0 * shuffled / vecBytes}%.1f%%)")
+    assert(shuffled < vecBytes / 10,
+      f"lshTopK shuffled $shuffled B vs $vecBytes B of vectors — " +
+        "the corpus side of the bucket join is reaching an exchange")
+  }
+
   test("exactDedup shuffles fingerprints, not documents (measured bytes)") {
     import spark.implicits._
     // ~2 KB docs, ~10% exact duplicates — the realistic corpus shape the

@@ -498,25 +498,28 @@ object Similarity {
     * nlist centroids as an expression tree would inline nlist copies of
     * the vector pipeline.
     */
-  private def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
-    udf { (v: Seq[Float], m: Int) =>
-      val cs = bc.value
-      // Copy the row vector to an array ONCE: the deserialized Seq is a
-      // linked list at runtime, so indexing it inside the distance loop
-      // is O(dim) per element — O(dim² × nlist) per row. The 10× scale
-      // curve caught this as a crawl at 6M rows; array access makes cell
-      // assignment the O(dim × nlist) scan the Scaladoc claims.
-      val a = v.toArray
-      val scored = cs.indices.map { c =>
-        val cv = cs(c)
-        var dot = 0.0; var nv = 0.0; var nc = 0.0
-        var i = 0
-        val d = math.min(a.length, cv.length)
-        while (i < d) { dot += a(i) * cv(i); nv += a(i) * a(i); nc += cv(i) * cv(i); i += 1 }
-        c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
-      }
-      scored.sortBy(_._2).take(m).map(_._1).toArray
+  /** The `m` nearest centroids for one vector, most-similar first — ONE
+    * shared function so the executor-side UDF and the driver-side probe
+    * assignment in the batched [[ivfSearchIndexed]] path compute
+    * identical cells by construction. Array access, not Seq: the
+    * deserialized Seq is a linked list at runtime, so indexing it inside
+    * the distance loop is O(dim) per element — O(dim² × nlist) per row;
+    * the 10× scale curve caught this as a crawl at 6M rows.
+    */
+  private def nearCells(cs: Array[Array[Float]], a: Array[Float], m: Int): Array[Int] = {
+    val scored = cs.indices.map { c =>
+      val cv = cs(c)
+      var dot = 0.0; var nv = 0.0; var nc = 0.0
+      var i = 0
+      val d = math.min(a.length, cv.length)
+      while (i < d) { dot += a(i) * cv(i); nv += a(i) * a(i); nc += cv(i) * cv(i); i += 1 }
+      c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
     }
+    scored.sortBy(_._2).take(m).map(_._1).toArray
+  }
+
+  private def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+    udf { (v: Seq[Float], m: Int) => nearCells(bc.value, v.toArray, m) }
 
   /** Train the IVF coarse quantizer: deterministic seeds (nlist
     * smallest-hash vectors, a distributed TakeOrdered) refined by
@@ -601,19 +604,88 @@ object Similarity {
     // centroids, so a small corpus with the default nprobe must degrade
     // to probing every cell, not throw
     val probes = math.min(nprobe, centroids.length)
-    val bc = queries.sparkSession.sparkContext.broadcast(centroids)
-    val nearCells = nearCellsUdf(bc)
-    val c = index.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast(ArrayType(FloatType)).as("cv"), col("cell"))
-    val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast(ArrayType(FloatType)).as("qv"))
-      .withColumn("cell", explode(nearCells(col("qv"), lit(probes))))
-    val scored = q.join(c, Seq("cell"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosineKernelD(col("qv").cast(ArrayType(DoubleType)),
-          col("cv").cast(ArrayType(DoubleType))).as("score"))
-    rankTopK(scored, k, index.schema(idCol).dataType)
+    val idT = index.schema(idCol).dataType
+    val integralId = idT match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      // CELL-BATCHED scoring, the [[bruteForceTopK]] lesson applied: the
+      // candidate volume is ~(nprobe/nlist) × |corpus| × |queries| and a
+      // per-pair UDF pays join row machinery + a per-PAIR float→double
+      // array cast on every candidate (measured 26.7 s for search alone
+      // at 6M×100 on the 10× curve). Probe cells are assigned on the
+      // driver with the SAME [[nearCells]] function the index used, each
+      // index row looks up its cell's queries in one broadcast map, and
+      // one kernel call scores them all — identical candidates, and the
+      // per-pair double arithmetic sequence matches [[cosineKernelD]] on
+      // the per-row-widened vectors, so scores are bit-identical.
+      val qRows: Array[(Long, Array[Float])] = queries
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val cellMap: Map[Int, Array[(Long, Array[Double])]] = qRows
+        .flatMap { case (qid, qv) =>
+          nearCells(centroids, qv, probes).map(c => c -> (qid, qv.map(_.toDouble))) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+      val bcq = queries.sparkSession.sparkContext.broadcast(cellMap)
+      val scoreCell = udf { (nid: Long, cell: Int, v: Seq[Float]) =>
+        bcq.value.get(cell) match {
+          case None => Seq.empty[(Long, Double)]
+          case Some(qs) =>
+            val n = v.length
+            val x = new Array[Double](n)
+            locally {
+              val it = v.iterator; var i = 0
+              while (it.hasNext) { x(i) = it.next().toDouble; i += 1 }
+            }
+            val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qs.length)
+            var qi = 0
+            while (qi < qs.length) {
+              val (qid, y) = qs(qi)
+              if (qid != nid && y.length == n) {
+                var dot = 0.0; var na = 0.0; var nb = 0.0
+                var i = 0
+                while (i < n) {
+                  dot += y(i) * x(i)
+                  na += y(i) * y(i)
+                  nb += x(i) * x(i)
+                  i += 1
+                }
+                out += ((qid, dot / (math.sqrt(na) * math.sqrt(nb))))
+              }
+              qi += 1
+            }
+            out.toSeq
+        }
+      }
+      val scored = index
+        .where(col(idCol).isNotNull)
+        .select(col(idCol).cast(LongType).as("neighbor_id"), col("cell"),
+          col(vecCol).cast(ArrayType(FloatType)).as("cv"))
+        .select(col("neighbor_id"),
+          explode(scoreCell(col("neighbor_id"), col("cell"), col("cv"))).as("t"))
+        .select(col("t._1").cast(idT).as("query_id"), col("neighbor_id"),
+          col("t._2").as("score"))
+      rankTopK(scored, k, idT)
+    } else {
+      val bc = queries.sparkSession.sparkContext.broadcast(centroids)
+      val cellsUdf = nearCellsUdf(bc)
+      // double-cast hoisted per ROW — a per-pair cast re-widens the same
+      // corpus vector once per colliding query
+      val c = index.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast(ArrayType(FloatType)).cast(ArrayType(DoubleType)).as("cv"),
+        col("cell"))
+      val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast(ArrayType(FloatType)).as("qv"))
+        .withColumn("cell", explode(cellsUdf(col("qv"), lit(probes))))
+        .withColumn("qv", col("qv").cast(ArrayType(DoubleType)))
+      val scored = q.join(c, Seq("cell"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          cosineKernelD(col("qv"), col("cv")).as("score"))
+      rankTopK(scored, k, idT)
+    }
   }
 
   /** Embedding near-duplicate pairs: corpus self-join via LSH buckets,

@@ -169,6 +169,25 @@ object ScaleCurve {
         .write.format("noop").mode("overwrite").save()
     }
 
+    /** The recurring-pipeline IVF path: the standing index (train +
+      * cell-assign) is built and persisted to parquet UNTIMED — that is
+      * what `ivfTrain`/`ivfIndex` exist to amortize — and the timed
+      * region is one query batch through [[Similarity.ivfSearchIndexed]]
+      * alone.
+      */
+    def sa3Index(path: String, out: String): Array[Array[Float]] = {
+      val c = vecs(path)
+      val cents = graft.ops.Similarity.ivfTrain(c, "vec_id", "embedding",
+        nlist = 64, lloydPasses = 1)
+      graft.ops.Similarity.ivfIndex(c, "vec_id", "embedding", cents)
+        .write.mode("overwrite").parquet(out)
+      cents
+    }
+    def sa4(idx: String, cents: Array[Array[Float]], q1: String): Unit =
+      graft.ops.Similarity.ivfSearchIndexed(spark.read.parquet(idx), cents,
+        queries(q1), "vec_id", "embedding", k = 10, nprobe = 8)
+        .write.format("noop").mode("overwrite").save()
+
     /** min of two runs, each preceded by a GC + settle: six 10× workloads
       * back-to-back in ONE JVM heat the session (GC debris from earlier
       * shuffles degrades the later driver-side streams by 2-3×, measured
@@ -233,11 +252,15 @@ object ScaleCurve {
       if (rows1 == 0) { rows1 = vRows; rowsN = vRows * mult }
       System.err.println(s"[scale] vector corpora ready: $vRows at 1x, ${vRows * mult} at ${mult}x")
 
-      val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf")
-      def runAll(path: String): Seq[(String, Double)] =
-        names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)), time(sa3(path, v1))))
-      val t1 = runAll(v1)
-      val tN = runAll(vN)
+      val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_search")
+      def runAll(path: String, tag: String): Seq[(String, Double)] = {
+        val idx = s"$work/ivfidx-$tag"
+        val cents = sa3Index(path, idx) // standing index: built untimed
+        names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)), time(sa3(path, v1)),
+          time(sa4(idx, cents, v1))))
+      }
+      val t1 = runAll(v1, "1")
+      val tN = runAll(vN, s"$mult")
       results ++= names.indices.map(i => (names(i), t1(i)._2, tN(i)._2))
     }
 

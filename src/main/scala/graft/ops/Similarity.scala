@@ -591,9 +591,13 @@ object Similarity {
 
   /** ANN search over a prebuilt [[ivfIndex]] frame: queries probe their
     * `nprobe` nearest cells, score only those cells' members, and rank
-    * through the bounded map-side top-k. Same join shape and guarantees
-    * as [[ivfTopK]] — each corpus vector lives in exactly one cell and a
-    * query's probe cells are distinct, so no dedup shuffle is needed.
+    * through the bounded map-side top-k. Same candidate set and
+    * guarantees as [[ivfTopK]] — each corpus vector lives in exactly one
+    * cell and a query's probe cells are distinct, so no dedup shuffle is
+    * needed. The query batch materializes on the driver for the batched
+    * scoring path (bounded like [[bruteForceTopK]]'s — the query set was
+    * already assumed broadcastable); the index scan streams, 26.7 s →
+    * 2.6 s measured at 6M×100 on the 10× curve.
     */
   def ivfSearchIndexed(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, idCol: String, vecCol: String,

@@ -219,22 +219,16 @@ object Bench {
     }
 
     // b8: ANN LSH top-10 at fact scale — 600k deterministic 64-dim
-    // vectors (the ScaleCurve `ann` corpus: element = hash of (id, pos)
-    // in [-1, 1), no RNG), 100 queries, multi-probe. The corpus
-    // materializes untimed (embeddings arrive from storage in a real
-    // pipeline); the timed region is the whole search — signature kernel
-    // over the corpus, probe explode, bucket equi-join, compiled cosine,
-    // bounded top-k. Tracks the ANN family per-round now that the
-    // kernels made it fact-scale-affordable (r9: 70 s → 4 s at 6M).
-    def b8Vecs(n: Long): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.functions._
-      spark.range(n).toDF("vec_id")
-        .repartition(cpus.toInt)
-        .select(col("vec_id"),
-          transform(sequence(lit(0), lit(63)), j =>
-            (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
-              .cast("float")).as("embedding"))
-    }
+    // vectors (graft.tools.SyntheticVectors, the SAME frame the
+    // ScaleCurve `ann` family and the shuffle-evidence specs use), 100
+    // queries, multi-probe. The corpus materializes untimed (embeddings
+    // arrive from storage in a real pipeline); the timed region is the
+    // whole search — signature kernel over the corpus, probe explode,
+    // bucket equi-join, compiled cosine, bounded top-k. Tracks the ANN
+    // family per-round now that the kernels made it fact-scale-
+    // affordable (r9: 70 s → 4 s at 6M).
+    def b8Vecs(n: Long): org.apache.spark.sql.DataFrame =
+      graft.tools.SyntheticVectors.df(spark, n, partitions = cpus.toInt)
     val b8Corpus = b8Vecs(600000L).localCheckpoint(true)
     def runB8(corpus: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.functions._

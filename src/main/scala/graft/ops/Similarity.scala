@@ -105,36 +105,44 @@ object Similarity {
     * pair pays the kernel twice — once in the condition, once in the
     * surviving row's projection.
     */
+  /** The ONE float cosine loop every float-scoring path shares (UDF
+    * kernels AND the batched closures), so the raw-bit parity spec pins
+    * them all at once. First argument's products accumulate `na` —
+    * callers pass the QUERY side first, matching `cosine(qv, cv)`.
+    */
+  private[graft] def cosineArrF(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += (a(i) * b(i)).toDouble
+      na += (a(i) * a(i)).toDouble
+      nb += (b(i) * b(i)).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Double twin of [[cosineArrF]]. */
+  private[graft] def cosineArrD(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   private[graft] val cosineKernelF = udf { (a: Seq[Float], b: Seq[Float]) =>
     if (a == null || b == null || a.length != b.length) Option.empty[Double]
-    else {
-      val x = a.toArray; val y = b.toArray
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < x.length) {
-        dot += (x(i) * y(i)).toDouble
-        na += (x(i) * x(i)).toDouble
-        nb += (y(i) * y(i)).toDouble
-        i += 1
-      }
-      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
-    }
+    else Some(cosineArrF(a.toArray, b.toArray))
   }.asNondeterministic()
 
   private[graft] val cosineKernelD = udf { (a: Seq[Double], b: Seq[Double]) =>
     if (a == null || b == null || a.length != b.length) Option.empty[Double]
-    else {
-      val x = a.toArray; val y = b.toArray
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < x.length) {
-        dot += x(i) * y(i)
-        na += x(i) * x(i)
-        nb += y(i) * y(i)
-        i += 1
-      }
-      Some(dot / (math.sqrt(na) * math.sqrt(nb)))
-    }
+    else Some(cosineArrD(a.toArray, b.toArray))
   }.asNondeterministic()
 
   /** The scoring column for a candidate pair: compiled kernel when the
@@ -182,6 +190,10 @@ object Similarity {
     */
   private[graft] def hyperplaneKernelF(nBits: Int) = udf { (v: Seq[Float]) =>
     if (v == null) Option.empty[Long]
+    // expression-form parity for dims = 0: sequence(0, dims-1) counts DOWN
+    // to -1, zip_with null-pads, the accumulator null-poisons, and every
+    // bit falls to the otherwise(0L) branch — signature 0L, not all-ones
+    else if (v.isEmpty) Some(0L)
     else {
       val x = v.toArray
       val w = HyperplaneWeights(nBits, x.length)
@@ -203,6 +215,7 @@ object Similarity {
 
   private[graft] def hyperplaneKernelD(nBits: Int) = udf { (v: Seq[Double]) =>
     if (v == null) Option.empty[Long]
+    else if (v.isEmpty) Some(0L) // dims = 0 parity, see float twin
     else {
       val x = v.toArray
       val w = HyperplaneWeights(nBits, x.length)
@@ -330,15 +343,20 @@ object Similarity {
       rankTopK(scored, k, idT)
     } else {
       // join-form parity: queries with a null id never survive the
-      // `query_id =!= neighbor_id` condition, and null query vectors
-      // score null and are filtered by rankTopK — drop both up front
+      // `query_id =!= neighbor_id` condition, and null vectors on EITHER
+      // side score null and are filtered by rankTopK — drop both up
+      // front (the corpus-side isNotNull pushes to the scan). Query
+      // vectors CAST to the corpus element type: dispatch is by corpus
+      // schema, so a mixed-precision query frame normalizes to the
+      // corpus's precision instead of crashing the driver-side decode.
       val spark = corpus.sparkSession
+      val qNN = queries
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).cast(LongType), col(vecCol).cast(vecT))
       val scoreAll = vecT match {
         case ArrayType(FloatType, _) =>
-          val qArr: Array[(Long, Array[Float])] = queries
-            .where(col(idCol).isNotNull && col(vecCol).isNotNull)
-            .select(col(idCol).cast(LongType), col(vecCol))
-            .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          val qArr: Array[(Long, Array[Float])] =
+            qNN.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           val bc = spark.sparkContext.broadcast(qArr)
           udf { (nid: Long, v: Seq[Float]) =>
             val x = v.toArray
@@ -347,26 +365,14 @@ object Similarity {
             var qi = 0
             while (qi < qs.length) {
               val (qid, y) = qs(qi)
-              if (qid != nid && y.length == x.length) {
-                var dot = 0.0; var na = 0.0; var nb = 0.0
-                var i = 0
-                while (i < x.length) {
-                  dot += (y(i) * x(i)).toDouble
-                  na += (y(i) * y(i)).toDouble
-                  nb += (x(i) * x(i)).toDouble
-                  i += 1
-                }
-                out += ((qid, dot / (math.sqrt(na) * math.sqrt(nb))))
-              }
+              if (qid != nid && y.length == x.length) out += ((qid, cosineArrF(y, x)))
               qi += 1
             }
             out.toSeq
           }
         case _ =>
-          val qArr: Array[(Long, Array[Double])] = queries
-            .where(col(idCol).isNotNull && col(vecCol).isNotNull)
-            .select(col(idCol).cast(LongType), col(vecCol))
-            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          val qArr: Array[(Long, Array[Double])] =
+            qNN.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           val bc = spark.sparkContext.broadcast(qArr)
           udf { (nid: Long, v: Seq[Double]) =>
             val x = v.toArray
@@ -375,24 +381,14 @@ object Similarity {
             var qi = 0
             while (qi < qs.length) {
               val (qid, y) = qs(qi)
-              if (qid != nid && y.length == x.length) {
-                var dot = 0.0; var na = 0.0; var nb = 0.0
-                var i = 0
-                while (i < x.length) {
-                  dot += y(i) * x(i)
-                  na += y(i) * y(i)
-                  nb += x(i) * x(i)
-                  i += 1
-                }
-                out += ((qid, dot / (math.sqrt(na) * math.sqrt(nb))))
-              }
+              if (qid != nid && y.length == x.length) out += ((qid, cosineArrD(y, x)))
               qi += 1
             }
             out.toSeq
           }
       }
       val scored = corpus
-        .where(col(idCol).isNotNull)
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
         .select(col(idCol).cast(LongType).as("neighbor_id"), col(vecCol).as("cv"))
         .select(col("neighbor_id"),
           explode(scoreAll(col("neighbor_id"), col("cv"))).as("t"))
@@ -630,7 +626,11 @@ object Similarity {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val cellMap: Map[Int, Array[(Long, Array[Double])]] = qRows
         .flatMap { case (qid, qv) =>
-          nearCells(centroids, qv, probes).map(c => c -> (qid, qv.map(_.toDouble))) }
+          // widen ONCE per query, not once per probe cell — nprobe
+          // copies of a wide query vector would multiply the broadcast
+          val qd = qv.map(_.toDouble)
+          nearCells(centroids, qv, probes).map(c => c -> (qid, qd))
+        }
         .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
       val bcq = queries.sparkSession.sparkContext.broadcast(cellMap)
       val scoreCell = udf { (nid: Long, cell: Int, v: Seq[Float]) =>
@@ -647,24 +647,14 @@ object Similarity {
             var qi = 0
             while (qi < qs.length) {
               val (qid, y) = qs(qi)
-              if (qid != nid && y.length == n) {
-                var dot = 0.0; var na = 0.0; var nb = 0.0
-                var i = 0
-                while (i < n) {
-                  dot += y(i) * x(i)
-                  na += y(i) * y(i)
-                  nb += x(i) * x(i)
-                  i += 1
-                }
-                out += ((qid, dot / (math.sqrt(na) * math.sqrt(nb))))
-              }
+              if (qid != nid && y.length == n) out += ((qid, cosineArrD(y, x)))
               qi += 1
             }
             out.toSeq
         }
       }
       val scored = index
-        .where(col(idCol).isNotNull)
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
         .select(col(idCol).cast(LongType).as("neighbor_id"), col("cell"),
           col(vecCol).cast(ArrayType(FloatType)).as("cv"))
         .select(col("neighbor_id"),

@@ -129,17 +129,12 @@ object ScaleCurve {
       graft.ops.Dedup.sharedWindowFlags(withPlanted(corpus(path)), "text", "doc_id", n = 5)
         .write.format("noop").mode("overwrite").save()
 
-    /** Deterministic 64-dim vector corpus: element j of vector `id` is
-      * xxhash64(id, j) mapped to [-1, 1) — reproducible at any scale, no
-      * RNG, realistic spread for bucketing/quantization.
+    /** The shared deterministic 64-dim corpus ([[SyntheticVectors]]) —
+      * same frame as Bench b8 and the shuffle-evidence specs by
+      * construction, materialized to parquet for the timed scans.
       */
     def buildVecs(n: Long, out: String): Unit =
-      spark.range(n).toDF("vec_id")
-        .repartition(cpus.toInt)
-        .select(col("vec_id"),
-          transform(sequence(lit(0), lit(63)), j =>
-            (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
-              .cast("float")).as("embedding"))
+      SyntheticVectors.df(spark, n, partitions = cpus.toInt)
         .write.mode("overwrite").parquet(out)
 
     def vecs(path: String): org.apache.spark.sql.DataFrame = spark.read.parquet(path)

@@ -744,5 +744,38 @@ class OpsSpec extends AnyFunSuite {
       Similarity.cosineKernelF(col("vf"), slice(col("vf"), 1, 30)).as("k"),
       Similarity.cosine(col("vf"), slice(col("vf"), 1, 30)).as("e")).collect()(0)
     assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // dims = 0: the expression null-poisons its accumulator (sequence(0,
+    // dims-1) counts down to -1 and zip_with null-pads) so every bit
+    // falls to otherwise(0L) — the kernels must land in the SAME bucket
+    val empty = emb.limit(1).select(
+      Similarity.hyperplaneKernelF(12)(slice(col("vf"), 1, 0)).as("k"),
+      Similarity.hyperplaneSignature(slice(col("vf"), 1, 0), 12).as("e")).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L,
+      s"empty-vector signature diverged: kernel ${empty.getLong(0)} vs expression ${empty.getLong(1)}")
+  }
+
+  test("batched ANN paths drop null-embedding rows like the join form") {
+    // integral ids take the corpus-row-batched scoring — a null vector
+    // must be filtered (the join form scores it null and rankTopK drops
+    // it), never reach the kernel's toArray
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val base = (0L until 50L).map(i => (i, Array.tabulate(8)(j => (i * 8 + j) % 13 / 13.0f)))
+    val emb = (base.map { case (i, v) => (i, Option(v)) } :+ (99L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 2)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+    assert(bf.count() == 6) // 2 queries × 3, null row neither query nor neighbor
+    assert(!bf.select("neighbor_id").as[Long].collect().contains(99L))
+    val cents = Similarity.ivfTrain(emb.where($"vec_id" =!= 99L), "vec_id", "embedding",
+      nlist = 4, lloydPasses = 0)
+    val idx = Similarity.ivfIndex(emb.where($"vec_id" =!= 99L), "vec_id", "embedding", cents)
+      .unionByName(Seq((99L, Option.empty[Array[Float]], 0))
+        .toDF("vec_id", "embedding", "cell")
+        .select($"vec_id", $"embedding".cast(ArrayType(FloatType)), $"cell"))
+    val ivf = Similarity.ivfSearchIndexed(idx, cents, queries, "vec_id", "embedding",
+      k = 3, nprobe = 4)
+    assert(ivf.count() == 6)
+    assert(!ivf.select("neighbor_id").as[Long].collect().contains(99L))
   }
 }

@@ -147,11 +147,9 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
     // every scored row) fails this by >100×.
     import org.apache.spark.sql.functions._
     val n = 20000
-    val emb = spark.range(n).toDF("vec_id")
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(63)), j =>
-          (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
-            .cast("float")).as("embedding"))
+    // no repartition (partitions = 0): a corpus-side exchange would
+    // pollute the measured shuffle bytes
+    val emb = graft.tools.SyntheticVectors.df(spark, n)
     val out = graft.ops.Similarity.bruteForceTopK(
       emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     val shuffled = shuffleBytesWritten(out)
@@ -173,11 +171,7 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
     // fails by an order of magnitude.
     import org.apache.spark.sql.functions._
     val n = 20000
-    val emb = spark.range(n).toDF("vec_id")
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(63)), j =>
-          (pmod(xxhash64(col("vec_id"), j), lit(2000)).cast("double") / 1000.0d - 1.0d)
-            .cast("float")).as("embedding"))
+    val emb = graft.tools.SyntheticVectors.df(spark, n) // no repartition, see above
     val out = graft.ops.Similarity.lshTopK(
       emb, emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 10)
     val shuffled = shuffleBytesWritten(out)

@@ -693,15 +693,36 @@ object Similarity {
     * key — rows in buckets outside 2..maxBucket are dropped BEFORE the
     * join (singletons can't pair anyway), so the join's per-key fan-out
     * is bounded by construction.
+    *
+    * The cap is NOT silent (same contract as
+    * [[graft.ops.Dedup.nearDupIncrement]]): every row an OVERSIZED
+    * bucket drops bumps the named accumulator
+    * `cosine_dedup_dropped_bucket_rows` (visible in the Spark UI and
+    * readable off the SparkContext after the action). A non-zero value
+    * means some near-duplicate pairs may have lived entirely inside a
+    * degenerate-signature bucket and were never scored — raise
+    * `maxBucket` or pre-filter the degenerate embeddings (e.g. all-zero
+    * vectors) if that matters for the corpus. Singleton-bucket rows do
+    * NOT count: they can't pair with anything, so dropping them loses
+    * no output by construction.
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 12,
       maxBucket: Int = 10000): DataFrame = {
     val sig = hyperplaneFast(df.schema(vecCol).dataType, nBits)(col(vecCol))
     val w = Window.partitionBy("bucket")
+    // no-silent-caps accounting (the nearDupIncrement pattern): the
+    // marker is nondeterministic so the filter is neither folded away
+    // nor double-evaluated by collapsed projections
+    val acc = df.sparkSession.sparkContext
+      .longAccumulator("cosine_dedup_dropped_bucket_rows")
+    val keepMark = udf { (keep: Boolean, oversized: Boolean) =>
+      if (oversized) acc.add(1L)
+      keep
+    }.asNondeterministic()
     val c = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
       .withColumn("__n", count(lit(1)).over(w))
-      .where(col("__n").between(2, maxBucket))
+      .where(keepMark(col("__n").between(2, maxBucket), col("__n") > maxBucket))
       .drop("__n")
     val a = c.alias("a")
     val b = c.alias("b")

@@ -298,6 +298,27 @@ object Similarity {
             .cast(IntegerType))))
   }
 
+  /** Collect the query batch for a batched scoring path with a hard cap:
+    * `limit(cap + 1)` bounds the fetch itself (one job, at most cap + 1
+    * rows on the driver — a pre-`count` would cost a second full pass
+    * over the query frame), and the +1 row distinguishes "exactly cap"
+    * from "over cap" so the error is raised before anything broadcasts.
+    * The batched paths always assumed a driver-boundable query set (it
+    * broadcasts either way); this turns a silent driver OOM on a
+    * violated assumption into an actionable error.
+    */
+  private def collectQueryBatch(q: DataFrame, cap: Int,
+      op: String): Array[org.apache.spark.sql.Row] = {
+    require(cap >= 1, s"need maxQueryBatch >= 1, got $cap")
+    val rows = q.limit(cap + 1).collect()
+    if (rows.length > cap) throw new IllegalArgumentException(
+      s"$op: query batch exceeds maxQueryBatch = $cap rows. The batched " +
+        "scoring path materializes the query set on the driver and " +
+        "broadcasts it; split the query set into smaller batches or " +
+        "raise maxQueryBatch if the driver has the headroom.")
+    rows
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * `queries` is expected to be small (it is broadcast — the corpus is
@@ -323,7 +344,8 @@ object Similarity {
     * is the precedent). Other id types keep the join form.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+      idCol: String, vecCol: String, k: Int = 10,
+      maxQueryBatch: Int = 100000): DataFrame = {
     val idT = corpus.schema(idCol).dataType
     val vecT = corpus.schema(vecCol).dataType
     val integralId = idT match {
@@ -353,10 +375,11 @@ object Similarity {
       val qNN = queries
         .where(col(idCol).isNotNull && col(vecCol).isNotNull)
         .select(col(idCol).cast(LongType), col(vecCol).cast(vecT))
+      val qRaw = collectQueryBatch(qNN, maxQueryBatch, "bruteForceTopK")
       val scoreAll = vecT match {
         case ArrayType(FloatType, _) =>
           val qArr: Array[(Long, Array[Float])] =
-            qNN.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+            qRaw.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           val bc = spark.sparkContext.broadcast(qArr)
           udf { (nid: Long, v: Seq[Float]) =>
             val x = v.toArray
@@ -372,7 +395,7 @@ object Similarity {
           }
         case _ =>
           val qArr: Array[(Long, Array[Double])] =
-            qNN.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+            qRaw.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           val bc = spark.sparkContext.broadcast(qArr)
           udf { (nid: Long, v: Seq[Double]) =>
             val x = v.toArray
@@ -502,16 +525,35 @@ object Similarity {
     * the distance loop is O(dim) per element — O(dim² × nlist) per row;
     * the 10× scale curve caught this as a crawl at 6M rows.
     */
+  private def cellScore(cs: Array[Array[Float]], a: Array[Float], c: Int): Double = {
+    val cv = cs(c)
+    var dot = 0.0; var nv = 0.0; var nc = 0.0
+    var i = 0
+    val d = math.min(a.length, cv.length)
+    while (i < d) { dot += a(i) * cv(i); nv += a(i) * a(i); nc += cv(i) * cv(i); i += 1 }
+    -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
+  }
+
   private def nearCells(cs: Array[Array[Float]], a: Array[Float], m: Int): Array[Int] = {
-    val scored = cs.indices.map { c =>
-      val cv = cs(c)
-      var dot = 0.0; var nv = 0.0; var nc = 0.0
-      var i = 0
-      val d = math.min(a.length, cv.length)
-      while (i < d) { dot += a(i) * cv(i); nv += a(i) * a(i); nc += cv(i) * cv(i); i += 1 }
-      c -> -(dot / (math.sqrt(nv) * math.sqrt(nc) + 1e-30)) // ascending = most similar first
+    if (cs.isEmpty) Array.emptyIntArray
+    else if (m == 1) {
+      // the index-assignment path (every corpus row, every Lloyd pass)
+      // needs only the argmin — a linear scan, not an O(nlist log nlist)
+      // sort of every cell's score. Strict `<` keeps the FIRST index on
+      // ties, exactly the order the stable sortBy below yields.
+      var best = 0
+      var bestScore = cellScore(cs, a, 0)
+      var c = 1
+      while (c < cs.length) {
+        val s = cellScore(cs, a, c)
+        if (s < bestScore) { best = c; bestScore = s }
+        c += 1
+      }
+      Array(best)
+    } else {
+      val scored = cs.indices.map(c => c -> cellScore(cs, a, c))
+      scored.sortBy(_._2).take(m).map(_._1).toArray
     }
-    scored.sortBy(_._2).take(m).map(_._1).toArray
   }
 
   private def nearCellsUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
@@ -597,7 +639,7 @@ object Similarity {
     */
   def ivfSearchIndexed(index: DataFrame, centroids: Array[Array[Float]],
       queries: DataFrame, idCol: String, vecCol: String,
-      k: Int = 10, nprobe: Int = 8): DataFrame = {
+      k: Int = 10, nprobe: Int = 8, maxQueryBatch: Int = 100000): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     require(centroids.nonEmpty, "centroids must be non-empty")
     // clamp instead of require: ivfTrain returns min(nlist, corpus rows)
@@ -620,10 +662,12 @@ object Similarity {
       // one kernel call scores them all — identical candidates, and the
       // per-pair double arithmetic sequence matches [[cosineKernelD]] on
       // the per-row-widened vectors, so scores are bit-identical.
-      val qRows: Array[(Long, Array[Float])] = queries
-        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
-        .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType)))
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val qRows: Array[(Long, Array[Float])] = collectQueryBatch(
+        queries
+          .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+          .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))),
+        maxQueryBatch, "ivfSearchIndexed")
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       val cellMap: Map[Int, Array[(Long, Array[Double])]] = qRows
         .flatMap { case (qid, qv) =>
           // widen ONCE per query, not once per probe cell — nprobe
@@ -697,38 +741,64 @@ object Similarity {
     * The cap is NOT silent (same contract as
     * [[graft.ops.Dedup.nearDupIncrement]]): every row an OVERSIZED
     * bucket drops bumps the named accumulator
-    * `cosine_dedup_dropped_bucket_rows` (visible in the Spark UI and
-    * readable off the SparkContext after the action). A non-zero value
+    * `cosine_dedup_dropped_bucket_rows` EXACTLY ONCE per action — the
+    * marker UDF lives on only ONE designated side of the bucket
+    * self-join (the other side filters with the plain predicate over
+    * the same window counts), so the join's two evaluations of the
+    * bucket pipeline don't double the count the way a shared marked
+    * frame would. The usual Spark caveat applies on top: accumulators
+    * in transformations are at-least-once under task retries and
+    * speculation, so on an unhealthy run read the value as "non-zero
+    * means rows were dropped", not as an exact census. A non-zero value
     * means some near-duplicate pairs may have lived entirely inside a
     * degenerate-signature bucket and were never scored — raise
     * `maxBucket` or pre-filter the degenerate embeddings (e.g. all-zero
     * vectors) if that matters for the corpus. Singleton-bucket rows do
     * NOT count: they can't pair with anything, so dropping them loses
-    * no output by construction.
+    * no output by construction. Each call registers a FRESH accumulator
+    * under this name; to read the count of a specific run (rather than
+    * scanning the UI), call [[cosineDedupPairsCounted]] and keep the
+    * returned handle.
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 12,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    cosineDedupPairsCounted(df, idCol, vecCol, threshold, nBits, maxBucket)._1
+
+  /** [[cosineDedupPairs]] plus this run's dropped-row accumulator
+    * handle — the only reliable way to read the count of a particular
+    * invocation, since every call registers a fresh same-named
+    * accumulator on the context.
+    */
+  def cosineDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nBits: Int = 12, maxBucket: Int = 10000)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val sig = hyperplaneFast(df.schema(vecCol).dataType, nBits)(col(vecCol))
     val w = Window.partitionBy("bucket")
     // no-silent-caps accounting (the nearDupIncrement pattern): the
     // marker is nondeterministic so the filter is neither folded away
-    // nor double-evaluated by collapsed projections
+    // nor double-evaluated by collapsed projections — and it is attached
+    // to ONE side only, so each dropped row is counted once per action
+    // even though the self-join evaluates the window+filter twice (only
+    // the signature exchange below the window is reused across sides)
     val acc = df.sparkSession.sparkContext
       .longAccumulator("cosine_dedup_dropped_bucket_rows")
     val keepMark = udf { (keep: Boolean, oversized: Boolean) =>
       if (oversized) acc.add(1L)
       keep
     }.asNondeterministic()
-    val c = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
       .withColumn("__n", count(lit(1)).over(w))
+    val a = base
       .where(keepMark(col("__n").between(2, maxBucket), col("__n") > maxBucket))
-      .drop("__n")
-    val a = c.alias("a")
-    val b = c.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .drop("__n").alias("a")
+    val b = base
+      .where(col("__n").between(2, maxBucket))
+      .drop("__n").alias("b")
+    val pairs = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosineFast(df.schema(vecCol).dataType)(col("a.v"), col("b.v")).as("score"))
       .where(col("score") >= threshold)
+    (pairs, acc)
   }
 }

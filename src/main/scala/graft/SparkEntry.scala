@@ -51,13 +51,27 @@ object SparkEntry {
     */
   private val StreamDocCap = 200000
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long and truncate to micros (integer division —
-    * ns values exceed 2^53 so double math would lose precision).
+  /** events.parquet's `ts` column has shipped in two layouts: legacy
+    * TIMESTAMP(NANOS) (which Spark's parquet reader rejects, so we read
+    * nanos as long and truncate to micros — integer division, since ns
+    * values exceed 2^53 and double math would lose precision) and, since
+    * the 2026-08 testdata regen, a plain TIMESTAMP(MICROS). Dispatch on
+    * the decoded type so both layouts work; the DuckDB oracles already
+    * read `ts` generically.
     */
   private def rdEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = rd(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet type $other (expected int64 nanos or timestamp)")
+    }
   }
 
   /** lineitems nested under orders — the engine's "documents": one nested

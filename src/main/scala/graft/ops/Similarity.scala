@@ -299,24 +299,27 @@ object Similarity {
   }
 
   /** Collect the query batch for a batched scoring path with a hard cap:
-    * `limit(cap + 1)` bounds the fetch itself (one job, at most cap + 1
-    * rows on the driver — a pre-`count` would cost a second full pass
-    * over the query frame), and the +1 row distinguishes "exactly cap"
-    * from "over cap" so the error is raised before anything broadcasts.
-    * The batched paths always assumed a driver-boundable query set (it
-    * broadcasts either way); this turns a silent driver OOM on a
-    * violated assumption into an actionable error.
+    * count first (one fully-parallel job over the query lineage), raise
+    * an actionable error if the count exceeds the cap, then collect.
+    * Count-then-collect beats the earlier `limit(cap + 1).collect()`
+    * spelling at scale: CollectLimit's ramp-up re-executes the
+    * query-side lineage in up to log₄(P) SEQUENTIAL partial jobs when
+    * rows < cap (the normal case), where count + collect are two
+    * parallel jobs. The batched paths always assumed a driver-boundable
+    * query set (it broadcasts either way); this turns a silent driver
+    * OOM on a violated assumption into an actionable error before
+    * anything materializes.
     */
   private def collectQueryBatch(q: DataFrame, cap: Int,
       op: String): Array[org.apache.spark.sql.Row] = {
     require(cap >= 1, s"need maxQueryBatch >= 1, got $cap")
-    val rows = q.limit(cap + 1).collect()
-    if (rows.length > cap) throw new IllegalArgumentException(
-      s"$op: query batch exceeds maxQueryBatch = $cap rows. The batched " +
-        "scoring path materializes the query set on the driver and " +
+    val n = q.count()
+    if (n > cap) throw new IllegalArgumentException(
+      s"$op: query batch has $n rows, exceeding maxQueryBatch = $cap. The " +
+        "batched scoring path materializes the query set on the driver and " +
         "broadcasts it; split the query set into smaller batches or " +
         "raise maxQueryBatch if the driver has the headroom.")
-    rows
+    q.collect()
   }
 
   /** Exact top-k cosine neighbors for each query vector.

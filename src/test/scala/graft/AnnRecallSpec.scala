@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** Recall@10 of the approximate ANN paths against the exact
+  * [[Similarity.bruteForceTopK]] ground truth at REALISTIC settings —
+  * the planted-twin specs in OpsSpec pin only the cosine≈1 extreme;
+  * this measures the operators' actual retrieval quality on a clustered
+  * corpus shaped like a dedup/retrieval workload (tight near-duplicate
+  * clusters over a 64-dim embedding space, the `embeddings` table
+  * shape).
+  *
+  * The corpus is hash-derived and fully deterministic (splitmix64, no
+  * RNG), so every recall value below is a CONSTANT of the
+  * implementation: any signature/probe/assignment change that moves
+  * retrieval quality fails here first. The measured table is recorded
+  * in SCALE.md §ANN-recall.
+  *
+  * Geometry: 500 centers × 12 members, additive noise amplitude 0.08 →
+  * in-cluster cosine ≈ 0.997 (θ ≈ 0.08 rad); cross-cluster cosine ~
+  * N(0, 1/64). Queries are a 13th perturbed copy of centers 0..99, so
+  * each query's true top-10 are exactly its cluster siblings — recall
+  * measures how often the approximate index reaches the right bucket /
+  * cell, not tie-break noise.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private val Dims = 64
+  private val Centers = 500
+  private val Members = 12
+  private val K = 10
+  private val NoiseAmp = 0.08
+
+  /** splitmix64 → [-1, 1). Deterministic, well-mixed, dependency-free. */
+  private def h(a: Long, b: Long): Double = {
+    var x = a * 0x9E3779B97F4A7C15L + b * 0xD1B54A32D192ED03L + 0x2545F4914F6CDD1DL
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private def vec(center: Int, member: Int): Array[Float] =
+    Array.tabulate(Dims) { j =>
+      (h(center.toLong * Dims + j, 1L) +
+        NoiseAmp * h((center.toLong << 24) | (member.toLong << 12) | j.toLong, 2L)).toFloat
+    }
+
+  private lazy val (corpus, queries) = {
+    import spark.implicits._
+    val c = (0 until Centers).flatMap { ci =>
+      (0 until Members).map { m =>
+        ((ci * Members + m).toLong, vec(ci, m))
+      }
+    }.toDF("vec_id", "embedding").cache()
+    val q = (0 until 100).map { ci =>
+      ((100000 + ci).toLong, vec(ci, 999))
+    }.toDF("vec_id", "embedding").cache()
+    c.count(); q.count()
+    (c, q)
+  }
+
+  private def topSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+    import spark.implicits._
+    df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+  }
+
+  private lazy val truth: Set[(Long, Long)] =
+    topSet(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = K))
+
+  private def recall(approx: org.apache.spark.sql.DataFrame): Double =
+    topSet(approx).intersect(truth).size.toDouble / truth.size
+
+  test("ground truth is well-formed: 100 queries x 10 in-cluster neighbors") {
+    assert(truth.size == 100 * K)
+    // every true neighbor is a cluster sibling of its query (the corpus
+    // geometry guarantees it; a violation would make recall meaningless)
+    assert(truth.forall { case (qid, nid) => (qid - 100000) == nid / Members })
+  }
+
+  test("LSH recall@10 at defaults (nBits=12, multi-probe) >= 0.9") {
+    val r = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = K, nBits = 12, probe1 = true))
+    info(f"lshTopK nBits=12 probe1=true  recall@10 = $r%.3f")
+    assert(r >= 0.9, f"recall@10 at defaults = $r%.3f")
+  }
+
+  test("LSH recall@10 table: nBits 8/12 x probe on/off, documented orderings hold") {
+    val r8p = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = K, nBits = 8, probe1 = true))
+    val r8 = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = K, nBits = 8, probe1 = false))
+    val r12p = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = K, nBits = 12, probe1 = true))
+    val r12 = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+      k = K, nBits = 12, probe1 = false))
+    info(f"lshTopK nBits=8  probe1=true  recall@10 = $r8p%.3f")
+    info(f"lshTopK nBits=8  probe1=false recall@10 = $r8%.3f")
+    info(f"lshTopK nBits=12 probe1=true  recall@10 = $r12p%.3f")
+    info(f"lshTopK nBits=12 probe1=false recall@10 = $r12%.3f")
+    // multi-probe can only ADD candidate buckets → recall is monotone in it
+    assert(r8p >= r8 && r12p >= r12, "multi-probe must not lose recall")
+    // fewer bits → bigger buckets → more candidates → at-least recall
+    assert(r8p >= r12p && r8 >= r12, "coarser signatures must not lose recall")
+    // floor for the no-probe defaults-adjacent config (pinned from the
+    // deterministic corpus; a drop means the signature math changed)
+    assert(r8p >= 0.9, f"nBits=8 multi-probe recall@10 = $r8p%.3f")
+  }
+
+  test("IVF recall@10 (nlist=64): nprobe=8 >= 0.9 and monotone in nprobe") {
+    val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      nlist = 64, lloydPasses = 1)
+    val index = Similarity.ivfIndex(corpus, "vec_id", "embedding", centroids)
+      .cache()
+    index.count()
+    val r4 = recall(Similarity.ivfSearchIndexed(index, centroids, queries,
+      "vec_id", "embedding", k = K, nprobe = 4))
+    val r8 = recall(Similarity.ivfSearchIndexed(index, centroids, queries,
+      "vec_id", "embedding", k = K, nprobe = 8))
+    info(f"ivfSearchIndexed nlist=64 nprobe=4 recall@10 = $r4%.3f")
+    info(f"ivfSearchIndexed nlist=64 nprobe=8 recall@10 = $r8%.3f")
+    assert(r8 >= r4, "more probe cells must not lose recall")
+    assert(r8 >= 0.9, f"nprobe=8 recall@10 = $r8%.3f")
+    index.unpersist()
+  }
+}

@@ -636,6 +636,56 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((100L, 101L)))
   }
 
+  test("cosineDedupPairsCounted: accumulator counts oversized-bucket rows once per action") {
+    import spark.implicits._
+    // one oversized bucket (25 exact clones, cap 10) + a surviving small
+    // pair bucket + singletons: the accumulator must equal EXACTLY the
+    // oversized-bucket row count after one action — the one-side marker
+    // design means the self-join's two evaluations of the bucket pipeline
+    // must NOT double it — and singletons (dropped too, but harmless by
+    // construction) must contribute zero
+    val clone = Array.fill(8)(0.5f)
+    val pairVec = Array(1f, -1f, 0.25f, -0.5f, 0.75f, -0.25f, 1f, -1f)
+    val singles = Seq(
+      Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f),
+      Array(0.1f, 0.9f, -0.7f, 0.3f, -0.2f, 0.8f, -0.6f, 0.4f),
+      Array(-0.9f, -0.1f, 0.6f, -0.4f, 0.2f, -0.8f, 0.7f, -0.3f))
+    val rows = (0 until 25).map(i => (i.toLong, clone)) ++
+      Seq((100L, pairVec), (101L, pairVec.map(_ * 1.01f))) ++
+      singles.zipWithIndex.map { case (v, i) => ((200 + i).toLong, v) }
+    val (pairs, acc) = Similarity.cosineDedupPairsCounted(
+      rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10)
+    assert(acc.value == 0L, "accumulator must start at zero (fresh per call)")
+    val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == Set((100L, 101L)), "planted small-bucket pair must survive the cap")
+    assert(acc.value == 25L,
+      s"one action must count each oversized-bucket row exactly once, got ${acc.value}")
+    // a SECOND action re-evaluates the marked filter — once-per-action
+    // semantics, so the count doubles (documented Spark accumulator
+    // behavior in transformations; the contract is per-action exactness)
+    pairs.count()
+    assert(acc.value == 50L,
+      s"second action must add exactly 25 again, got ${acc.value}")
+  }
+
+  test("batched ANN query collect: over-cap query set raises an actionable error") {
+    import spark.implicits._
+    val emb = (0L until 20L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 8 + j) % 13).toFloat / 13f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb.limit(5), "vec_id", "embedding",
+        k = 3, maxQueryBatch = 3).collect()
+    }
+    assert(ex.getMessage.contains("maxQueryBatch"), ex.getMessage)
+    assert(ex.getMessage.contains("5 rows"), ex.getMessage)
+    // at the cap exactly: no error
+    val ok = Similarity.bruteForceTopK(emb, emb.limit(3), "vec_id", "embedding",
+      k = 3, maxQueryBatch = 3)
+    assert(ok.count() == 9)
+  }
+
   test("cosineDedupPairs: the self-join reuses ONE signature exchange (no double scan)") {
     import spark.implicits._
     // the a/b sides of the bucket self-join are the same signature+window

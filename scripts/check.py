@@ -39,6 +39,15 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify writes errors.json when any declared query failed to produce
+    # output — surface those up front so a shrunken artifact can never
+    # read as all-green here either
+    try:
+        verify_errors = json.load(open(f"{out_dir}/errors.json"))
+    except FileNotFoundError:
+        verify_errors = {}
+    for name, err in sorted(verify_errors.items()):
+        print(f"FAIL {name}: VERIFY_ERROR {err}")
     results = {}
     for name in sorted(oracles):
         sql = oracles[name]
@@ -83,8 +92,9 @@ def main(sf_dir, out_dir):
     ok = sum(1 for v in results.values() if v == "OK")
     for k, v in sorted(results.items()):
         print(f"{'PASS' if v=='OK' else '    '} {k}: {v}")
-    print(f"\n{ok}/{len(oracles)} oracle-checked queries OK")
-    return 0 if ok == len(oracles) else 1
+    print(f"\n{ok}/{len(oracles)} oracle-checked queries OK" +
+          (f"; {len(verify_errors)} Verify-side failures" if verify_errors else ""))
+    return 0 if ok == len(oracles) and not verify_errors else 1
 
 def close(a, b):
     if len(a) != len(b):

@@ -325,13 +325,22 @@ object Bench {
     val spread = okTimes.map { case (k, ts) =>
       "\"" + k + f"""\":[${ts.head}%.3f,${ts.last}%.3f]""" }.mkString("{", ",", "}")
     val total = okTimes.map { case (_, ts) => median(ts) }.sum
-    // end-to-end load guard: warn if ANY sample crossed the idle threshold
-    // or any query's spread exceeds 3× (a loaded box shows up as spread
-    // even when the 1-minute load average lags the contention)
+    // end-to-end load guard. The absolute threshold applies to the START
+    // sample only: once running, a local[32] bench saturates the box
+    // itself (clean runs end at load ~12), so an any-sample absolute test
+    // would flag every healthy artifact and kill the signal. Mid-run
+    // EXTERNAL contamination instead shows up as per-query spread — r10/
+    // r11's contaminated artifacts had spreads of 10-33× where clean runs
+    // stay under ~3× — so any query spread > 3× (above timer noise) warns.
+    // load_avg_max is still recorded for transparency. The spread test
+    // requires BOTH a 3× ratio and >2 s of absolute delta: sub-second
+    // queries routinely jitter 3× by scheduler noise alone (b1 at 0.35 s
+    // vs 1.2 s), while real contamination moves tens of seconds (r11's
+    // q1: [3.6, 116.9]).
     val loadMax = loadSamples.max
     val spreadWarn = okTimes.collect {
-      case (k, ts) if ts.head > 0.05 && ts.last / ts.head > 3.0 => k }
-    val loadWarn = loadMax > 0.25 * cores || spreadWarn.nonEmpty
+      case (k, ts) if ts.last - ts.head > 2.0 && ts.last / ts.head > 3.0 => k }
+    val loadWarn = loadStart > 0.25 * cores || spreadWarn.nonEmpty
     if (loadWarn) System.err.println(
       f"[bench] WARNING: load_avg peaked at $loadMax%.2f (idle threshold ${0.25 * cores}%.1f)" +
         (if (spreadWarn.nonEmpty) s"; spread>3x on: ${spreadWarn.mkString(", ")}" else "") +

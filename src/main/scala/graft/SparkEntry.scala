@@ -59,7 +59,7 @@ object SparkEntry {
     * the decoded type so both layouts work; the DuckDB oracles already
     * read `ts` generically.
     */
-  private def rdEvents(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def rdEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = rd(s, dir, "events")
     df.schema("ts").dataType match {

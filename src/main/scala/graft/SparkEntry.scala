@@ -723,6 +723,19 @@ object SparkEntry {
         "lang", "n_tokens")
         .orderBy(col("lang"))),
 
+    "x48_approx_percentiles" -> ((s, dir) =>
+      // the 100 TB scale path for x34: a mergeable percentile_approx
+      // sketch instead of buffering every group value. With accuracy
+      // above the group sizes the sketch retains all values and the
+      // result is the exact DISCRETE percentile — the value at rank
+      // ceil(p*n) — which DuckDB's quantile_disc reproduces exactly
+      // (OpsSpec pins the rank convention on 1..101 / 1..10 fixtures)
+      TextAnalysis.groupPercentilesApprox(
+        rd(s, dir, "documents").select(col("lang"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_tokens")),
+        "lang", "n_tokens", accuracy = 1000000)
+        .orderBy(col("lang"))),
+
     "x35_quantize_embed" -> ((s, dir) =>
       // symmetric int8 quantization: floor-based rounding is pure IEEE
       // arithmetic, so quantized ints and the fp scale match any engine.
@@ -1617,6 +1630,17 @@ object SparkEntry {
         |  quantile_cont(n_tokens, 0.25) AS p25,
         |  quantile_cont(n_tokens, 0.5)  AS p50,
         |  quantile_cont(n_tokens, 0.75) AS p75
+        |FROM (SELECT lang,
+        |        CASE WHEN len(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n_tokens
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x48_approx_percentiles" ->
+      s"""SELECT lang, count(*) AS n,
+        |  quantile_disc(n_tokens, 0.25) AS p25,
+        |  quantile_disc(n_tokens, 0.5)  AS p50,
+        |  quantile_disc(n_tokens, 0.75) AS p75
         |FROM (SELECT lang,
         |        CASE WHEN len(trim(text)) = 0 THEN 0
         |             ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n_tokens

@@ -272,6 +272,27 @@ object TextAnalysis {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Approximate per-group percentiles — the 100 TB scale path for
+    * [[groupPercentiles]]. The exact form's `percentile` aggregate
+    * buffers EVERY group value in executor memory, so one billion-row
+    * group OOMs the executor no matter how the data is partitioned;
+    * `percentile_approx` keeps a bounded, MERGEABLE sketch of ~`accuracy`
+    * entries per group (map-side partial aggregation works, rank error
+    * ≤ n/accuracy), so memory per group is constant in n. Same output
+    * shape as [[groupPercentiles]] (n, p25, p50, ...), but values are
+    * order statistics drawn from the data, not interpolated — when
+    * n ≤ accuracy the sketch retains every value and the result is the
+    * exact discrete percentile (pinned by the x48 oracle and OpsSpec).
+    */
+  def groupPercentilesApprox(df: DataFrame, groupCol: String, valueCol: String,
+      percentages: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      accuracy: Int = 10000): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      percentages.map(p => percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "from", "this", "be", "are")

@@ -636,6 +636,36 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((100L, 101L)))
   }
 
+  test("groupPercentilesApprox: exact discrete percentiles when the sketch holds all values") {
+    import spark.implicits._
+    // n <= accuracy → the sketch retains every value, so the result is
+    // the exact discrete percentile: value at rank ceil(p*n), DuckDB/
+    // Postgres percentile_disc convention (the x48 oracle relies on this)
+    val rows = (1 to 101).map(v => ("a", v.toLong)) ++
+      (1 to 10).map(v => ("b", v.toLong))
+    val got = graft.ops.TextAnalysis.groupPercentilesApprox(
+      rows.toDF("g", "v"), "g", "v")
+      .orderBy("g").collect()
+    val a = got.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 101L, s"group a count: $a")
+    assert((a.getLong(2), a.getLong(3), a.getLong(4)) == ((26L, 51L, 76L)),
+      s"group a quartiles: $a")
+    val b = got.find(_.getString(0) == "b").get
+    assert((b.getLong(2), b.getLong(3), b.getLong(4)) == ((3L, 5L, 8L)),
+      s"group b quartiles: $b")
+    // scale shape: one hash aggregate pair, no sort/window anywhere — the
+    // reason this variant exists (the exact form buffers whole groups)
+    val plan = graft.ops.TextAnalysis.groupPercentilesApprox(
+      rows.toDF("g", "v"), "g", "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort"), s"approx percentiles must not sort:\n$plan")
+    // bounded error on a big group with a coarse sketch: rank error <= n/accuracy
+    val big = (1 to 20000).map(v => ("c", v.toLong)).toDF("g", "v")
+    val coarse = graft.ops.TextAnalysis.groupPercentilesApprox(
+      big, "g", "v", accuracy = 1000).collect()(0)
+    val tol = 20000 / 1000 + 1
+    assert(math.abs(coarse.getLong(3) - 10000L) <= tol, s"p50 off: $coarse")
+  }
+
   test("cosineDedupPairsCounted: accumulator counts oversized-bucket rows once per action") {
     import spark.implicits._
     // one oversized bucket (25 exact clones, cap 10) + a surviving small

@@ -463,22 +463,57 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nBits: Int = 12,
-      probe1: Boolean = true): DataFrame = {
+      probe1: Boolean = true): DataFrame =
+    lshTopKProbed(corpus, queries, idCol, vecCol, k, nBits,
+      probeDepth = if (probe1) 1 else 0)
+
+  /** [[lshTopK]] with a configurable multi-probe DEPTH: the query also
+    * joins every bucket within Hamming distance `probeDepth` of its own
+    * signature (0 = exact bucket only, 1 = the classic nBits single-bit
+    * flips, 2 = plus all C(nBits, 2) double flips). Depth is the recall
+    * knob that makes raising nBits safe at scale: more bits shrink the
+    * scanned corpus fraction per bucket (2^-nBits of the corpus each),
+    * and a deeper probe set buys the recall back for a known candidate
+    * budget — (1 + nBits + nBits(nBits-1)/2) buckets per query at depth
+    * 2, still a vanishing corpus fraction (measured: AnnRecallSpec /
+    * SCALE.md §ANN-recall — nBits=16 depth 2 beats nBits=12 depth 1 on
+    * both recall AND candidate volume). The probe set is distinct by
+    * construction (distinct bit patterns XORed into one signature), so
+    * the no-dedup-shuffle argument of the depth-1 form still holds.
+    */
+  def lshTopKProbed(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nBits: Int = 12,
+      probeDepth: Int = 1): DataFrame = {
+    require(probeDepth >= 0 && probeDepth <= 2,
+      s"probeDepth must be 0, 1, or 2, got $probeDepth")
     val sig = hyperplaneFast(corpus.schema(vecCol).dataType, nBits)(col(vecCol))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), sig.as("bucket"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), sig.as("qsig"))
+    // flip masks are a tiny compile-time-constant set (≤ 1 + nBits +
+    // nBits(nBits-1)/2 longs) shared by every row — build them once on
+    // the driver as a literal array instead of nested sequence lambdas
+    val masks: Seq[Long] = {
+      val single = (0 until nBits).map(i => 1L << i)
+      val double = for {
+        i <- 0 until nBits; j <- (i + 1) until nBits
+      } yield (1L << i) | (1L << j)
+      probeDepth match {
+        case 0 => Seq(0L)
+        case 1 => 0L +: single
+        case _ => (0L +: single) ++ double
+      }
+    }
     val probes =
-      if (!probe1) qSig.withColumn("bucket", col("qsig"))
+      if (probeDepth == 0) qSig.withColumn("bucket", col("qsig"))
       else qSig.select(col("query_id"), col("qv"),
-        explode(concat(array(col("qsig")),
-          transform(sequence(lit(0), lit(nBits - 1)),
-            i => col("qsig").bitwiseXOR(call_function("shiftleft", lit(1L), i))))).as("bucket"))
+        explode(transform(array(masks.map(lit): _*),
+          m => col("qsig").bitwiseXOR(m))).as("bucket"))
     // no distinct needed (same argument as ivfTopK below): each corpus row
     // lives in exactly one bucket — its own signature — and a query's probe
-    // set (qsig plus each single-bit flip) is a set of DISTINCT bucket
-    // values, so a (query, neighbor) pair can match at most once. A
-    // distinct here would full-shuffle every scored candidate row before
-    // rankTopK's map-side bounded aggregate gets to reduce them.
+    // set (qsig XOR distinct masks) is a set of DISTINCT bucket values, so
+    // a (query, neighbor) pair can match at most once. A distinct here
+    // would full-shuffle every scored candidate row before rankTopK's
+    // map-side bounded aggregate gets to reduce them.
     val scored = probes.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -110,6 +110,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r8p >= 0.9, f"nBits=8 multi-probe recall@10 = $r8p%.3f")
   }
 
+  test("LSH probe depth 2: raising nBits stays safe — 16-bit depth-2 beats 12-bit depth-1") {
+    // the scale knob: nBits=16 buckets hold 1/16th of what nBits=12
+    // buckets do (2^-16 vs 2^-12 of the corpus each), and depth-2
+    // probing (1 + 16 + 120 = 137 buckets/query ≈ 0.21% of the corpus,
+    // vs 13/4096 ≈ 0.32% at 12-bit depth-1) buys the recall back — so
+    // both the scanned fraction AND the recall improve together
+    val r16d1 = recall(Similarity.lshTopKProbed(corpus, queries,
+      "vec_id", "embedding", k = K, nBits = 16, probeDepth = 1))
+    val r16d2 = recall(Similarity.lshTopKProbed(corpus, queries,
+      "vec_id", "embedding", k = K, nBits = 16, probeDepth = 2))
+    val r12d1 = recall(Similarity.lshTopKProbed(corpus, queries,
+      "vec_id", "embedding", k = K, nBits = 12, probeDepth = 1))
+    info(f"lshTopKProbed nBits=16 depth=1 recall@10 = $r16d1%.3f")
+    info(f"lshTopKProbed nBits=16 depth=2 recall@10 = $r16d2%.3f")
+    info(f"lshTopKProbed nBits=12 depth=1 recall@10 = $r12d1%.3f")
+    assert(r16d2 >= r16d1, "deeper probing must not lose recall")
+    assert(r16d2 >= r12d1,
+      f"16-bit depth-2 ($r16d2%.3f) must match-or-beat 12-bit depth-1 ($r12d1%.3f)")
+    assert(r16d2 >= 0.95, f"nBits=16 depth-2 recall@10 = $r16d2%.3f")
+    // the depth-1 path is the same bucket set as lshTopK(probe1 = true):
+    // identical results, row for row
+    val viaOld = topSet(Similarity.lshTopK(corpus, queries,
+      "vec_id", "embedding", k = K, nBits = 12, probe1 = true))
+    val viaNew = topSet(Similarity.lshTopKProbed(corpus, queries,
+      "vec_id", "embedding", k = K, nBits = 12, probeDepth = 1))
+    assert(viaOld == viaNew)
+  }
+
   test("IVF recall@10 (nlist=64): nprobe=8 >= 0.9 and monotone in nprobe") {
     val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
       nlist = 64, lloydPasses = 1)

@@ -723,6 +723,19 @@ object SparkEntry {
         "lang", "n_tokens")
         .orderBy(col("lang"))),
 
+    "x49_knn_classify" -> ((s, dir) => {
+      // k-NN label propagation over the labeled embeddings table: the
+      // ranking is x9's exact top-k (double vectors so the DuckDB cosine
+      // is comparable), the vote and min-label tie-break replay in SQL
+      val emb = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("embedding"),
+          col("label"))
+      val queries = emb.where(col("vec_id") < 20)
+      Similarity.knnClassify(emb, queries, "vec_id", "embedding", "label", k = 10)
+        .orderBy(col("query_id"))
+    }),
+
     "x48_approx_percentiles" -> ((s, dir) =>
       // the 100 TB scale path for x34: a mergeable percentile_approx
       // sketch instead of buffering every group value. With accuracy
@@ -1635,6 +1648,26 @@ object SparkEntry {
         |             ELSE len(regexp_split_to_array(trim(text), '$TokWs')) END AS n_tokens
         |      FROM documents)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x49_knn_classify" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 20),
+        |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv, label
+        |           FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, label,
+        |    list_dot_product(qv, cv) /
+        |      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS score
+        |  FROM q, c WHERE query_id <> neighbor_id),
+        |ranked AS (SELECT query_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        |  FROM scored),
+        |votes AS (SELECT query_id, label, count(*) AS votes
+        |  FROM ranked WHERE rank <= 10 GROUP BY query_id, label),
+        |win AS (SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
+        |  FROM votes)
+        |SELECT query_id, label, votes FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     "x48_approx_percentiles" ->
       s"""SELECT lang, count(*) AS n,

@@ -764,6 +764,36 @@ object Similarity {
     }
   }
 
+  /** k-NN majority-vote classification: each query takes the most common
+    * label among its top-k cosine neighbors in the labeled corpus — the
+    * standard label-propagation / weak-supervision primitive for
+    * extending a labeled seed set over an unlabeled embedding corpus.
+    * Ties break to the SMALLEST label (deterministic, SQL-replayable).
+    * `labelCol` must be numeric (the tie-break negates it inside a
+    * struct ordering); map categorical labels to codes first.
+    *
+    * Scale shape: the ranking is [[bruteForceTopK]] (corpus scanned
+    * once, never shuffled; map-side bounded top-k), and the label join
+    * attaches corpus labels to the tiny queries×k frame — Spark
+    * broadcasts the small side, so the corpus still moves through at
+    * most one scan. Output: (query_id, label, votes).
+    */
+  def knnClassify(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int = 10,
+      maxQueryBatch: Int = 100000): DataFrame = {
+    val top = bruteForceTopK(corpus, queries, idCol, vecCol, k, maxQueryBatch)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__knn_label"))
+    top.join(labels, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("__knn_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"))
+      .agg(
+        max_by(col("__knn_label"),
+          struct(col("votes"), col("__knn_label") * -1)).as("label"),
+        max(col("votes")).as("votes"))
+  }
+
   /** Embedding near-duplicate pairs: corpus self-join via LSH buckets,
     * cosine ≥ threshold. The embedding analog of MinHash near-dup.
     *

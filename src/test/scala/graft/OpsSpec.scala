@@ -636,6 +636,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Set((100L, 101L)))
   }
 
+  test("knnClassify: majority label of planted clusters; ties break to the smallest label") {
+    import spark.implicits._
+    // three tight clusters, labels 1/2/3: a perturbed center must take
+    // its cluster's label with k votes
+    val dim = 8
+    // axis-aligned cluster directions with deterministic member noise:
+    // in-cluster cosine ~1, cross-cluster ~0.1 — unambiguous vote margins
+    def cvec(c: Int, m: Int): Array[Float] =
+      Array.tabulate(dim) { j =>
+        (if (j == c) 1f else 0.05f) +
+          0.01f * (((c * 7919 + m * 131 + j) % 7).toFloat / 7f)
+      }
+    val corpus = (for { c <- 1 to 3; m <- 0 until 5 }
+      yield ((c * 100 + m).toLong, cvec(c, m), c)).toDF("vec_id", "embedding", "label")
+    val queries = (1 to 3).map(c => ((1000 + c).toLong, cvec(c, 99), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(corpus, queries, "vec_id", "embedding", "label", k = 5)
+      .select($"query_id", $"label", $"votes").as[(Long, Int, Long)].collect().toSet
+    assert(got == Set((1001L, 1, 5L), (1002L, 2, 5L), (1003L, 3, 5L)))
+    // engineered 1-1 vote tie at k=2: identical-cosine neighbors labeled
+    // 7 and 3 — the winner must be the SMALLEST label
+    val v = Array(1f, 0f)
+    val tieCorpus = Seq((1L, v, 7), (2L, v, 3)).toDF("vec_id", "embedding", "label")
+    val tieQ = Seq((9L, v, 0)).toDF("vec_id", "embedding", "label")
+    val tie = Similarity.knnClassify(tieCorpus, tieQ, "vec_id", "embedding", "label", k = 2)
+      .select($"query_id", $"label", $"votes").as[(Long, Int, Long)].collect().toSeq
+    assert(tie == Seq((9L, 3, 1L)))
+  }
+
   test("groupPercentilesApprox: exact discrete percentiles when the sketch holds all values") {
     import spark.implicits._
     // n <= accuracy → the sketch retains every value, so the result is

@@ -736,6 +736,37 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x50_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup contract run: planted VERBATIM copies (identical vector,
+      // new id) are semantic duplicates by construction — an identical
+      // vector scores identically against every centroid, so the copy
+      // lands in its original's k-means cell deterministically, and the
+      // within-cell cosine is 1.0 (round-4). Nothing else clears 0.9:
+      // max natural pairwise cosine in the synthetic embeddings < 0.5.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+        col("embedding"))
+      Similarity.semanticDedupPairs(
+          emb.select("vec_id", "embedding").unionAll(planted),
+          "vec_id", "embedding", threshold = 0.9, nlist = 16)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x51_semantic_dedup_apply" -> ((s, dir) => {
+      // the apply form: connected components over the x50 pair graph,
+      // keep-min per component — every planted copy drops, every
+      // original survives
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+        col("embedding"))
+      Similarity.semanticDedup(
+          emb.select("vec_id", "embedding").unionAll(planted),
+          "vec_id", "embedding", threshold = 0.9, nlist = 16)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "x48_approx_percentiles" -> ((s, dir) =>
       // the 100 TB scale path for x34: a mergeable percentile_approx
       // sketch instead of buffering every group value. With accuracy
@@ -1668,6 +1699,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
         |  FROM votes)
         |SELECT query_id, label, votes FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "x50_semantic_dedup" ->
+      """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r
+        |FROM embeddings ORDER BY id_a""".stripMargin,
+
+    "x51_semantic_dedup_apply" ->
+      """SELECT vec_id FROM embeddings ORDER BY vec_id""",
 
     "x48_approx_percentiles" ->
       s"""SELECT lang, count(*) AS n,

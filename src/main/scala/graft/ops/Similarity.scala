@@ -869,4 +869,81 @@ object Similarity {
       .where(col("score") >= threshold)
     (pairs, acc)
   }
+
+  /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
+    * embedding corpus ([[ivfTrain]]'s deterministic seeds + Lloyd
+    * refinement) and score cosine only WITHIN a cluster — the clustering
+    * replaces [[cosineDedupPairs]]'s LSH buckets as the candidate
+    * generator (the SemDeDup observation: semantic duplicates land in the
+    * same k-means cluster, so the all-pairs problem shrinks to per-cluster
+    * pairs). The two candidate generators are complementary: LSH buckets
+    * are cheap and index-free, clusters adapt to the corpus's actual
+    * density so a tight semantic neighborhood is not split across an
+    * arbitrary hyperplane.
+    *
+    * Same skew contract as the LSH form: cluster sizes come from a window
+    * count over the cell id, rows in cells larger than `maxCell` are
+    * dropped BEFORE the self-join, and each dropped row bumps the
+    * `semantic_dedup_dropped_cell_rows` accumulator exactly once per
+    * action (the one-side-marker pattern of [[cosineDedupPairsCounted]];
+    * the same at-least-once caveat under task retries applies). Singleton
+    * cells are skipped — they cannot pair.
+    *
+    * Scale shape: training is a TakeOrdered seed pass plus one aggregated
+    * corpus scan per Lloyd pass (at most nlist × dim partial-mean rows
+    * shuffle); assignment is one corpus scan against broadcast centroids;
+    * the pair join is an equi-join on the cell id, so candidate volume is
+    * Σ_cell min(n_cell, maxCell)²/2 — never corpus². At 100 TB, grow
+    * `nlist` with the corpus (keep the expected cell size well under
+    * `maxCell`) and persist [[ivfIndex]]'s frame bucketed by cell so
+    * re-runs skip assignment entirely.
+    */
+  def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
+      maxCell: Int = 10000)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val centroids = ivfTrain(df, idCol, vecCol, nlist, lloydPasses)
+    val indexed = ivfIndex(df, idCol, vecCol, centroids)
+    val w = Window.partitionBy("cell")
+    val acc = df.sparkSession.sparkContext
+      .longAccumulator("semantic_dedup_dropped_cell_rows")
+    val keepMark = udf { (keep: Boolean, oversized: Boolean) =>
+      if (oversized) acc.add(1L)
+      keep
+    }.asNondeterministic()
+    val base = indexed
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
+      .withColumn("__n", count(lit(1)).over(w))
+    val a = base
+      .where(keepMark(col("__n").between(2, maxCell), col("__n") > maxCell))
+      .drop("__n").alias("a")
+    val b = base
+      .where(col("__n").between(2, maxCell))
+      .drop("__n").alias("b")
+    val pairs = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineFast(ArrayType(FloatType))(col("a.v"), col("b.v")).as("score"))
+      .where(col("score") >= threshold)
+    (pairs, acc)
+  }
+
+  /** [[semanticDedupPairsCounted]] without the accumulator handle. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
+      maxCell: Int = 10000): DataFrame =
+    semanticDedupPairsCounted(df, idCol, vecCol, threshold, nlist,
+      lloydPasses, maxCell)._1
+
+  /** Apply semantic dedup to the corpus: within each connected component
+    * of the [[semanticDedupPairs]] graph, keep only the minimum id — rows
+    * never mentioned in a pair pass through untouched. The loser set is
+    * tiny next to the corpus, so [[graft.ops.Dedup.dedupByPairs]]'s
+    * anti-join broadcasts and the payload never shuffles.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
+      maxCell: Int = 10000): DataFrame =
+    Dedup.dedupByPairs(df, idCol,
+      semanticDedupPairs(df, idCol, vecCol, threshold, nlist, lloydPasses,
+        maxCell))
 }

@@ -728,6 +728,71 @@ class OpsSpec extends AnyFunSuite {
       s"second action must add exactly 25 again, got ${acc.value}")
   }
 
+  test("semanticDedupPairs: identical twins pair at 1.0 in their k-means cell; apply keeps the min id") {
+    import spark.implicits._
+    // identical vectors score identically against every centroid, so a
+    // verbatim copy lands in its original's cell DETERMINISTICALLY —
+    // the one cell-assignment invariant the contract can rely on without
+    // reimplementing the quantizer
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map(i => (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val twins = (0 until 10).map(i => ((1000 + i).toLong, base(i)._2))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    // fixture self-check: no natural pair clears the threshold, so the
+    // expected pair set is exactly the planted twins
+    val all = base.map(_._2)
+    val maxNat = (for { i <- all.indices; j <- all.indices if i < j }
+      yield Similarity.cosineArrF(all(i), all(j))).max
+    assert(maxNat < 0.99, s"fixture drifted: max natural cosine $maxNat")
+    val pairs = Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+      threshold = 0.99, nlist = 8)
+    val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == (0 until 10).map(i => (i.toLong, (1000 + i).toLong)).toSet,
+      s"twin pairs must be exactly the emitted set, got $got")
+    val kept = Similarity.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.99, nlist = 8).select(col("vec_id")).as[Long].collect().toSet
+    assert(kept == (0 until 30).map(_.toLong).toSet,
+      "apply must drop every twin (higher id) and keep every original")
+  }
+
+  test("semanticDedupPairsCounted: oversized cells drop and count once; survivors match cell ground truth") {
+    import spark.implicits._
+    val clone = Array.fill(8)(0.5f)
+    val pairVec = Array(1f, -1f, 0.25f, -0.5f, 0.75f, -0.25f, 1f, -1f)
+    val rows = (0 until 25).map(i => (i.toLong, clone)) ++
+      Seq((100L, pairVec), (101L, pairVec.map(_ * 1.01f))) ++
+      Seq((200L, Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // ground-truth cells from the SAME public train+index composition the
+    // operator uses (assignment itself is pinned by IvfTrainPropertySpec),
+    // so the expectation covers the cap/join/accumulator logic without
+    // reimplementing the quantizer
+    val maxCell = 10
+    val centroids = Similarity.ivfTrain(df, "vec_id", "embedding",
+      nlist = 4, lloydPasses = 1)
+    val cells = Similarity.ivfIndex(df, "vec_id", "embedding", centroids)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    val sizes = cells.groupBy(_._2).map { case (c, m) => c -> m.size }
+    val vec = rows.toMap
+    val expectedDropped = cells.count { case (_, c) => sizes(c) > maxCell }
+    val expectedPairs = (for {
+      (i, ci) <- cells; (j, cj) <- cells
+      if i < j && ci == cj && sizes(ci) >= 2 && sizes(ci) <= maxCell
+      if Similarity.cosineArrF(vec(i), vec(j)) >= 0.9
+    } yield (i, j)).toSet
+    // fixture self-check: the clone cell is oversized, so the cap bites
+    assert(expectedDropped >= 25, s"fixture drifted: cells $sizes")
+    val (pairs, acc) = Similarity.semanticDedupPairsCounted(df, "vec_id",
+      "embedding", threshold = 0.9, nlist = 4, lloydPasses = 1,
+      maxCell = maxCell)
+    assert(acc.value == 0L, "accumulator must start at zero (fresh per call)")
+    val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(got == expectedPairs, s"got $got expected $expectedPairs (sizes $sizes)")
+    assert(acc.value == expectedDropped,
+      s"one action must count each oversized-cell row once, got ${acc.value} " +
+        s"expected $expectedDropped")
+  }
+
   test("batched ANN query collect: over-cap query set raises an actionable error") {
     import spark.implicits._
     val emb = (0L until 20L)

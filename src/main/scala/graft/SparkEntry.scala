@@ -828,6 +828,24 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "x52_fuzzy_decontaminate" -> ((s, dir) => {
+      // near-dup decontamination with a threshold-straddling contract
+      // (the x6 construction, cross-frame): the benchmark is every
+      // % 11 == 0 doc with a 4-token tail appended, so a corpus doc's
+      // exact 3-shingle Jaccard vs its benchmark derivative is
+      // (m-2)/(m+2) — only docs with m ≥ 18 tokens clear the 0.8 bar.
+      // 32 bands × 2 rows make P(LSH miss | j ≥ 0.8) < 1e-14, so the
+      // DuckDB oracle can replay the full exact-Jaccard truth. Corpus
+      // docs that are exact copies of a benchmark SOURCE doc drop too
+      // (same Jaccard vs the derivative) — the oracle computes that.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 11 === 0)
+        .select(concat(col("text"), lit(" graft eval benchmark tail")).as("bench_text"))
+      Decontaminate.decontaminateFuzzy(d, "text", "doc_id", bench, "bench_text",
+        threshold = 0.8, numHashes = 64, bands = 32)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x11_cosine_dedup" -> ((s, dir) => {
       // Plant exact near-duplicates (same direction, scaled 1.001×) so the
       // operator has known positives: every (v, v+PlantedOffset) pair must come
@@ -1772,6 +1790,46 @@ object SparkEntry {
         |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM pergram WHERE doc_id % 10 = 3),
         |bad AS (SELECT DISTINCT doc_id FROM docg JOIN bg USING (gram))
         |SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
+
+    // fuzzy decontamination: full exact-Jaccard replay (the x47 template,
+    // corpus × benchmark): recompute the benchmark derivatives (% 11 == 0
+    // docs + 4-token tail), the exact 3-shingle Jaccard of every
+    // shingle-sharing (corpus, bench) pair with the engine's tokenizer /
+    // whole-text-when-≤3-tokens shingle rule / per-doc distinct shingles,
+    // and keep corpus ids whose max Jaccard stays under 0.8
+    "x52_fuzzy_decontaminate" ->
+      """WITH corp AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS t
+        |  FROM documents
+        |), ben AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text || ' graft eval benchmark tail'),
+        |      '[^a-z0-9]+'), t -> len(t) > 0) AS t
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), shc AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, chr(31))]
+        |    ELSE list_distinct([t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) END AS s
+        |  FROM corp
+        |), shb AS (
+        |  SELECT doc_id, CASE WHEN len(t) <= 3 THEN [array_to_string(t, chr(31))]
+        |    ELSE list_distinct([t[i] || chr(31) || t[i+1] || chr(31) || t[i+2]
+        |                        for i in generate_series(1, len(t) - 2)]) END AS s
+        |  FROM ben
+        |), pc AS (
+        |  SELECT doc_id AS cid, len(s) AS nc, unnest(s) AS w FROM shc
+        |), pb AS (
+        |  SELECT doc_id AS bid, len(s) AS nb, unnest(s) AS w FROM shb
+        |), dup AS (
+        |  SELECT DISTINCT cid FROM (
+        |    SELECT pc.cid, pb.bid, count(*) AS c,
+        |      any_value(pc.nc) AS nc, any_value(pb.nb) AS nb
+        |    FROM pc JOIN pb USING (w) GROUP BY pc.cid, pb.bid)
+        |  WHERE CAST(c AS DOUBLE) / (nc + nb - c) >= 0.8
+        |)
+        |SELECT c.doc_id FROM corp c ANTI JOIN dup ON c.doc_id = dup.cid
         |ORDER BY doc_id""".stripMargin,
 
     "x19_quality_score" ->

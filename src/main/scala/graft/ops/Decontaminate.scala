@@ -85,4 +85,40 @@ object Decontaminate {
       bench, benchTextCol, n).select(idCol)
     docs.join(confirmed, Seq(idCol), "left_anti")
   }
+
+  /** Fuzzy decontamination: drop corpus documents whose exact shingle-set
+    * Jaccard against ANY benchmark document clears `threshold` — the
+    * near-duplicate complement to the exact n-gram paths above, for eval
+    * sets that leak into training data lightly paraphrased or with
+    * boilerplate attached (where no verbatim 13-gram survives but the
+    * document is still the benchmark item).
+    *
+    * Composition, not new machinery: the benchmark plays the standing
+    * corpus of [[graft.ops.Dedup.nearDupIncrement]] and the training
+    * corpus is the incoming batch — MinHash-banded LSH proposes
+    * (corpus doc, bench doc) candidates through an equi-join on
+    * (band, bandHash), and exact Jaccard over candidate shingle sets
+    * confirms, so false band collisions can never drop a clean document.
+    * The benchmark side is keyed internally by `xxhash64` of its text
+    * (deterministic across re-evaluations of the plan's two benchmark
+    * scans; identical benchmark rows collapsing to one key only dedups
+    * the candidate set).
+    *
+    * Scale shape: the corpus is scanned once for band keys and once more
+    * (candidates only, semi-joined ids) for verification shingles — text
+    * never shuffles, band rows are fixed-width (id, band, hash), and the
+    * benchmark side is an eval set, so its banded frame broadcasts under
+    * AQE. Same `maxBucket` degenerate-bucket guard and
+    * `neardup_dropped_bucket_rows` accumulator as the incremental path.
+    */
+  def decontaminateFuzzy(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, threshold: Double = 0.8,
+      numHashes: Int = 64, bands: Int = 32, shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val benchKeyed = bench
+      .select(col(benchTextCol).as(textCol))
+      .withColumn(idCol, xxhash64(col(textCol)))
+    Dedup.nearDupIncrement(benchKeyed, docs, textCol, idCol, threshold,
+      numHashes, bands, shingleSize, maxBucket)
+  }
 }

@@ -118,6 +118,35 @@ class FiltersSpec extends AnyFunSuite {
     assert(bloom.size == 200)
   }
 
+  test("fuzzy decontaminate: verbatim and lightly-tailed leaks drop, clean docs survive, threshold bites") {
+    // 20-token docs with per-doc vocab, one shared benchmark source: the
+    // verbatim leak (J = 1.0) and the lightly-tailed paraphrase
+    // (J = 18/22 ≈ 0.82) drop at 0.8; the heavily-mutated one
+    // (J = 18/30 = 0.6) and vocab-disjoint docs survive. The same corpus
+    // at threshold 0.85 keeps the paraphrase — the threshold is live, not
+    // just the LSH bands.
+    val src = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val tail4 = " za zb zc zd"
+    val tail12 = " za zb zc zd ze zf zg zh zi zj zk zl"
+    val docs = (
+      (0 until 50).map(i =>
+        (i.toLong, (0 until 20).map(j => s"tok${i}_$j").mkString(" "))) ++
+      Seq((100L, src), (101L, src + tail4), (102L, src + tail12))
+    ).toDF("doc_id", "text")
+    val bench = Seq(src).toDF("bench_text")
+    def run(th: Double) = Decontaminate.decontaminateFuzzy(
+      docs, "text", "doc_id", bench, "bench_text", threshold = th)
+      .select("doc_id").as[Long].collect().toSet
+    val at08 = run(0.8)
+    assert(!at08.contains(100L) && !at08.contains(101L),
+      "verbatim and 4-token-tail leaks must drop at 0.8")
+    assert(at08.contains(102L), "12-token-tail doc (J = 0.6) must survive 0.8")
+    assert((0L until 50L).forall(at08.contains), "clean docs must all survive")
+    val at085 = run(0.85)
+    assert(!at085.contains(100L) && at085.contains(101L),
+      "at 0.85 only the verbatim leak clears the bar")
+  }
+
   test("domain cap keeps at most K per domain, deterministically across layouts") {
     val df = spark.range(0, 3000)
       .select(col("id"), concat(lit("d"), (col("id") % 7).cast("string")).as("dom"))

@@ -767,6 +767,34 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "x53_dedup_doc_lines" -> ((s, dir) =>
+      // within-doc line scrub on the x21 planted-repetition corpus: every
+      // 5th doc's text is duplicated onto a second block of lines, so the
+      // scrub must return exactly the original block (keep-first, raw
+      // line identity, order preserved) and leave other docs verbatim
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.dedupDocLines(
+            when(col("doc_id") % 5 === 0, concat(col("text"), lit("\n"), col("text")))
+              .otherwise(col("text"))).as("scrubbed"))
+        .orderBy(col("doc_id"))),
+
+    "x54_scrub_lines" -> ((s, dir) =>
+      // C4 line scrub over documents augmented with known keep/drop
+      // lines: a good sentence stays, a 1-word punctuated line drops
+      // (word minimum), a javascript-bearing line drops (ban list), an
+      // unpunctuated line drops, and the document's own lines keep or
+      // drop by the same three rules — all replayed exactly in SQL
+      rd(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFilters.scrubLines(concat_ws("\n",
+            lit("A good first sentence stays here."),
+            col("text"),
+            lit("short."),
+            lit("Lines mentioning javascript are banned today."),
+            lit("no terminal punctuation here"))).as("scrubbed"))
+        .orderBy(col("doc_id"))),
+
     "x48_approx_percentiles" -> ((s, dir) =>
       // the 100 TB scale path for x34: a mergeable percentile_approx
       // sketch instead of buffering every group value. With accuracy
@@ -1724,6 +1752,32 @@ object SparkEntry {
 
     "x51_semantic_dedup_apply" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""",
+
+    // within-doc line dedup: keep a line iff its FIRST occurrence index is
+    // its own index (list_position returns the first match, 1-based —
+    // exactly the Spark side's no-equal-element-in-prefix test)
+    "x53_dedup_doc_lines" ->
+      """SELECT doc_id,
+        |  array_to_string([l[i] for i in generate_series(1, len(l))
+        |                   if list_position(l, l[i]) = i], chr(10)) AS scrubbed
+        |FROM (SELECT doc_id, regexp_split_to_array(
+        |        CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text ELSE text END,
+        |        chr(10)) AS l
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x54_scrub_lines" ->
+      s"""SELECT doc_id,
+        |  array_to_string(list_filter(regexp_split_to_array(
+        |    'A good first sentence stays here.' || chr(10) || text || chr(10) ||
+        |    'short.' || chr(10) || 'Lines mentioning javascript are banned today.'
+        |    || chr(10) || 'no terminal punctuation here', chr(10)),
+        |    x -> regexp_matches(trim(x), '[.!?"]$$')
+        |         AND len(list_filter(regexp_split_to_array(trim(x), '$TokWs'),
+        |                             w -> len(w) > 0)) >= 3
+        |         AND NOT contains(lower(trim(x)), 'lorem ipsum')
+        |         AND NOT contains(lower(trim(x)), 'javascript')), chr(10)) AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x48_approx_percentiles" ->
       s"""SELECT lang, count(*) AS n,

@@ -174,6 +174,24 @@ object TextAnalysis {
   def lines(text: Column): Column =
     filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
 
+  /** Order-preserving WITHIN-document line dedup — the scrub form of the
+    * [[dupLineRatio]] signal (C4-family cleanup: repeated lines inside a
+    * page are boilerplate; keep the first occurrence, preserve order).
+    * Exact raw-line match — no trim/case normalization — so any SQL
+    * engine replays it as a first-index comparison over the split lines.
+    * The corpus-wide analog (shared boilerplate ACROSS documents) is
+    * [[graft.ops.Dedup.dedupLines]]; this one is a pure column
+    * expression, no joins — scan-speed, O(lines²) comparisons per row
+    * bounded by the document's own line count (a per-row cost, not a
+    * per-pair path).
+    */
+  def dedupDocLines(text: Column): Column = {
+    val l = split(text, "\n")
+    array_join(
+      filter(l, (x, i) => !exists(slice(l, lit(1), i), e => e === x)),
+      "\n")
+  }
+
   /** Fraction of lines that repeat an earlier line — the Gopher-style
     * repetition signal (published heuristic: high duplicate-line fraction
     * marks boilerplate/spam). 0 for empty or all-unique documents.

@@ -118,6 +118,28 @@ class FiltersSpec extends AnyFunSuite {
     assert(bloom.size == 200)
   }
 
+  test("scrubLines: terminal punctuation, word minimum, and ban list each drop their line") {
+    val text = Seq(
+      "This is a fine sentence.",          // keeps
+      "Too short.",                        // < 3 words
+      "Some JavaScript got injected here.", // banned, case-insensitive
+      "ends without terminal punctuation", // no . ! ? "
+      "Does a question mark count as terminal?", // keeps
+      "\"A quoted ending keeps too.\"")    // keeps (quote terminal)
+      .mkString("\n")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val got = df.select(TextFilters.scrubLines(col("text")).as("s"))
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()(0)
+    assert(got == Seq(
+      "This is a fine sentence.",
+      "Does a question mark count as terminal?",
+      "\"A quoted ending keeps too.\"").mkString("\n"), got)
+    // the word minimum is a live parameter, not baked in
+    val loose = df.select(TextFilters.scrubLines(col("text"), minLineWords = 2).as("s"))
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()(0)
+    assert(loose.contains("Too short."), loose)
+  }
+
   test("fuzzy decontaminate: verbatim and lightly-tailed leaks drop, clean docs survive, threshold bites") {
     // 20-token docs with per-doc vocab, one shared benchmark source: the
     // verbatim leak (J = 1.0) and the lightly-tailed paraphrase

@@ -728,6 +728,25 @@ class OpsSpec extends AnyFunSuite {
       s"second action must add exactly 25 again, got ${acc.value}")
   }
 
+  test("dedupDocLines: keep-first order-preserving line dedup, raw identity, blanks collapse") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a\nb\na\nc\nb\nd"),    // interleaved repeats
+      (2L, "x\n\ny\n\nx"),          // blank lines dedup like any line
+      (3L, "solo"),                  // no newline at all
+      (4L, ""),                      // empty text stays empty
+      (5L, "A\na\nA"))               // raw identity: case matters
+      .toDF("doc_id", "text")
+    val got = rows.select($"doc_id",
+      TextAnalysis.dedupDocLines($"text").as("s")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) == "a\nb\nc\nd")
+    assert(got(2L) == "x\n\ny")
+    assert(got(3L) == "solo")
+    assert(got(4L) == "")
+    assert(got(5L) == "A\na")
+  }
+
   test("semanticDedupPairs: identical twins pair at 1.0 in their k-means cell; apply keeps the min id") {
     import spark.implicits._
     // identical vectors score identically against every centroid, so a
@@ -825,6 +844,24 @@ class OpsSpec extends AnyFunSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"self-join sides should reuse one signature exchange:\n$plan")
+  }
+
+  test("semanticDedupPairs: the cell self-join reuses ONE assignment exchange") {
+    import spark.implicits._
+    // same contract as the LSH form: the a/b sides share the
+    // assignment+window pipeline, so Catalyst must plan ONE exchange and
+    // reuse it — an asymmetric edit would double the corpus scan AND the
+    // per-row centroid argmin (the expensive step here)
+    val rows = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(123 + i)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val out = Similarity.semanticDedupPairs(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.8, nlist = 4, maxCell = 50)
+    out.collect() // AQE finalizes reuse decisions at runtime
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"cell self-join sides should reuse one assignment exchange:\n$plan")
   }
 
   test("IVF train/index/search split: parquet-persisted index reproduces ivfTopK") {

@@ -795,6 +795,27 @@ object SparkEntry {
             lit("no terminal punctuation here"))).as("scrubbed"))
         .orderBy(col("doc_id"))),
 
+    "x55_cluster_prune" -> ((s, dir) => {
+      // contract run with EXPLICIT one-hot centroids and verbatim one-hot
+      // members: every direction-d member scores cosine exactly 1.0
+      // against its own centroid and 0.0 against the rest, so the cell
+      // assignment is unambiguous, all within-cell scores tie, and the
+      // rank is exactly the id tie-break — SQL replays
+      // keep-rank ≤ ceil(0.5 × n) directly
+      val dirs = 4
+      val dim = 8
+      val vecs = rd(s, dir, "embeddings").select(col("vec_id"))
+        .withColumn("embedding",
+          transform(sequence(lit(0), lit(dim - 1)),
+            i => when(i === (col("vec_id") % dirs).cast("int"), lit(1.0f))
+              .otherwise(lit(0.0f))))
+      val cents = Array.tabulate(dirs)(d =>
+        Array.tabulate(dim)(j => if (j == d) 1f else 0f))
+      Similarity.clusterPrune(vecs, "vec_id", "embedding", cents,
+          keepFraction = 0.5)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     "x48_approx_percentiles" -> ((s, dir) =>
       // the 100 TB scale path for x34: a mergeable percentile_approx
       // sketch instead of buffering every group value. With accuracy
@@ -1752,6 +1773,15 @@ object SparkEntry {
 
     "x51_semantic_dedup_apply" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""",
+
+    "x55_cluster_prune" ->
+      """SELECT vec_id FROM (
+        |  SELECT vec_id,
+        |    row_number() OVER (PARTITION BY vec_id % 4 ORDER BY vec_id) AS r,
+        |    count(*) OVER (PARTITION BY vec_id % 4) AS n
+        |  FROM embeddings)
+        |WHERE r <= CAST(ceil(0.5 * n) AS BIGINT)
+        |ORDER BY vec_id""".stripMargin,
 
     // within-doc line dedup: keep a line iff its FIRST occurrence index is
     // its own index (list_position returns the first match, 1-based —

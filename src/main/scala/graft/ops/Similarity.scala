@@ -946,4 +946,58 @@ object Similarity {
     Dedup.dedupByPairs(df, idCol,
       semanticDedupPairs(df, idCol, vecCol, threshold, nlist, lloydPasses,
         maxCell))
+
+  /** Each row's nearest centroid and its cosine to it —
+    * (idCol, cell, score). The per-cluster density signal cluster-based
+    * pruning ranks on; centroids are plain data (from [[ivfTrain]] or
+    * anywhere else). Null-id / null-vector rows are excluded (nothing to
+    * score). One corpus scan against the broadcast centroids, no shuffle.
+    */
+  def centroidScores(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val bc = df.sparkSession.sparkContext.broadcast(centroids)
+    val score = udf { (cell: Int, v: Seq[Float]) =>
+      cosineArrF(v.toArray, bc.value(cell))
+    }
+    ivfIndex(df.where(col(idCol).isNotNull && col(vecCol).isNotNull),
+        idCol, vecCol, centroids)
+      .select(col(idCol), col("cell"),
+        score(col("cell"), col(vecCol)).as("score"))
+  }
+
+  /** Cluster-based data pruning (the SSL-prototypes / density family of
+    * published curation methods): rank every row within its cluster by
+    * cosine-to-centroid (descending, ties to the smaller id) and keep a
+    * `keepFraction` of each cluster — by default the TOP of the ranking
+    * (most central members; pruning drops far-from-centroid outliers and
+    * noise). With `dropPrototypes = true` the BOTTOM is kept instead —
+    * the most prototypical, redundant examples are dropped, the
+    * diversity-preserving variant. `ceil(keepFraction × n_cell)` rows
+    * survive per cluster, so no non-empty cluster is ever emptied.
+    *
+    * Scale shape: scoring is one corpus scan against broadcast centroids
+    * ([[centroidScores]]); the rank window shuffles only fixed-width
+    * (id, cell, score) rows partitioned by cell; and the payload moves
+    * through one anti-join on the DROPPED id set (the smaller side under
+    * the usual keepFraction > 0.5 — broadcastable under AQE whenever the
+    * drop list fits, an id-only shuffle join otherwise).
+    */
+  def clusterPrune(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], keepFraction: Double,
+      dropPrototypes: Boolean = false): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val byCell = Window.partitionBy("cell")
+    val ranked = centroidScores(df, idCol, vecCol, centroids)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("cell").orderBy(col("score").desc, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(byCell))
+    val nKeep = ceil(lit(keepFraction) * col("__n")).cast(LongType)
+    val dropped = ranked
+      .where(if (dropPrototypes) col("__r") <= (col("__n") - nKeep)
+             else col("__r") > nKeep)
+      .select(col(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

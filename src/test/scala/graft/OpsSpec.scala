@@ -774,6 +774,39 @@ class OpsSpec extends AnyFunSuite {
       "apply must drop every twin (higher id) and keep every original")
   }
 
+  test("clusterPrune: outlier mode keeps the central members, prototype mode the diverse tail, ceil math exact") {
+    import spark.implicits._
+    // two planted clusters with STRICTLY decreasing centrality (member i
+    // is e_axis + i*0.05*e_other, so cosine-to-centroid strictly falls
+    // with i) — rank order is fully determined without replaying the
+    // quantizer, and the two modes keep opposite ends
+    def member(axis: Int, other: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](8)
+      v(axis) = 1f; v(other) = i * 0.05f
+      v
+    }
+    val a = (0 until 10).map(i => (i.toLong, member(0, 1, i)))     // n=10
+    val b = (0 until 5).map(i => ((100 + i).toLong, member(2, 3, i))) // n=5
+    val df = (a ++ b).toDF("vec_id", "embedding")
+    val cents = Array(
+      Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    def ids(dropProto: Boolean) = Similarity.clusterPrune(
+      df, "vec_id", "embedding", cents, keepFraction = 0.6,
+      dropPrototypes = dropProto).select($"vec_id").as[Long].collect().toSet
+    // keep ceil(0.6*10)=6 and ceil(0.6*5)=3
+    assert(ids(false) == ((0L to 5L) ++ (100L to 102L)).toSet,
+      s"outlier mode keeps the most central: ${ids(false)}")
+    assert(ids(true) == ((4L to 9L) ++ (102L to 104L)).toSet,
+      s"prototype mode keeps the least central: ${ids(true)}")
+    // null-vector rows pass through unpruned (nothing to score)
+    val withNull = df.unionAll(Seq((999L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    val kept = Similarity.clusterPrune(withNull, "vec_id", "embedding",
+      cents, keepFraction = 0.6).select($"vec_id").as[Long].collect().toSet
+    assert(kept.contains(999L))
+  }
+
   test("semanticDedupPairsCounted: oversized cells drop and count once; survivors match cell ground truth") {
     import spark.implicits._
     val clone = Array.fill(8)(0.5f)

@@ -901,8 +901,20 @@ object Similarity {
   def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
       maxCell: Int = 10000)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) =
+    semanticDedupPairsCounted(df, idCol, vecCol,
+      ivfTrain(df, idCol, vecCol, nlist, lloydPasses), threshold, maxCell)
+
+  /** [[semanticDedupPairsCounted]] over PREBUILT centroids — the 100 TB
+    * form: train the quantizer once on a hash-sample of the corpus
+    * ([[graft.ops.Sampling.hashSample]] → [[ivfTrain]] — k-means
+    * centroids converge on a sample; the full corpus only pays the
+    * assignment scan), persist the centroids, and reuse them across
+    * daily runs so re-clustering never rides the dedup job.
+    */
+  def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double, maxCell: Int)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
-    val centroids = ivfTrain(df, idCol, vecCol, nlist, lloydPasses)
     val indexed = ivfIndex(df, idCol, vecCol, centroids)
     val w = Window.partitionBy("cell")
     val acc = df.sparkSession.sparkContext

@@ -795,6 +795,16 @@ object SparkEntry {
             lit("no terminal punctuation here"))).as("scrubbed"))
         .orderBy(col("doc_id"))),
 
+    "x56_temperature_mix" -> ((s, dir) =>
+      // temperature-flattened language rebalancing: per-lang rates are
+      // pure arithmetic over the lang counts (sorted fold, 9-dp
+      // rounding), the keep decision is the md5 uniform — both replay
+      // exactly in SQL
+      Sampling.temperatureMix(
+        rd(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5, targetFraction = 0.5)
+        .orderBy(col("doc_id"))),
+
     "x55_cluster_prune" -> ((s, dir) => {
       // contract run with EXPLICIT one-hot centroids and verbatim one-hot
       // members: every direction-d member scores cosine exactly 1.0
@@ -1773,6 +1783,20 @@ object SparkEntry {
 
     "x51_semantic_dedup_apply" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""",
+
+    "x56_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(c) AS DOUBLE) AS total,
+        |             sum(pow(CAST(c AS DOUBLE), 0.5)) AS powsum FROM c),
+        |r AS (SELECT lang,
+        |        round(least(1.0,
+        |          0.5 * total * (pow(CAST(c AS DOUBLE), 0.5) / powsum)
+        |            / CAST(c AS DOUBLE)), 9) AS rate
+        |      FROM c, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT::DOUBLE
+        |      / 1152921504606846976 < rate
+        |ORDER BY doc_id""".stripMargin,
 
     "x55_cluster_prune" ->
       """SELECT vec_id FROM (

@@ -51,6 +51,51 @@ object Sampling {
     df.where(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Temperature-flattened corpus mixing — the multilingual rebalancing
+    * standard (the mC4/XLM-R sampling rule, re-expressed from the
+    * published formula): group g's share of the output follows
+    * c_g^alpha renormalized, flattening the head and boosting the tail
+    * as alpha → 0; alpha = 1 is proportional sampling (a plain
+    * [[hashSample]] at `targetFraction`). `targetFraction` sets the
+    * output size relative to the input; a group whose boosted demand
+    * exceeds its supply caps at rate 1.0 — this operator only DROPS
+    * rows (repeat-epoch upsampling is a training-loop concern, not a
+    * corpus transform). Rows whose group is null drop (no demand).
+    *
+    * Determinism across runs AND engines: the per-group rates come off
+    * the tiny groupBy-count frame on the driver with a SORTED fold
+    * order, then round to 9 decimals — a 1-ulp `pow`/division
+    * difference between engines cannot move a 9-dp-rounded rate except
+    * on a measure-zero grid boundary — and the keep decision is
+    * [[hashUniform]] < rate, a pure function of the row. Scale shape:
+    * one count aggregation (bytes: one row per group), then one
+    * codegen'd scan; the payload never shuffles.
+    */
+  def temperatureMix(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, targetFraction: Double,
+      salt: String = "graft"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast(StringType).as("g"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    if (counts.isEmpty) return df.where(lit(false))
+    val total = counts.map(_._2).sum.toDouble
+    val powSum = counts.foldLeft(0.0) { case (a, (_, c)) =>
+      a + math.pow(c.toDouble, alpha)
+    }
+    val rates = counts.map { case (g, c) =>
+      val share = math.pow(c.toDouble, alpha) / powSum
+      val r = math.min(1.0, targetFraction * total * share / c)
+      g -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    stratifiedMix(df.where(col(groupCol).isNotNull), groupCol, idCol,
+      rates, defaultRate = 0.0, salt)
+  }
+
   /** Per-domain document cap (the C4/RefinedWeb "max pages per domain"
     * rule): keep at most `maxPerDomain` rows per domain, chosen by
     * deterministic hash order so the kept subset is a fair random-like

@@ -118,6 +118,43 @@ class FiltersSpec extends AnyFunSuite {
     assert(bloom.size == 200)
   }
 
+  test("temperature mix: alpha=1 is identity at target 1; alpha<1 boosts the tail; formula replays exactly") {
+    val df = (0 until 1000).map { i =>
+      val g = if (i < 900) "big" else if (i < 990) "mid" else "small"
+      (i.toLong, g)
+    }.toDF("id", "g")
+    // alpha = 1, target = 1: every rate is exactly 1.0 — identity
+    assert(Sampling.temperatureMix(df, "g", "id",
+      alpha = 1.0, targetFraction = 1.0).count() == 1000)
+    // alpha = 0.5: replicate the documented rate formula (sorted fold,
+    // 9-dp rounding) and check the kept set IS hashUniform < rate
+    val counts = Seq("big" -> 900L, "mid" -> 90L, "small" -> 10L)
+    val powSum = counts.map(c => math.pow(c._2.toDouble, 0.5)).sum
+    val rates = counts.map { case (g, c) =>
+      val r = math.min(1.0, 0.5 * 1000.0 * (math.pow(c.toDouble, 0.5) / powSum) / c)
+      g -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val expected = df.where(
+      rates.map { case (g, r) =>
+        col("g") === g && Sampling.hashUniform(col("id"), "graft") < r
+      }.reduce(_ || _)).select("id").as[Long].collect().toSet
+    val got = Sampling.temperatureMix(df, "g", "id",
+      alpha = 0.5, targetFraction = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected, s"got ${got.size} expected ${expected.size}")
+    // the tail keeps a LARGER fraction than the head (the point of
+    // temperature flattening) and the small group caps at rate 1.0
+    val keptBy = df.join(got.toSeq.toDF("id"), Seq("id"))
+      .groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(keptBy("small") == 10L, s"capped group keeps everything: $keptBy")
+    assert(keptBy("mid").toDouble / 90 > keptBy("big").toDouble / 900,
+      s"tail fraction must exceed head fraction: $keptBy")
+    // layout-independent: same kept set after a repartition
+    val again = Sampling.temperatureMix(df.repartition(13), "g", "id",
+      alpha = 0.5, targetFraction = 0.5).select("id").as[Long].collect().toSet
+    assert(again == got)
+  }
+
   test("scrubLines: terminal punctuation, word minimum, and ban list each drop their line") {
     val text = Seq(
       "This is a fine sentence.",          // keeps

@@ -223,4 +223,64 @@ class TextOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- line ops ----------------------------------------------------------
+
+  /** Lines drawn from a small pool per document so repeats are common;
+    * punctuation endings, ban words, and leading/trailing spaces appear
+    * randomly so every scrub rule fires somewhere in the corpus.
+    */
+  private val lineGen: Gen[String] = for {
+    n    <- Gen.choose(0, 6)
+    ws   <- Gen.listOfN(n, Gen.oneOf(
+              "alpha", "beta", "Gamma", "the", "lorem", "ipsum",
+              "JavaScript", "x1"))
+    endP <- Gen.oneOf("", ".", "!", "?", "\"", ".")
+    lead <- Gen.oneOf("", " ", "  ")
+    tail <- Gen.oneOf("", " ")
+  } yield lead + ws.mkString(" ") + endP + tail
+
+  private val docFromPool: Gen[String] = for {
+    pool <- Gen.listOfN(6, lineGen)
+    n    <- Gen.choose(0, 15)
+    idx  <- Gen.listOfN(n, Gen.choose(0, 5))
+  } yield idx.map(pool).mkString("\n")
+
+  test("fuzz: dedupDocLines equals the naive keep-first reference") {
+    import spark.implicits._
+    forAllSeeded(Gen.listOfN(15, docFromPool), 12) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select($"doc_id", TextAnalysis.dedupDocLines($"text").as("s"))
+        .as[(Long, String)].collect().toMap
+      docs.zipWithIndex.foreach { case (text, i) =>
+        // Spark split keeps trailing empties (limit -1) — mirror it
+        val want = text.split("\n", -1).toSeq.distinct.mkString("\n")
+        assert(got(i.toLong) == want, s"doc $i: ${text.take(80)}")
+      }
+    }
+  }
+
+  test("fuzz: scrubLines equals the naive three-rule reference") {
+    import spark.implicits._
+    val minW = 3
+    val banned = Seq("lorem ipsum", "javascript")
+    forAllSeeded(Gen.listOfN(15, docFromPool), 12) { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select($"doc_id",
+          graft.ops.TextFilters.scrubLines($"text").as("s"))
+        .as[(Long, String)].collect().toMap
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val want = text.split("\n", -1).toSeq.filter { l =>
+          val t = spaceTrim(l)
+          val words = if (t.isEmpty) 0
+            else t.split(TextAnalysis.TokenWsJava, -1).count(_.nonEmpty)
+          t.nonEmpty && """[.!?"]$""".r.findFirstIn(t).isDefined &&
+            words >= minW && !banned.exists(t.toLowerCase.contains)
+        }.mkString("\n")
+        assert(got(i.toLong) == want, s"doc $i: ${text.take(80)}")
+      }
+    }
+  }
 }

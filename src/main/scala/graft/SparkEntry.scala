@@ -795,6 +795,20 @@ object SparkEntry {
             lit("no terminal punctuation here"))).as("scrubbed"))
         .orderBy(col("doc_id"))),
 
+    "x57_media_dedup" -> ((s, dir) => {
+      // exact binary dedup over the synthetic media payloads (utf-8 text
+      // bytes): planted verbatim copies must drop, natural duplicate
+      // payloads keep their min id — DuckDB replays the same md5-over-
+      // bytes partition
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val media = d.select(col("doc_id").as("media_id"),
+        col("text").cast(BinaryType).as("payload"))
+      val copies = media.select((col("media_id") + PlantedOffset).as("media_id"),
+        col("payload"))
+      Multimodal.dedupExactMedia(media.unionAll(copies), "payload", "media_id")
+        .select(col("media_id")).orderBy(col("media_id"))
+    }),
+
     "x56_temperature_mix" -> ((s, dir) =>
       // temperature-flattened language rebalancing: per-lang rates are
       // pure arithmetic over the lang counts (sorted fold, 9-dp
@@ -1783,6 +1797,15 @@ object SparkEntry {
 
     "x51_semantic_dedup_apply" ->
       """SELECT vec_id FROM embeddings ORDER BY vec_id""",
+
+    "x57_media_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, md5(text) AS k FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000, md5(text) FROM documents)
+        |SELECT media_id FROM (
+        |  SELECT media_id, min(media_id) OVER (PARTITION BY k) AS keep FROM m)
+        |WHERE media_id = keep ORDER BY media_id""".stripMargin,
 
     "x56_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),

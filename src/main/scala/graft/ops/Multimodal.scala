@@ -115,6 +115,27 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 
+  /** Exact media dedup: keep the minimum-id row per distinct payload —
+    * [[graft.ops.Dedup.exactDedup]]'s shape for opaque binary columns.
+    * The fingerprint is a raw md5 over the payload BYTES (no text
+    * normalization — media bytes are exact or different), so the shuffle
+    * moves 16-byte keys + ids, never the media; the dropped-id set is
+    * the duplicate fraction only, so the anti-join broadcasts and the
+    * payload stays where it was scanned. Null payloads group together
+    * under a zero-length sentinel (a real md5 is always 16 bytes — no
+    * collision), matching groupBy/SQL semantics.
+    */
+  def dedupExactMedia(df: DataFrame, payloadCol: String,
+      idCol: String): DataFrame = {
+    val key = coalesce(unhex(md5(col(payloadCol))), lit(Array.emptyByteArray))
+    val keyed = df.select(key.as("__k"), col(idCol))
+    val keep = keyed.groupBy("__k").agg(min(col(idCol)).as("__keep"))
+    val dropped = keyed.join(keep, Seq("__k"))
+      .where(col(idCol) =!= col("__keep"))
+      .select(idCol)
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Build a synthetic multimodal Dataset from the documents table (the
     * test environment has no real media files): payload = utf-8 bytes of
     * the text, kind round-robins image/audio/video. Deterministic.

@@ -774,6 +774,21 @@ class OpsSpec extends AnyFunSuite {
       "apply must drop every twin (higher id) and keep every original")
   }
 
+  test("dedupExactMedia: raw-byte identity, min-id keep, nulls group once, empty is not null") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Byte])] = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, Array[Byte](1, 2, 3)),     // dup of 1 → drops
+      (3L, Array[Byte](1, 2)),        // distinct → keeps
+      (4L, null),                      // null payloads group together
+      (5L, null),                      //   → only min id 4 survives
+      (6L, Array.emptyByteArray),      // EMPTY is a real md5, not the null sentinel
+      (7L, Array[Byte](1, 2, 3)))     // dup of 1 → drops
+    val got = Multimodal.dedupExactMedia(rows.toDF("media_id", "payload"),
+      "payload", "media_id").select($"media_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 6L), got)
+  }
+
   test("clusterPrune: outlier mode keeps the central members, prototype mode the diverse tail, ceil math exact") {
     import spark.implicits._
     // two planted clusters with STRICTLY decreasing centrality (member i

@@ -1003,6 +1003,41 @@ object SparkEntry {
         .orderBy(col("fingerprint"))
     }),
 
+    "x58_streaming_neardup" -> ((s, dir) => {
+      // streaming near-dup over TWO real micro-batches: batch 1 is the
+      // corpus (nothing to collide with — all survive, within-batch dups
+      // uncollapsed by contract); batch 2 is a verbatim copy of every doc
+      // (jaccard 1.0 ⇒ identical signatures ⇒ certain candidate ⇒ drops)
+      // plus token-disjoint fresh docs (exact verify kills any freak band
+      // collision ⇒ survive). The accumulated parquet corpus is the
+      // checked output: documents ∪ fresh.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingFlatten
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(StreamDocCap)
+        .as[(Long, String)].collect()
+      val work = java.nio.file.Files.createTempDirectory("x58").toString
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingFlatten.streamingNearDup(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$work/corpus", s"$work/ckpt",
+        threshold = 0.9, numHashes = 32, bands = 8)
+      try {
+        in.addData(docs.toSeq)
+        q.processAllAvailable()
+        in.addData(docs.toSeq.flatMap { case (id, t) =>
+          Seq((id + PlantedOffset, t),
+            (id + 2 * PlantedOffset,
+              s"zzqx$id vvwk$id ppmj$id"))
+        })
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$work/corpus")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x14_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingFlatten
@@ -1348,6 +1383,17 @@ object SparkEntry {
       s"""SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fingerprint
         |FROM (SELECT text FROM documents ORDER BY doc_id LIMIT $StreamDocCap)
         |ORDER BY fingerprint""".stripMargin,
+
+    // streaming near-dup: the accumulated corpus after both batches is
+    // batch 1 (all documents) plus batch 2's token-disjoint fresh docs
+    // (id + 2×offset); every verbatim copy (id + offset) dropped
+    "x58_streaming_neardup" ->
+      s"""SELECT doc_id FROM (
+        |  SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $StreamDocCap)
+        |  UNION ALL
+        |  SELECT doc_id + 200000000
+        |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $StreamDocCap))
+        |ORDER BY doc_id""".stripMargin,
 
     "x2_token_stats" ->
       s"""SELECT doc_id,

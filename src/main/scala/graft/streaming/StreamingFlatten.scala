@@ -67,6 +67,57 @@ object StreamingFlatten {
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")
 
+  /** Streaming NEAR-duplicate suppression: each micro-batch drops
+    * documents that are near-dups (banded MinHash candidates + exact
+    * Jaccard verify — [[graft.ops.Dedup.nearDupIncrement]], the same
+    * plan as the batch path, so backfill and stream agree) of the
+    * ACCUMULATED corpus, and the batch's survivors join that corpus for
+    * every later batch. `dropDuplicatesWithinWatermark` cannot express
+    * this — its state keys are exact, near-dup needs a candidate join
+    * plus verification — so this is the `foreachBatch` composition the
+    * Structured Streaming guide prescribes for batch-operator reuse.
+    *
+    * The corpus lives as parquet under `corpusDir`, one
+    * `batch=<id>` partition per micro-batch: a replayed batch after a
+    * failure OVERWRITES its own partition (idempotent, restart-safe
+    * with the checkpoint), and the accumulated corpus is just
+    * `spark.read.parquet(corpusDir)` — queryable mid-stream. At 100 TB
+    * the existing-side scan is fingerprint-width (nearDupIncrement
+    * ships band keys and candidate shingles, never corpus text —
+    * ShuffleEvidenceSpec), and the corpus can be maintained as the
+    * standing BUCKETED fingerprint table instead for exchange-free
+    * batches. Within-batch near-dups are NOT collapsed (the
+    * nearDupIncrement contract; compose [[graft.ops.Dedup.minhashDedupPairs]]
+    * on the batch first if needed).
+    */
+  def streamingNearDup(docs: DataFrame, textCol: String, idCol: String,
+      corpusDir: String, checkpointDir: String, threshold: Double = 0.7,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      maxBucket: Int = 10000): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(corpusDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+          fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+            .exists(_.getPath.getName.startsWith("batch="))
+        val fresh =
+          if (!hasCorpus) batch
+          else {
+            val existing = spark.read.parquet(corpusDir)
+              // never dedup a replayed batch against its own partial write
+              .where(col("batch") =!= batchId)
+              .select(col(idCol), col(textCol))
+            graft.ops.Dedup.nearDupIncrement(existing, batch, textCol, idCol,
+              threshold, numHashes, bands, shingleSize, maxBucket)
+          }
+        fresh.select(col(idCol), col(textCol))
+          .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+      }
+      .start()
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape over an events stream.
     */

@@ -88,6 +88,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup: later batches drop near-copies of the accumulated corpus, fresh docs survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("snd").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs home"
+    val other = "completely different material about spark streaming state stores"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingFlatten.streamingNearDup(
+      in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+      s"$work/corpus", s"$work/ckpt",
+      threshold = 0.8, numHashes = 32, bands = 16)
+    try {
+      in.addData((1L, base), (2L, other))
+      q.processAllAvailable()
+      in.addData(
+        (11L, base),                         // verbatim → drops
+        // 12 tokens + 2-token tail: shingle Jaccard 10/12 ≈ 0.83 ≥ 0.8,
+        // and 16×2-row bands make the candidate certain in practice
+        (12L, base + " appended tail"),
+        (13L, "zzq1 wwk1 ppj1 totally disjoint"))     // fresh → survives
+      q.processAllAvailable()
+      val ids = spark.read.parquet(s"$work/corpus")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 13L), ids)
+      // the corpus stays readable mid-stream with its batch partition
+      val batches = spark.read.parquet(s"$work/corpus")
+        .select("batch").distinct().as[Int].collect().toSet
+      assert(batches == Set(0, 1), batches)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermarked state join over MemoryStream sides") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

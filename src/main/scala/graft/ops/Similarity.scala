@@ -926,17 +926,84 @@ object Similarity {
     val base = indexed
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
       .withColumn("__n", count(lit(1)).over(w))
-    val a = base
-      .where(keepMark(col("__n").between(2, maxCell), col("__n") > maxCell))
-      .drop("__n").alias("a")
-    val b = base
-      .where(col("__n").between(2, maxCell))
-      .drop("__n").alias("b")
-    val pairs = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineFast(ArrayType(FloatType))(col("a.v"), col("b.v")).as("score"))
-      .where(col("score") >= threshold)
-    (pairs, acc)
+    val idT = df.schema(idCol).dataType
+    val integralId = idT match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId) {
+      // CELL-BATCHED scoring — the bruteForceTopK/ivfSearchIndexed
+      // lesson applied to the self-join: the joined form paid per-PAIR
+      // join-row machinery plus a per-pair UDF dispatch on every
+      // candidate (~5 µs/pair against ~60 ns of float arithmetic;
+      // measured 28.5 s → see SCALE.md for the 600k point). Here each
+      // surviving cell aggregates its (id, vector) members — bounded by
+      // maxCell BEFORE the aggregation, so the group buffer is capped —
+      // and ONE kernel call emits the cell's whole thresholded pair
+      // set. The two collect_lists consume the same aggregation pass,
+      // so ids and vectors stay aligned; members are scored smaller-id
+      // first with [[cosineArrF]], the exact FP order of the joined
+      // form's `cosineFast(a.v, b.v)` — scores are bit-identical and
+      // the oracle hashes cannot drift. No join, ONE exchange: the
+      // groupBy reuses the window's hash partitioning on `cell`.
+      val th = threshold
+      val scoreCell = udf { (ids: Seq[Long], vs: Seq[Seq[Float]]) =>
+        val n = ids.length
+        val idArr = ids.toArray
+        val vecs = new Array[Array[Float]](n)
+        locally {
+          val it = vs.iterator; var i = 0
+          while (it.hasNext) {
+            val v = it.next()
+            vecs(i) = if (v == null) null else v.toArray
+            i += 1
+          }
+        }
+        val ord = Array.range(0, n).sortBy(idArr)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+        var a = 0
+        while (a < n) {
+          val ia = ord(a); val va = vecs(ia)
+          var b = a + 1
+          while (b < n) {
+            val ib = ord(b); val vb = vecs(ib)
+            if (va != null && vb != null && va.length == vb.length) {
+              val s = cosineArrF(va, vb)
+              if (s >= th) out += ((idArr(ia), idArr(ib), s))
+            }
+            b += 1
+          }
+          a += 1
+        }
+        out.toSeq
+      }
+      val pairs = base
+        .where(keepMark(col("__n").between(2, maxCell), col("__n") > maxCell))
+        // AFTER the window count (cell sizes include every row, like the
+        // joined form) but BEFORE the aggregation: collect_list skips
+        // nulls independently per column, which would misalign the two
+        // lists — and a null id/vector can never pair anyway
+        .where(col("id").isNotNull && col("v").isNotNull)
+        .groupBy(col("cell"))
+        .agg(collect_list(col("id").cast(LongType)).as("ids"),
+          collect_list(col("v").cast(ArrayType(FloatType))).as("vs"))
+        .select(explode(scoreCell(col("ids"), col("vs"))).as("t"))
+        .select(col("t._1").cast(idT).as("id_a"),
+          col("t._2").cast(idT).as("id_b"), col("t._3").as("score"))
+      (pairs, acc)
+    } else {
+      val a = base
+        .where(keepMark(col("__n").between(2, maxCell), col("__n") > maxCell))
+        .drop("__n").alias("a")
+      val b = base
+        .where(col("__n").between(2, maxCell))
+        .drop("__n").alias("b")
+      val pairs = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosineFast(ArrayType(FloatType))(col("a.v"), col("b.v")).as("score"))
+        .where(col("score") >= threshold)
+      (pairs, acc)
+    }
   }
 
   /** [[semanticDedupPairsCounted]] without the accumulator handle. */

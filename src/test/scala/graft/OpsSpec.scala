@@ -894,22 +894,45 @@ class OpsSpec extends AnyFunSuite {
       s"self-join sides should reuse one signature exchange:\n$plan")
   }
 
-  test("semanticDedupPairs: the cell self-join reuses ONE assignment exchange") {
+  test("semanticDedupPairs: integral ids take the joinless cell-batched path; string ids agree and reuse ONE exchange") {
     import spark.implicits._
-    // same contract as the LSH form: the a/b sides share the
-    // assignment+window pipeline, so Catalyst must plan ONE exchange and
-    // reuse it — an asymmetric edit would double the corpus scan AND the
-    // per-row centroid argmin (the expensive step here)
     val rows = (0 until 60).map { i =>
       val rnd = new scala.util.Random(123 + i)
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
     }
-    val out = Similarity.semanticDedupPairs(rows.toDF("vec_id", "embedding"),
-      "vec_id", "embedding", threshold = 0.8, nlist = 4, maxCell = 50)
-    out.collect() // AQE finalizes reuse decisions at runtime
+    // SHARED centroids (the prebuilt overload): seeds hash the id
+    // column, so the long- and string-id corpora would otherwise train
+    // different quantizers and the path comparison below would be
+    // meaningless
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(df, "vec_id", "embedding",
+      nlist = 4, lloydPasses = 1)
+    // integral ids: one kernel call per cell — the executed plan must
+    // contain NO join at all (the joined form paid per-pair row
+    // machinery on every candidate)
+    val out = Similarity.semanticDedupPairsCounted(df,
+      "vec_id", "embedding", cents, threshold = 0.8, maxCell = 50)._1
+    out.collect() // AQE finalizes the plan at runtime
+    val got = out.select(col("id_a"), col("id_b"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"cell self-join sides should reuse one assignment exchange:\n$plan")
+    assert(!plan.contains("Join"), s"batched path must not join:\n$plan")
+    // string ids: the fallback self-join — the a/b sides share the
+    // assignment+window pipeline, so Catalyst must plan ONE exchange and
+    // reuse it; and the two paths must emit the SAME pairs with
+    // bit-identical scores (zero-padded ids keep the < order numeric)
+    val sdf = rows.map { case (i, v) => (f"d$i%03d", v) }
+      .toDF("vec_id", "embedding")
+    val out2 = Similarity.semanticDedupPairsCounted(sdf, "vec_id", "embedding",
+      cents, threshold = 0.8, maxCell = 50)._1
+    out2.collect() // AQE finalizes reuse decisions at runtime
+    val got2 = out2.select(col("id_a"), col("id_b"), col("score"))
+      .as[(String, String, Double)].collect().toSet
+    val plan2 = out2.queryExecution.executedPlan.toString
+    assert(plan2.contains("ReusedExchange") || plan2.contains("ReusedQueryStage"),
+      s"fallback self-join sides should reuse one assignment exchange:\n$plan2")
+    assert(got2 == got.map { case (a, b, s) => (f"d$a%03d", f"d$b%03d", s) },
+      s"paths disagree: batched=$got joined=$got2")
   }
 
   test("IVF train/index/search split: parquet-persisted index reproduces ivfTopK") {

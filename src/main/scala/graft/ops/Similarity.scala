@@ -842,32 +842,10 @@ object Similarity {
       threshold: Double = 0.95, nBits: Int = 12, maxBucket: Int = 10000)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val sig = hyperplaneFast(df.schema(vecCol).dataType, nBits)(col(vecCol))
-    val w = Window.partitionBy("bucket")
-    // no-silent-caps accounting (the nearDupIncrement pattern): the
-    // marker is nondeterministic so the filter is neither folded away
-    // nor double-evaluated by collapsed projections — and it is attached
-    // to ONE side only, so each dropped row is counted once per action
-    // even though the self-join evaluates the window+filter twice (only
-    // the signature exchange below the window is reused across sides)
-    val acc = df.sparkSession.sparkContext
-      .longAccumulator("cosine_dedup_dropped_bucket_rows")
-    val keepMark = udf { (keep: Boolean, oversized: Boolean) =>
-      if (oversized) acc.add(1L)
-      keep
-    }.asNondeterministic()
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
-      .withColumn("__n", count(lit(1)).over(w))
-    val a = base
-      .where(keepMark(col("__n").between(2, maxBucket), col("__n") > maxBucket))
-      .drop("__n").alias("a")
-    val b = base
-      .where(col("__n").between(2, maxBucket))
-      .drop("__n").alias("b")
-    val pairs = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosineFast(df.schema(vecCol).dataType)(col("a.v"), col("b.v")).as("score"))
-      .where(col("score") >= threshold)
-    (pairs, acc)
+    cappedBucketPairs(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket")),
+      df.schema(idCol).dataType, df.schema(vecCol).dataType, threshold,
+      maxBucket, "cosine_dedup_dropped_bucket_rows")
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
@@ -914,40 +892,62 @@ object Similarity {
     */
   def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], threshold: Double, maxCell: Int)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) =
+    cappedBucketPairs(
+      ivfIndex(df, idCol, vecCol, centroids)
+        .select(col(idCol).as("id"), col(vecCol).as("v"),
+          col("cell").as("bucket")),
+      df.schema(idCol).dataType, ArrayType(FloatType), threshold, maxCell,
+      "semantic_dedup_dropped_cell_rows")
+
+  /** The ONE capped same-bucket pair scorer behind the embedding
+    * near-dup family — [[cosineDedupPairsCounted]] (LSH-signature
+    * buckets) and [[semanticDedupPairsCounted]] (k-means cells) differ
+    * only in how `bucket` was produced. `base0` is (id, v, bucket);
+    * bucket sizes come from one window count, rows in buckets outside
+    * 2..maxBucket drop BEFORE any pairing (each oversized-bucket row
+    * bumps `accName` exactly once per action — the one-side-marker
+    * pattern), and scoring dispatches:
+    *
+    *   - integral id + float vectors (the embedding norm): BUCKET-
+    *     BATCHED — the bruteForceTopK/ivfSearchIndexed lesson applied
+    *     to the self-join. The joined form paid per-PAIR join-row
+    *     machinery plus a UDF dispatch on every candidate (~5 µs/pair
+    *     against ~60 ns of float arithmetic; 28.5 s → 6.6 s measured at
+    *     600k×2048 cells, SCALE.md). Each surviving bucket aggregates
+    *     its members — bounded by maxBucket BEFORE the aggregation, so
+    *     the group buffer is capped — and ONE kernel call emits the
+    *     bucket's whole thresholded pair set. The two collect_lists
+    *     consume the same aggregation pass, so ids and vectors stay
+    *     aligned; members score smaller-id first through
+    *     [[cosineArrF]], the exact FP order of the joined form's
+    *     `cosineFast(a.v, b.v)` — scores are bit-identical (path-parity
+    *     spec) and the oracle hashes cannot drift. No join, ONE
+    *     exchange: the groupBy reuses the window's partitioning.
+    *   - anything else: the capped self-join, whose two sides share the
+    *     bucket pipeline through one reused exchange.
+    */
+  private def cappedBucketPairs(base0: DataFrame, idT: DataType,
+      vecT: DataType, threshold: Double, maxBucket: Int, accName: String)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
-    val indexed = ivfIndex(df, idCol, vecCol, centroids)
-    val w = Window.partitionBy("cell")
-    val acc = df.sparkSession.sparkContext
-      .longAccumulator("semantic_dedup_dropped_cell_rows")
+    val acc = base0.sparkSession.sparkContext.longAccumulator(accName)
     val keepMark = udf { (keep: Boolean, oversized: Boolean) =>
       if (oversized) acc.add(1L)
       keep
     }.asNondeterministic()
-    val base = indexed
-      .select(col(idCol).as("id"), col(vecCol).as("v"), col("cell"))
-      .withColumn("__n", count(lit(1)).over(w))
-    val idT = df.schema(idCol).dataType
+    val base = base0
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
     val integralId = idT match {
       case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
-    if (integralId) {
-      // CELL-BATCHED scoring — the bruteForceTopK/ivfSearchIndexed
-      // lesson applied to the self-join: the joined form paid per-PAIR
-      // join-row machinery plus a per-pair UDF dispatch on every
-      // candidate (~5 µs/pair against ~60 ns of float arithmetic;
-      // measured 28.5 s → see SCALE.md for the 600k point). Here each
-      // surviving cell aggregates its (id, vector) members — bounded by
-      // maxCell BEFORE the aggregation, so the group buffer is capped —
-      // and ONE kernel call emits the cell's whole thresholded pair
-      // set. The two collect_lists consume the same aggregation pass,
-      // so ids and vectors stay aligned; members are scored smaller-id
-      // first with [[cosineArrF]], the exact FP order of the joined
-      // form's `cosineFast(a.v, b.v)` — scores are bit-identical and
-      // the oracle hashes cannot drift. No join, ONE exchange: the
-      // groupBy reuses the window's hash partitioning on `cell`.
+    val floatVec = vecT match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (integralId && floatVec) {
       val th = threshold
-      val scoreCell = udf { (ids: Seq[Long], vs: Seq[Seq[Float]]) =>
+      val scoreBucket = udf { (ids: Seq[Long], vs: Seq[Seq[Float]]) =>
         val n = ids.length
         val idArr = ids.toArray
         val vecs = new Array[Array[Float]](n)
@@ -978,29 +978,29 @@ object Similarity {
         out.toSeq
       }
       val pairs = base
-        .where(keepMark(col("__n").between(2, maxCell), col("__n") > maxCell))
-        // AFTER the window count (cell sizes include every row, like the
-        // joined form) but BEFORE the aggregation: collect_list skips
-        // nulls independently per column, which would misalign the two
-        // lists — and a null id/vector can never pair anyway
+        .where(keepMark(col("__n").between(2, maxBucket), col("__n") > maxBucket))
+        // AFTER the window count (bucket sizes include every row, like
+        // the joined form) but BEFORE the aggregation: collect_list
+        // skips nulls independently per column, which would misalign
+        // the two lists — and a null id/vector can never pair anyway
         .where(col("id").isNotNull && col("v").isNotNull)
-        .groupBy(col("cell"))
+        .groupBy(col("bucket"))
         .agg(collect_list(col("id").cast(LongType)).as("ids"),
           collect_list(col("v").cast(ArrayType(FloatType))).as("vs"))
-        .select(explode(scoreCell(col("ids"), col("vs"))).as("t"))
+        .select(explode(scoreBucket(col("ids"), col("vs"))).as("t"))
         .select(col("t._1").cast(idT).as("id_a"),
           col("t._2").cast(idT).as("id_b"), col("t._3").as("score"))
       (pairs, acc)
     } else {
       val a = base
-        .where(keepMark(col("__n").between(2, maxCell), col("__n") > maxCell))
+        .where(keepMark(col("__n").between(2, maxBucket), col("__n") > maxBucket))
         .drop("__n").alias("a")
       val b = base
-        .where(col("__n").between(2, maxCell))
+        .where(col("__n").between(2, maxBucket))
         .drop("__n").alias("b")
-      val pairs = a.join(b, col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      val pairs = a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-          cosineFast(ArrayType(FloatType))(col("a.v"), col("b.v")).as("score"))
+          cosineFast(vecT)(col("a.v"), col("b.v")).as("score"))
         .where(col("score") >= threshold)
       (pairs, acc)
     }

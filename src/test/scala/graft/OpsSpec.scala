@@ -877,21 +877,36 @@ class OpsSpec extends AnyFunSuite {
     assert(ok.count() == 9)
   }
 
-  test("cosineDedupPairs: the self-join reuses ONE signature exchange (no double scan)") {
+  test("cosineDedupPairs: integral-id float corpora take the joinless bucket-batched path; string ids agree and reuse ONE exchange") {
     import spark.implicits._
-    // the a/b sides of the bucket self-join are the same signature+window
-    // pipeline; Catalyst must plan ONE exchange and reuse it — a future
-    // asymmetric edit would silently double the corpus scan otherwise
     val rows = (0 until 60).map { i =>
       val rnd = new scala.util.Random(123 + i)
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
     }
     val out = Similarity.cosineDedupPairs(rows.toDF("vec_id", "embedding"),
       "vec_id", "embedding", threshold = 0.8, nBits = 4, maxBucket = 50)
-    out.collect() // AQE finalizes reuse decisions at runtime
-    val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"self-join sides should reuse one signature exchange:\n$plan")
+    out.collect() // AQE finalizes the plan at runtime
+    val got = out.select(col("id_a"), col("id_b"), col("score"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "batched path must not join")
+    // string ids: the fallback self-join — its a/b sides share the
+    // signature+window pipeline through ONE reused exchange, and (the
+    // LSH signature hashes only the VECTOR, unlike the k-means seeds)
+    // the pair set must equal the batched path's with bit-identical
+    // scores under the zero-padded id mapping
+    val sdf = rows.map { case (i, v) => (f"d$i%03d", v) }
+      .toDF("vec_id", "embedding")
+    val out2 = Similarity.cosineDedupPairs(sdf, "vec_id", "embedding",
+      threshold = 0.8, nBits = 4, maxBucket = 50)
+    out2.collect()
+    val plan2 = out2.queryExecution.executedPlan.toString
+    assert(plan2.contains("ReusedExchange") || plan2.contains("ReusedQueryStage"),
+      s"self-join sides should reuse one signature exchange:\n$plan2")
+    val got2 = out2.select(col("id_a"), col("id_b"), col("score"))
+      .as[(String, String, Double)].collect().toSet
+    assert(got2 == got.map { case (a, b, s) => (f"d$a%03d", f"d$b%03d", s) },
+      s"paths disagree: batched=$got joined=$got2")
   }
 
   test("semanticDedupPairs: integral ids take the joinless cell-batched path; string ids agree and reuse ONE exchange") {

@@ -97,26 +97,43 @@ object StreamingFlatten {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(corpusDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasCorpus = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
-          fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
-            .exists(_.getPath.getName.startsWith("batch="))
-        val fresh =
-          if (!hasCorpus) batch
-          else {
-            val existing = spark.read.parquet(corpusDir)
-              // never dedup a replayed batch against its own partial write
-              .where(col("batch") =!= batchId)
-              .select(col(idCol), col(textCol))
-            graft.ops.Dedup.nearDupIncrement(existing, batch, textCol, idCol,
-              threshold, numHashes, bands, shingleSize, maxBucket)
-          }
-        fresh.select(col(idCol), col(textCol))
-          .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+        nearDupBatch(batch, batchId, textCol, idCol, corpusDir,
+          threshold, numHashes, bands, shingleSize, maxBucket)
       }
       .start()
+
+  /** One [[streamingNearDup]] micro-batch — package-visible so the
+    * replay-idempotence contract is testable without driving a failure
+    * through the streaming engine: re-running a batch id OVERWRITES its
+    * own partition and dedups only against the OTHER partitions, so a
+    * post-failure replay can neither duplicate corpus rows nor drop a
+    * batch against its own partial write.
+    */
+  private[graft] def nearDupBatch(batch: DataFrame, batchId: Long,
+      textCol: String, idCol: String, corpusDir: String, threshold: Double,
+      numHashes: Int, bands: Int, shingleSize: Int, maxBucket: Int): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasOther = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+        .exists { st =>
+          st.getPath.getName.startsWith("batch=") &&
+            st.getPath.getName != s"batch=$batchId"
+        }
+    val fresh =
+      if (!hasOther) batch
+      else {
+        val existing = spark.read.parquet(corpusDir)
+          // never dedup a replayed batch against its own partial write
+          .where(col("batch") =!= batchId)
+          .select(col(idCol), col(textCol))
+        graft.ops.Dedup.nearDupIncrement(existing, batch, textCol, idCol,
+          threshold, numHashes, bands, shingleSize, maxBucket)
+      }
+    fresh.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+  }
 
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape over an events stream.

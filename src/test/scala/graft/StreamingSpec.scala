@@ -120,6 +120,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup batch replay: re-running a batch id overwrites, never duplicates or self-dedups") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sndr").toString
+    val corpus = s"$work/corpus"
+    val base = "the quick brown fox jumps over the lazy dog and runs home"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingFlatten.nearDupBatch(rows.toDF("doc_id", "text"), id,
+        "text", "doc_id", corpus, 0.8, 32, 16, 3, 10000)
+    def ids() = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSeq
+    val b0 = Seq((1L, base), (2L, "unrelated material about state stores"))
+    run(b0, 0)
+    run(b0, 0) // replay of the FIRST batch: overwrite, no dup rows
+    assert(ids().sorted == Seq(1L, 2L))
+    val b1 = Seq((11L, base), (13L, "zzq9 wwk9 ppj9 fully disjoint"))
+    run(b1, 1)
+    assert(ids().sorted == Seq(1L, 2L, 13L))
+    run(b1, 1) // replay after a simulated failure: same corpus, and the
+               // batch deduped against the OTHERS, not its own write
+    assert(ids().sorted == Seq(1L, 2L, 13L))
+  }
+
   test("stream-stream interval join: watermarked state join over MemoryStream sides") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -543,6 +543,46 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x59_pq_ann" -> ((s, dir) => {
+      // Product-quantization/ADC path on the planted-twin contract: the
+      // scaled twin shares its original's direction, so after
+      // l2-normalization their subvectors — hence their PQ codes —
+      // coincide; the ADC score of the twin's query against the
+      // original's codes is then the corpus maximum, and the (score
+      // desc, id asc) ranking puts the ORIGINAL (smallest same-coded
+      // id) at rank-1. Scores are quantized inner products, not exact
+      // cosines, so the oracle checks the ids, not the score.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      def norm(df: DataFrame): DataFrame =
+        Similarity.l2Normalize(df, "embedding")
+          .select(col("vec_id"), col("normalized").as("embedding"))
+      val corpus = norm(emb.select("vec_id", "embedding").unionAll(planted))
+      Similarity.pqTopK(corpus, norm(planted), "vec_id", "embedding",
+          k = 1, m = 16, ksub = 64, lloydPasses = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"))
+    }),
+
+    "x60_lm_score" -> ((s, dir) => {
+      // bigram-LM scoring, integer evidence only: the cross-entropy the
+      // filter thresholds is computed FROM these counts, but libm log
+      // differs across engines in the last ulp (the rareTokenRatio
+      // precedent), so the oracle pins n_tokens / n_oov /
+      // n_known_bigrams exactly and LmPropertySpec pins the entropy
+      // math against a naive reference. Small caps (vocab 500, bigrams
+      // 2000) so BOTH cap boundaries bite at every SF.
+      val docs = rd(s, dir, "documents")
+      val (uni, bi) = TextAnalysis.bigramModel(docs, "text",
+        vocabSize = 500, maxBigrams = 2000)
+      TextAnalysis.lmScore(docs, "text", "doc_id", uni, bi)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_known_bigrams"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x19_quality_score" -> ((s, dir) =>
       rd(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
@@ -2080,6 +2120,47 @@ object SparkEntry {
       """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
         |  1.0 AS score_r
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "x59_pq_ann" ->
+      """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "x60_lm_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |            t -> len(t) > 0) AS toks
+        |        FROM documents)),
+        |vocab AS (
+        |  SELECT tok AS token FROM tok GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 500),
+        |mapped AS (
+        |  SELECT t.doc_id, t.pos,
+        |    CASE WHEN v.token IS NULL THEN '<unk>' ELSE t.tok END AS w
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.token),
+        |bg AS (
+        |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+        |  FROM mapped a JOIN mapped b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bimodel AS (
+        |  SELECT w1, w2 FROM bg GROUP BY w1, w2
+        |  ORDER BY count(*) DESC, w1, w2 LIMIT 2000),
+        |stats AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(CASE WHEN w = '<unk>' THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM mapped GROUP BY doc_id),
+        |known AS (
+        |  SELECT g.doc_id, count(m.w1) AS n_known_bigrams
+        |  FROM bg g LEFT JOIN bimodel m ON g.w1 = m.w1 AND g.w2 = m.w2
+        |  GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_tokens, 0) AS n_tokens,
+        |  COALESCE(s.n_oov, 0) AS n_oov,
+        |  COALESCE(k.n_known_bigrams, 0) AS n_known_bigrams
+        |FROM documents d
+        |LEFT JOIN stats s USING (doc_id)
+        |LEFT JOIN known k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q8_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -1079,4 +1079,267 @@ object Similarity {
       .select(col(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  // ================= Product quantization (PQ / ADC) =================
+  //
+  // The embedding-compression scale path (Jégou, Douze, Schmid: "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+  // method): split each d-dim vector into `m` contiguous subvectors,
+  // k-means each subspace to `ksub` centroids, and store each vector as
+  // m small codes instead of d floats. A 768-dim float corpus (3 KB/row)
+  // compresses to m=8..96 bytes/row — at 100 TB of embeddings that is
+  // the difference between an index that fits the cluster's memory and
+  // one that doesn't. Search is asymmetric distance computation (ADC):
+  // the UNCOMPRESSED query builds one (m × ksub) lookup table of
+  // subspace inner products, and scoring a corpus row is m table
+  // lookups — no float math per pair at all.
+  //
+  // Scores approximate the INNER PRODUCT of the stored vectors; run
+  // [[l2Normalize]] first (queries and corpus) to make that a cosine
+  // approximation, matching the rest of the family. Everything is
+  // deterministic: hash-ordered seeds, decimal-mean Lloyd refinement,
+  // strict-< argmin tie-breaks — so oracle replays are stable.
+
+  /** Subspace slice boundaries: prefix offsets (length m+1) of `m`
+    * contiguous chunks of ceil(d/m) dims each over a d-dim vector; the
+    * last chunk is shorter when m does not divide d, and trailing chunks
+    * are empty when m > d (legal, but choose m dividing d).
+    */
+  private def pqOffsets(d: Int, m: Int): Array[Int] = {
+    val subLen = (d + m - 1) / m
+    Array.tabulate(m + 1)(s => math.min(s * subLen, d))
+  }
+
+  /** Zero-pad (or truncate) to the trained dimension — ragged corpus
+    * rows quantize against the codebook geometry instead of crashing,
+    * same contract as the padded refinement expression in [[pqTrain]].
+    */
+  private[graft] def pqPad(v: Array[Float], d: Int): Array[Float] =
+    if (v.length == d) v
+    else { val out = new Array[Float](d); System.arraycopy(v, 0, out, 0, math.min(v.length, d)); out }
+
+  /** Per-subspace L2 argmin over the codebook — the assignment kernel
+    * every PQ path shares (train refinement, encode, and the naive spec
+    * reference call it alike, so parity is structural). Differences
+    * accumulate in double from float-subtracted operands, left to right;
+    * strict `<` keeps the FIRST (lowest) code on ties.
+    */
+  private[graft] def pqAssign(cb: Array[Array[Array[Float]]],
+      offs: Array[Int], v0: Array[Float]): Array[Int] = {
+    val v = pqPad(v0, offs.last)
+    val m = cb.length
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = offs(s)
+      val len = offs(s + 1) - off
+      val cents = cb(s)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cents.length) {
+        val c = cents(j)
+        var dist = 0.0
+        var t = 0
+        while (t < len) {
+          val diff = (v(off + t) - c(t)).toDouble
+          dist += diff * diff
+          t += 1
+        }
+        if (dist < bestD) { best = j; bestD = dist }
+        j += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    codes
+  }
+
+  private def pqAssignUdf(bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
+      offs: Array[Int]) =
+    udf { (v: Seq[Float]) => pqAssign(bc.value, offs, v.toArray) }
+
+  /** Train the PQ codebooks: `ksub` deterministic seeds per subspace
+    * (the hash-min sample [[ivfTrain]] uses, sliced per subspace — one
+    * distributed TakeOrdered, no RNG) refined by `lloydPasses` Lloyd
+    * iterations per subspace, all subspaces in the SAME corpus pass
+    * (assign all m codes per row in one kernel call, then one
+    * decimal-mean aggregation keyed by (subspace, code, position)).
+    * Returned codebooks are plain data — `codebooks(s)(j)` is subspace
+    * s's centroid j — persist once, reuse across encode/search calls.
+    * The trained dimension is the max seed length; shorter/longer rows
+    * zero-pad/truncate ([[pqPad]]).
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 256, lloydPasses: Int = 1): Array[Array[Array[Float]]] = {
+    require(m >= 1, s"need m >= 1 subspaces, got $m")
+    require(ksub >= 1, s"need ksub >= 1 codes, got $ksub")
+    require(lloydPasses >= 0, "lloydPasses must be >= 0")
+    val spark = corpus.sparkSession
+    val seeds: Array[Array[Float]] = corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("v"))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(ksub)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "pqTrain: corpus has no non-null vectors")
+    val d = seeds.iterator.map(_.length).max
+    val offs = pqOffsets(d, m)
+    var codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { s =>
+      seeds.map(v => pqPad(v, d).slice(offs(s), offs(s + 1)))
+    }
+    var bc = spark.sparkContext.broadcast(codebooks)
+    // pad/truncate to the trained d in ONE expression (concat d zeros,
+    // slice back to d) — positionally identical to pqPad, so the
+    // refinement means see exactly the vectors the assignment kernel saw
+    val padded = slice(
+      concat(col("v"), array_repeat(lit(0.0f), lit(d))), 1, d)
+
+    for (_ <- 1 to lloydPasses) {
+      val assign = pqAssignUdf(bc, offs)
+      val subLen = (d + m - 1) / m
+      // m × ksub × subLen rows to the driver — bounded by the codebook
+      // size, not the corpus; empty (subspace, code) cells keep seeds
+      val means = corpus
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(vecCol).cast(ArrayType(FloatType)).as("v"))
+        .select(padded.as("v"))
+        .withColumn("codes", assign(col("v")))
+        .select(col("codes"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(
+          (col("pos") / subLen).cast(IntegerType).as("sub"),
+          element_at(col("codes"), (col("pos") / subLen).cast(IntegerType) + 1).as("code"),
+          (col("pos") % subLen).cast(IntegerType).as("t"),
+          col("x"))
+        .groupBy("sub", "code", "t")
+        .agg((sum(col("x").cast(DecimalType(38, 12))) / count(lit(1)))
+          .cast(FloatType).as("mean"))
+        .collect()
+      val byCell: Map[(Int, Int), Array[org.apache.spark.sql.Row]] =
+        means.groupBy(r => (r.getInt(0), r.getInt(1)))
+      val old = codebooks
+      codebooks = Array.tabulate(m) { s =>
+        val len = offs(s + 1) - offs(s)
+        old(s).indices.map { j =>
+          byCell.get((s, j)) match {
+            case Some(rows) =>
+              val arr = new Array[Float](len)
+              rows.foreach(r => arr(r.getInt(2)) = r.getFloat(3))
+              arr
+            case None => old(s)(j)
+          }
+        }.toArray
+      }
+      val stale = bc
+      bc = spark.sparkContext.broadcast(codebooks)
+      stale.destroy()
+    }
+    val out = codebooks
+    bc.destroy()
+    out
+  }
+
+  /** Encode every corpus vector to its `m` PQ codes — the persistable
+    * compressed index frame (id, codes array<int>). Write it to parquet
+    * and search it repeatedly with [[pqSearch]]; at m=8 over 64-dim
+    * floats the stored index is ~8× smaller than the raw vectors.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqEncode: codebooks must have >= 1 centroid per subspace")
+    val d = codebooks.map(_.head.length).sum
+    val offs = pqOffsets(d, codebooks.length)
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol),
+        pqAssignUdf(bc, offs)(col(vecCol).cast(ArrayType(FloatType))).as("codes"))
+  }
+
+  /** ADC top-k over a prebuilt [[pqEncode]] frame: each query builds one
+    * (m × ksub) inner-product lookup table against the codebooks, the
+    * tables broadcast with the batch, and scoring a corpus row is m
+    * integer lookups per query — the code frame streams, nothing
+    * shuffles except the bounded map-side top-k ([[rankTopK]]). Scores
+    * are the inner product of the query with the RECONSTRUCTED
+    * (quantized) corpus vector — approximate by construction; recall
+    * at realistic settings is measured in AnnRecallSpec and SCALE.md.
+    * LUT entries accumulate per-subspace float products into a double
+    * left-to-right, and the final score sums subspaces left-to-right —
+    * fixed FP order, stable oracle hashes. Integral ids only (the code
+    * frame is built by [[pqEncode]] from an integral-keyed corpus).
+    */
+  def pqSearch(codes: DataFrame, codebooks: Array[Array[Array[Float]]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, maxQueryBatch: Int = 100000): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "pqSearch: codebooks must have >= 1 centroid per subspace")
+    val idT = codes.schema(idCol).dataType
+    idT match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"pqSearch: id column must be integral, got $other")
+    }
+    val m = codebooks.length
+    val d = codebooks.map(_.head.length).sum
+    val offs = pqOffsets(d, m)
+    val qRows: Array[(Long, Array[Float])] = collectQueryBatch(
+      queries
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))),
+      maxQueryBatch, "pqSearch")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // one LUT per query: lut(s)(j) = <query subvector s, codebook s_j>
+    val luts: Array[(Long, Array[Array[Double]])] = qRows.map { case (qid, qv0) =>
+      val qv = pqPad(qv0, d)
+      val lut = Array.tabulate(m) { s =>
+        val off = offs(s)
+        val len = offs(s + 1) - off
+        codebooks(s).map { c =>
+          var acc = 0.0
+          var t = 0
+          while (t < len) { acc += (qv(off + t) * c(t)).toDouble; t += 1 }
+          acc
+        }
+      }
+      (qid, lut)
+    }
+    val bcl = queries.sparkSession.sparkContext.broadcast(luts)
+    val scoreCodes = udf { (nid: Long, codesRow: Seq[Int]) =>
+      val cs = codesRow.toArray
+      val qs = bcl.value
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qs.length)
+      var qi = 0
+      while (qi < qs.length) {
+        val (qid, lut) = qs(qi)
+        if (qid != nid && cs.length == lut.length) {
+          var acc = 0.0
+          var s = 0
+          while (s < cs.length) { acc += lut(s)(cs(s)); s += 1 }
+          out += ((qid, acc))
+        }
+        qi += 1
+      }
+      out.toSeq
+    }
+    val scored = codes
+      .where(col(idCol).isNotNull && col("codes").isNotNull)
+      .select(col(idCol).cast(LongType).as("neighbor_id"), col("codes"))
+      .select(col("neighbor_id"),
+        explode(scoreCodes(col("neighbor_id"), col("codes"))).as("t"))
+      .select(col("t._1").cast(idT).as("query_id"), col("neighbor_id"),
+        col("t._2").as("score"))
+    rankTopK(scored, k, idT)
+  }
+
+  /** One-shot PQ ANN: train → encode → ADC search. For repeated query
+    * batches, train and encode once and call [[pqSearch]] directly.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, m: Int = 8,
+      ksub: Int = 256, lloydPasses: Int = 1): DataFrame = {
+    val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydPasses)
+    pqSearch(pqEncode(corpus, idCol, vecCol, cb), cb, queries, idCol, vecCol, k)
+  }
 }

@@ -311,6 +311,152 @@ object TextAnalysis {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  // ============ Bigram language-model scoring (CCNet-style) ============
+
+  /** Train the corpus bigram language model behind [[lmScore]] — the
+    * published LM-filtering recipe (CCNet / Wenzek et al. 2020 score
+    * corpora with an n-gram LM; this is the dependency-free in-corpus
+    * form). The top `vocabSize` tokens by (count desc, token asc) keep
+    * themselves; every other token maps to `<unk>` (impossible as a real
+    * token: [[tokens]] emits only [a-z0-9]+). Returns:
+    *
+    *   - `uni`: (token, n) unigram counts over the MAPPED stream —
+    *     vocab rows carry their corpus counts, plus one `<unk>` row
+    *     carrying everything else (always present, 0 when the vocab
+    *     covers the corpus);
+    *   - `bi`: (w1, w2, n) mapped-bigram counts, capped to the top
+    *     `maxBigrams` by (n desc, w1 asc, w2 asc).
+    *
+    * Both frames are bounded by the caps, not the corpus — persist them
+    * once and score any number of batches. Scale shape: one shuffle-free
+    * scan (total token count), one (token, count) aggregation, and one
+    * (w1, w2, count) aggregation — the token stream itself shuffles only
+    * as map-side-combined count partials; bigram vocabulary mapping is
+    * two broadcast joins against the vocab frame, so the exploded bigram
+    * stream never shuffles before its partial aggregation. Every
+    * selection order is total (counts then token text, ASCII by
+    * construction), so the model — and everything scored with it — is
+    * deterministic and oracle-replayable.
+    */
+  def bigramModel(df: DataFrame, textCol: String,
+      vocabSize: Int = 20000, maxBigrams: Int = 200000): (DataFrame, DataFrame) = {
+    require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
+    require(maxBigrams >= 1, s"need maxBigrams >= 1, got $maxBigrams")
+    val toks = df.select(tokens(col(textCol)).as("__toks"))
+    val vocab = toks.select(explode(col("__toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(vocabSize)
+      .localCheckpoint(true) // vocab-sized; reused by three consumers below
+    val totalToks = toks.agg(coalesce(sum(size(col("__toks")).cast(LongType)), lit(0L)))
+      .first().getLong(0)
+    val vocabToks = vocab.agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val uni = vocab.unionAll(
+      Seq(("<unk>", totalToks - vocabToks)).toDF("token", "n"))
+    val nT = size(col("__toks"))
+    val pairs = toks.where(nT >= 2)
+      .select(explode(zip_with(
+        slice(col("__toks"), lit(1), nT - 1),
+        slice(col("__toks"), lit(2), nT - 1),
+        (a, b) => struct(a.as("w1r"), b.as("w2r")))).as("bg"))
+      .select(col("bg.w1r").as("w1r"), col("bg.w2r").as("w2r"))
+    val bi = pairs
+      .join(broadcast(vocab.select(col("token").as("__v1"))),
+        col("w1r") === col("__v1"), "left")
+      .join(broadcast(vocab.select(col("token").as("__v2"))),
+        col("w2r") === col("__v2"), "left")
+      .select(coalesce(col("__v1"), lit("<unk>")).as("w1"),
+        coalesce(col("__v2"), lit("<unk>")).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w1"), col("w2")).limit(maxBigrams)
+    (uni, bi)
+  }
+
+  /** Score documents against a [[bigramModel]]: per doc,
+    * (n_tokens, n_oov, n_known_bigrams, cross_entropy) where the
+    * integer evidence is exact (and oracle-checkable in any SQL engine)
+    * and cross_entropy is the add-alpha bigram cross-entropy in BITS per
+    * transition — the LM quality signal a perplexity filter thresholds
+    * (low = fluent in-domain text, high = junk; perplexity = 2^H):
+    *
+    *   p(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha × V)
+    *
+    * over the vocab-mapped token stream, V = |uni| (vocab + `<unk>`),
+    * c from the model frames, missing counts 0. Docs with < 2 tokens
+    * score H = 0 with zero counts. This is the practical scoring
+    * shortcut (unigram counts as the transition denominator, additive
+    * smoothing), a filter signal — not a normalized LM.
+    *
+    * The model frames materialize on the driver and broadcast —
+    * bounded by [[bigramModel]]'s caps, re-CHECKED here against
+    * `maxModelRows` so an uncapped frame fails actionably instead of
+    * OOMing the driver (the collectQueryBatch discipline). Scoring
+    * itself is one corpus scan through a compiled per-row kernel
+    * (per-token map lookups; the expression form would interpret the
+    * lambda per element), tokenized by the SAME [[tokens]] expression
+    * every other text operator uses. Summation is left-to-right over
+    * the doc's transitions — fixed FP order, deterministic replays.
+    */
+  def lmScore(df: DataFrame, textCol: String, idCol: String,
+      uni: DataFrame, bi: DataFrame, alpha: Double = 0.1,
+      maxModelRows: Int = 2000000): DataFrame = {
+    require(alpha > 0, s"need alpha > 0, got $alpha")
+    def bounded(m: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+      val n = m.count()
+      if (n > maxModelRows) throw new IllegalArgumentException(
+        s"lmScore: $what model frame has $n rows, exceeding maxModelRows = " +
+          s"$maxModelRows. The model broadcasts to every executor; rebuild it " +
+          "with smaller bigramModel caps or raise maxModelRows deliberately.")
+      m.collect()
+    }
+    val uniMap: Map[String, Long] =
+      bounded(uni, "unigram").map(r => r.getString(0) -> r.getLong(1)).toMap
+    val biMap: Map[String, Long] =
+      bounded(bi, "bigram").map(r =>
+        (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val v = uniMap.size.toDouble
+    val vocabSet: Set[String] = uniMap.keySet - "<unk>"
+    val spark = df.sparkSession
+    val bcUni = spark.sparkContext.broadcast(uniMap)
+    val bcBi = spark.sparkContext.broadcast(biMap)
+    val bcVocab = spark.sparkContext.broadcast(vocabSet)
+    val a = alpha
+    val score = udf { (ts: Seq[String]) =>
+      val vocab = bcVocab.value
+      val u = bcUni.value
+      val b = bcBi.value
+      val raw = if (ts == null) Array.empty[String] else ts.toArray
+      val n = raw.length
+      val m = new Array[String](n)
+      var nOov = 0L
+      var i = 0
+      while (i < n) {
+        if (vocab.contains(raw(i))) m(i) = raw(i)
+        else { m(i) = "<unk>"; nOov += 1 }
+        i += 1
+      }
+      var known = 0L
+      var lp = 0.0
+      i = 0
+      while (i < n - 1) {
+        val c12 = b.getOrElse(m(i) + " " + m(i + 1), 0L)
+        if (c12 > 0) known += 1
+        val c1 = u.getOrElse(m(i), 0L)
+        lp += math.log((c12 + a) / (c1 + a * v))
+        i += 1
+      }
+      val h = if (n >= 2) -lp / ((n - 1) * math.log(2.0)) else 0.0
+      (n.toLong, nOov, known, h)
+    }
+    df.select(col(idCol), score(tokens(col(textCol))).as("__s"))
+      .select(col(idCol),
+        col("__s._1").as("n_tokens"),
+        col("__s._2").as("n_oov"),
+        col("__s._3").as("n_known_bigrams"),
+        col("__s._4").as("cross_entropy"))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "from", "this", "be", "are")

@@ -138,6 +138,60 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(viaOld == viaNew)
   }
 
+  test("PQ recall@10: ADC over m=8 codes recovers the clusters; finer codebooks don't lose recall") {
+    // cosine-family contract: PQ scores approximate the inner product,
+    // so normalize both sides first (the documented recipe)
+    import org.apache.spark.sql.functions.col
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      Similarity.l2Normalize(df, "embedding")
+        .select(col("vec_id"), col("normalized").as("embedding"))
+    val nc = norm(corpus).cache()
+    val nq = norm(queries).cache()
+    nc.count(); nq.count()
+    def run(m: Int, ksub: Int): Double = {
+      val cb = Similarity.pqTrain(nc, "vec_id", "embedding", m = m, ksub = ksub,
+        lloydPasses = 1)
+      val codes = Similarity.pqEncode(nc, "vec_id", "embedding", cb).cache()
+      codes.count()
+      val r = recall(Similarity.pqSearch(codes, cb, nq, "vec_id", "embedding", k = K))
+      codes.unpersist()
+      r
+    }
+    def clusterRecall(m: Int, ksub: Int): Double = {
+      val cb = Similarity.pqTrain(nc, "vec_id", "embedding", m = m, ksub = ksub,
+        lloydPasses = 1)
+      val codes = Similarity.pqEncode(nc, "vec_id", "embedding", cb).cache()
+      codes.count()
+      val got = topSet(Similarity.pqSearch(codes, cb, nq, "vec_id", "embedding", k = K))
+      codes.unpersist()
+      got.count { case (qid, nid) => (qid - 100000) == nid / Members }.toDouble / got.size
+    }
+    val r8x64 = run(8, 64)
+    val r8x256 = run(8, 256)
+    val r16x64 = run(16, 64)
+    val cr16x64 = clusterRecall(16, 64)
+    info(f"pqSearch m=8  ksub=64  recall@10 = $r8x64%.3f")
+    info(f"pqSearch m=8  ksub=256 recall@10 = $r8x256%.3f")
+    info(f"pqSearch m=16 ksub=64  recall@10 = $r16x64%.3f")
+    info(f"pqSearch m=16 ksub=64  cluster-recall@10 = $cr16x64%.3f")
+    // Exact-set recall@10 is TIE-CAPPED on this geometry, by design of
+    // the measurement: the 12 cluster siblings sit within cosine ~0.997
+    // of each other — below code resolution — so they share codes, ADC
+    // ties them, and the (score desc, id asc) rank picks the 10
+    // id-smallest of the tied 12 while the exact truth picks 10-of-12 by
+    // float cosine. Expected overlap of two 10-of-12 picks ≈ 8.33/10 =
+    // 0.833 — the measured plateau (0.83 across every config, invariant
+    // to m and ksub, confirms ties, not quantization drift). What PQ
+    // must deliver is the CLUSTER: essentially every returned neighbor
+    // comes from the query's own cluster.
+    assert(r8x256 >= r8x64 - 0.05, f"ksub 64→256 lost recall: $r8x64%.3f → $r8x256%.3f")
+    assert(r16x64 >= r8x64 - 0.05, f"m 8→16 lost recall: $r8x64%.3f → $r16x64%.3f")
+    assert(r8x64 >= 0.8, f"m=8 ksub=64 recall@10 = $r8x64%.3f")
+    assert(r16x64 >= 0.8, f"m=16 ksub=64 recall@10 = $r16x64%.3f")
+    assert(cr16x64 >= 0.99, f"cluster-recall@10 = $cr16x64%.3f")
+    nc.unpersist(); nq.unpersist()
+  }
+
   test("IVF recall@10 (nlist=64): nprobe=8 >= 0.9 and monotone in nprobe") {
     val centroids = Similarity.ivfTrain(corpus, "vec_id", "embedding",
       nlist = 64, lloydPasses = 1)

@@ -273,12 +273,55 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // b10: standing-index PQ/ADC ANN at fact scale — pqSearch over a
+    // PREBUILT 600k-row code frame (train + encode untimed: the
+    // compressed standing index a real pipeline persists once), 100
+    // queries, m=8, ksub=256, k=10. Complements b9: the PQ index rows
+    // are m ints instead of 64 floats (~8× smaller than the raw
+    // vectors b9 scans) and per-pair scoring is m broadcast-LUT lookups
+    // with no float math — the memory-bound regime's search path.
+    val b10Cb = graft.ops.Similarity.pqTrain(
+      b8Corpus, "vec_id", "embedding", m = 8, ksub = 256, lloydPasses = 1)
+    val b10Codes = graft.ops.Similarity.pqEncode(
+      b8Corpus, "vec_id", "embedding", b10Cb).localCheckpoint(true)
+    def runB10(codes: org.apache.spark.sql.DataFrame,
+        cb: Array[Array[Array[Float]]],
+        queries: org.apache.spark.sql.DataFrame): Unit = {
+      graft.ops.Similarity.pqSearch(codes, cb, queries,
+        "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+    }
+
+    // b11/b12: bigram-LM scoring at fact scale over the same 600k
+    // synthetic docs (~4.2M token occurrences, key/price tokens mostly
+    // OOV at vocab 20k — a deliberately heavy-tailed vocabulary). b11
+    // times the MODEL BUILD (token-count scan + vocab and bigram
+    // aggregations); b12 times SCORING against a STANDING model (the
+    // production shape: a model per corpus release, scoring per batch).
+    def runB11(dir: String): Unit = {
+      val (uni, bi) = graft.ops.TextAnalysis.bigramModel(
+        bCorpus(dir), "text", vocabSize = 20000, maxBigrams = 200000)
+      uni.write.format("noop").mode("overwrite").save()
+      bi.write.format("noop").mode("overwrite").save()
+    }
+    val (b12Uni, b12Bi) = {
+      val (u, b) = graft.ops.TextAnalysis.bigramModel(
+        bCorpus(sfDir), "text", vocabSize = 20000, maxBigrams = 200000)
+      // materialize: each lmScore call counts + collects the model frames,
+      // which must not re-run the corpus aggregations inside the timed region
+      (u.localCheckpoint(true), b.localCheckpoint(true))
+    }
+    def runB12(dir: String): Unit =
+      graft.ops.TextAnalysis.lmScore(bCorpus(dir), "text", "doc_id", b12Uni, b12Bi)
+        .write.format("noop").mode("overwrite").save()
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
-    Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
-      try f("/root/testdata/sf0.001") catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup FAILED: $e") }
-    }
+    Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _, runB11 _, runB12 _)
+      .foreach { f =>
+        try f("/root/testdata/sf0.001") catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup FAILED: $e") }
+      }
     try {
       runB8(b8Vecs(2000L))
       val wv = b8Vecs(2000L).localCheckpoint(true)
@@ -286,8 +329,12 @@ object Bench {
         nlist = 16, lloydPasses = 1)
       runB9(graft.ops.Similarity.ivfIndex(wv, "vec_id", "embedding", wc),
         wc, wv.where(org.apache.spark.sql.functions.col("vec_id") < 100))
+      val wcb = graft.ops.Similarity.pqTrain(wv, "vec_id", "embedding",
+        m = 8, ksub = 16, lloydPasses = 1)
+      runB10(graft.ops.Similarity.pqEncode(wv, "vec_id", "embedding", wcb),
+        wcb, wv.where(org.apache.spark.sql.functions.col("vec_id") < 100))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup b8/b9 FAILED: $e") }
+      System.err.println(s"[bench] warmup b8/b9/b10 FAILED: $e") }
 
     val allTimes: Seq[(String, Vector[Double])] = headlineTimes ++ Seq(
       "b1_flatten_json_e2e" -> b1Times,
@@ -300,7 +347,12 @@ object Bench {
       "b8_ann_lsh_600k" -> runTimes("b8")(runB8(b8Corpus)),
       "b9_ann_ivf_indexed_600k" -> runTimes("b9")(
         runB9(b9Index, b9Centroids,
-          b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))))
+          b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))),
+      "b10_pq_adc_600k" -> runTimes("b10")(
+        runB10(b10Codes, b10Cb,
+          b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))),
+      "b11_lm_model_600k" -> runTimes("b11")(runB11(sfDir)),
+      "b12_lm_score_600k" -> runTimes("b12")(runB12(sfDir)))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

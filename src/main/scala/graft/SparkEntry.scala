@@ -675,6 +675,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x61_scrub_spans" -> ((s, dir) => {
+      // surgical decontamination on the x27 contract (bench = every
+      // doc_id % 10 == 3 doc): span/token removal counts replay
+      // integer-exact in SQL, and n_tokens_after re-tokenizes the
+      // SCRUBBED text — so the surgery output itself is checked through
+      // the shared tokenizer, not just the bookkeeping. Benchmark docs
+      // scrub to nothing (one span covering every token); clean and
+      // sub-13-token docs report zeros with their text untouched.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.where(col("doc_id") % 10 === 3).select(col("text"))
+      Decontaminate.scrubSpans(d, "text", "doc_id", bench, "text", n = 13)
+        .select(col("doc_id"),
+          col("n_spans_removed").cast(LongType).as("n_spans_removed"),
+          col("n_tokens_removed").cast(LongType).as("n_tokens_removed"),
+          size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens_after"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x28_hash_sample" -> ((s, dir) =>
       // deterministic md5-uniform mixing: per-source keep rates, default
       // for unlisted sources — the exact sample is engine-replicable
@@ -1771,6 +1789,39 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_overlap_grams, true AS contaminated
         |FROM docg JOIN bg USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x61_scrub_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> len(t) > 0) AS tk
+        |  FROM documents),
+        |pergram AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk) - 11),
+        |      i -> substr(md5(array_to_string(tk[i:i+12], ' ')), 1, 16))) AS gs
+        |  FROM toks WHERE len(tk) >= 13),
+        |bg AS (SELECT DISTINCT unnest(gs) AS gram FROM pergram WHERE doc_id % 10 = 3),
+        |hits AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, unnest(range(1, len(tk) - 11)) AS s, tk
+        |    FROM toks WHERE len(tk) >= 13)
+        |  WHERE substr(md5(array_to_string(tk[s:s+12], ' ')), 1, 16) IN (SELECT gram FROM bg)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM (SELECT doc_id, unnest(range(s, s + 13)) AS p FROM hits)),
+        |agg AS (
+        |  SELECT c.doc_id,
+        |    count(*) FILTER (WHERE prev.p IS NULL) AS n_spans_removed,
+        |    count(*) AS n_tokens_removed
+        |  FROM covered c LEFT JOIN covered prev
+        |    ON prev.doc_id = c.doc_id AND prev.p = c.p - 1
+        |  GROUP BY c.doc_id)
+        |SELECT t.doc_id,
+        |  COALESCE(a.n_spans_removed, 0) AS n_spans_removed,
+        |  COALESCE(a.n_tokens_removed, 0) AS n_tokens_removed,
+        |  len(t.tk) - COALESCE(a.n_tokens_removed, 0) AS n_tokens_after
+        |FROM toks t LEFT JOIN agg a USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "x28_hash_sample" ->
       """SELECT doc_id, source FROM documents

@@ -86,6 +86,112 @@ object Decontaminate {
     docs.join(confirmed, Seq(idCol), "left_anti")
   }
 
+  /** SURGICAL decontamination: instead of dropping a contaminated
+    * document, remove exactly the token spans that overlap the benchmark
+    * and keep the rest — the span-removal form the published decon
+    * pipelines apply when a long document embeds one leaked eval item
+    * (dropping the whole doc wastes the other 99%).
+    *
+    * Semantics: over the canonical token stream ([[TextAnalysis.tokens]]
+    * — the same normalization every gram key in this file is built
+    * from), every position covered by ANY matching n-gram window is
+    * removed; adjacent/overlapping windows merge into maximal spans.
+    * Output per input doc: `textCol` (the ORIGINAL text byte-identical
+    * when nothing matched; the space-joined surviving token stream when
+    * something did — span surgery is only expressible on the token
+    * stream the grams were keyed on), `n_spans_removed`,
+    * `n_tokens_removed`.
+    *
+    * Plan shape: corpus docs explode to (id, window-start, gram-key)
+    * postings — ids and 16-char keys only, text never shuffles — the
+    * tiny benchmark gram side broadcasts under AQE, matched START
+    * POSITIONS (rare) collect per doc through one map-side-combined
+    * aggregation, and the surgery itself is a compiled per-doc kernel
+    * over (tokens, starts). With `bloomFpp > 0` the posting explode is
+    * prefiltered by a broadcast Bloom filter exactly like
+    * [[decontaminateBloom]] — identical output (false negatives are
+    * impossible, the join kills false positives), but only possible-hit
+    * docs ever explode.
+    */
+  def scrubSpans(docs: DataFrame, textCol: String, idCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int = 13,
+      bloomFpp: Double = 0.0): DataFrame = {
+    require(n >= 1, s"need n >= 1, got $n")
+    val toksC = TextAnalysis.tokens(col(textCol))
+    val withToks = docs.select(col(idCol), col(textCol), toksC.as("__toks"))
+    val benchGrams = bench
+      .select(explode(gramKeys(col(benchTextCol), n)).as("gram")).distinct()
+    val explodable = {
+      val base = withToks.where(size(col("__toks")) >= n)
+      if (bloomFpp <= 0) base
+      else {
+        val expected = math.max(benchGrams.count(), 1L)
+        val bf = benchGrams.stat.bloomFilter("gram", expected, bloomFpp)
+        val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+        val mightHit = udf { (gs: Seq[String]) =>
+          gs != null && gs.exists(bfB.value.mightContainString)
+        }
+        base.where(mightHit(gramKeys(col(textCol), n)))
+      }
+    }
+    val grams = transform(sequence(lit(0), size(col("__toks")) - n),
+      i => struct(i.as("pos"),
+        substring(md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))
+          .cast(BinaryType)), 1, 16).as("gram")))
+    val postings = explodable
+      .select(col(idCol), explode(grams).as("pg"))
+      .select(col(idCol), col("pg.pos").as("__pos"), col("pg.gram").as("gram"))
+    val hits = postings.join(benchGrams, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+    val span = n
+    // per-doc surgery kernel: mark covered positions, count maximal runs,
+    // join the survivors. Always invoked (empty starts for clean docs) so
+    // no conditional UDF evaluation order to reason about; the output
+    // text column switches back to the untouched original when nothing
+    // was removed.
+    val cut = udf { (ts: Seq[String], starts: Seq[Int]) =>
+      val arr = if (ts == null) Array.empty[String] else ts.toArray
+      val st = starts.toArray
+      val covered = new Array[Boolean](arr.length)
+      var k = 0
+      while (k < st.length) {
+        var p = st(k)
+        val end = math.min(st(k) + span, arr.length)
+        while (p < end) { covered(p) = true; p += 1 }
+        k += 1
+      }
+      var spans = 0
+      var removed = 0
+      var i = 0
+      while (i < covered.length) {
+        if (covered(i)) {
+          removed += 1
+          if (i == 0 || !covered(i - 1)) spans += 1
+        }
+        i += 1
+      }
+      val sb = new StringBuilder
+      i = 0
+      while (i < arr.length) {
+        if (!covered(i)) {
+          if (sb.nonEmpty) sb.append(' ')
+          sb.append(arr(i))
+        }
+        i += 1
+      }
+      (sb.toString, spans, removed)
+    }
+    withToks.join(hits, Seq(idCol), "left")
+      .withColumn("__cut", cut(col("__toks"),
+        coalesce(col("__starts"), array().cast(ArrayType(IntegerType)))))
+      .select(col(idCol),
+        when(col("__cut._3") === 0, col(textCol))
+          .otherwise(col("__cut._1")).as(textCol),
+        col("__cut._2").as("n_spans_removed"),
+        col("__cut._3").as("n_tokens_removed"))
+  }
+
   /** Fuzzy decontamination: drop corpus documents whose exact shingle-set
     * Jaccard against ANY benchmark document clears `threshold` — the
     * near-duplicate complement to the exact n-gram paths above, for eval

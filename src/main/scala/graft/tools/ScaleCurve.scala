@@ -183,6 +183,23 @@ object ScaleCurve {
         queries(q1), "vec_id", "embedding", k = 10, nprobe = 8)
         .write.format("noop").mode("overwrite").save()
 
+    /** PQ mirror of the sa3Index/sa4 split: codebooks + code frame are
+      * built and persisted UNTIMED (the compressed standing index), the
+      * timed region is one ADC query batch over the parquet codes.
+      */
+    def sa5Index(path: String, out: String): Array[Array[Array[Float]]] = {
+      val c = vecs(path)
+      val cb = graft.ops.Similarity.pqTrain(c, "vec_id", "embedding",
+        m = 8, ksub = 256, lloydPasses = 1)
+      graft.ops.Similarity.pqEncode(c, "vec_id", "embedding", cb)
+        .write.mode("overwrite").parquet(out)
+      cb
+    }
+    def sa5(idx: String, cb: Array[Array[Array[Float]]], q1: String): Unit =
+      graft.ops.Similarity.pqSearch(spark.read.parquet(idx), cb,
+        queries(q1), "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+
     /** min of two runs, each preceded by a GC + settle: six 10× workloads
       * back-to-back in ONE JVM heat the session (GC debris from earlier
       * shuffles degrades the later driver-side streams by 2-3×, measured
@@ -238,6 +255,7 @@ object ScaleCurve {
       val warmV = s"$work/warmv"
       buildVecs(2000, warmV)
       sa1(warmV, warmV); sa2(warmV, warmV); sa3(warmV, warmV)
+      sa5(s"$work/warmv-pq", sa5Index(warmV, s"$work/warmv-pq"), warmV)
 
       val v1 = s"$work/vecs1"
       val vN = s"$work/vecs$mult"
@@ -247,12 +265,15 @@ object ScaleCurve {
       if (rows1 == 0) { rows1 = vRows; rowsN = vRows * mult }
       System.err.println(s"[scale] vector corpora ready: $vRows at 1x, ${vRows * mult} at ${mult}x")
 
-      val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_search")
+      val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_search",
+        "ann_pq_search")
       def runAll(path: String, tag: String): Seq[(String, Double)] = {
         val idx = s"$work/ivfidx-$tag"
         val cents = sa3Index(path, idx) // standing index: built untimed
+        val pqIdx = s"$work/pqidx-$tag"
+        val cb = sa5Index(path, pqIdx) // standing code frame: built untimed
         names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)), time(sa3(path, v1)),
-          time(sa4(idx, cents, v1))))
+          time(sa4(idx, cents, v1)), time(sa5(pqIdx, cb, v1))))
       }
       val t1 = runAll(v1, "1")
       val tN = runAll(vN, s"$mult")

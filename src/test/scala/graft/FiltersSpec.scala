@@ -74,6 +74,38 @@ class FiltersSpec extends AnyFunSuite {
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L, 3L))
   }
 
+  test("scrubSpans removes exactly the contaminated spans; clean text is byte-identical") {
+    val gram13 = (1 to 13).map(i => s"w$i").mkString(" ")
+    val before = "unrelated prefix words here and more filler to pad things out nicely"
+    val after = "unrelated suffix material"
+    val docs = Seq(
+      (1L, s"$before $gram13 $after"),  // one span mid-doc
+      // two DISJOINT leaks separated by > 13 clean tokens → two spans
+      (2L, s"$gram13 aa bb cc dd ee ff gg hh ii jj kk ll mm nn $gram13"),
+      // overlapping windows (the 13-gram plus one extra matched token on
+      // each side via a 15-token bench doc) merge into ONE span
+      (3L, s"w0 $gram13 w14"),
+      (4L, (2 to 13).map(i => s"w$i").mkString(" ")), // only 12 tokens: untouched
+      (5L, "Completely DIFFERENT words, entirely!?")) // clean: byte-identical
+      .toDF("doc_id", "text")
+    val bench = Seq(s"w0 $gram13 w14").toDF("text")
+    val out = Decontaminate.scrubSpans(docs, "text", "doc_id", bench, "text")
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((s"$before $after".toLowerCase, 1, 13)))
+    assert(out(2L)._2 == 2 && out(2L)._3 == 26)
+    assert(out(2L)._1 == "aa bb cc dd ee ff gg hh ii jj kk ll mm nn")
+    assert(out(3L) == (("", 1, 15)))     // merged single span covers all
+    assert(out(4L) == (((2 to 13).map(i => s"w$i").mkString(" "), 0, 0)))
+    assert(out(5L) == (("Completely DIFFERENT words, entirely!?", 0, 0)))
+    // Bloom-prefiltered path is output-identical
+    val viaBloom = Decontaminate.scrubSpans(docs, "text", "doc_id", bench, "text",
+        bloomFpp = 0.01)
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(viaBloom == out)
+  }
+
   test("hash sampling is deterministic, partition-independent, and salt-sensitive") {
     val df = spark.range(0, 10000).toDF("id")
     val a = Sampling.hashSample(df, "id", 0.3).select("id").as[Long].collect().toSet

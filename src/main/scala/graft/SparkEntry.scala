@@ -566,6 +566,32 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x63_ivfpq_ann" -> ((s, dir) => {
+      // IVFADC (coarse cells + PQ codes) on the planted-twin contract:
+      // the normalized twin shares its original's direction — hence its
+      // coarse cell and its PQ codes — the probe set always contains
+      // the query's own cell, and the (score desc, id asc) rank breaks
+      // the shared-codes tie to the ORIGINAL. Approximate scores, so
+      // the oracle checks ids only, like x59.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      def norm(df: DataFrame): DataFrame =
+        Similarity.l2Normalize(df, "embedding")
+          .select(col("vec_id"), col("normalized").as("embedding"))
+      val corpus = norm(emb.select("vec_id", "embedding").unionAll(planted))
+      val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        m = 16, ksub = 64, lloydPasses = 1)
+      val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+        nlist = 16, lloydPasses = 1)
+      val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", cents, cb)
+      Similarity.ivfPqSearch(idx, cents, cb, norm(planted),
+          "vec_id", "embedding", k = 1, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("query_id"))
+    }),
+
     "x60_lm_score" -> ((s, dir) => {
       // bigram-LM scoring, integer evidence only: the cross-entropy the
       // filter thresholds is computed FROM these counts, but libm log
@@ -692,6 +718,20 @@ object SparkEntry {
           size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tokens_after"))
         .orderBy(col("doc_id"))
     }),
+
+    "x62_char_mix" -> ((s, dir) =>
+      // charset-level QC counts, integer-exact in both engines (each
+      // class = length minus length-with-class-deleted over EXPLICIT
+      // character classes — the WsChars dual-spelling discipline)
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.charClassCounts(col("text")).as("c"))
+        .select(col("doc_id"),
+          col("c.n_chars").cast(LongType).as("n_chars"),
+          col("c.n_alpha").cast(LongType).as("n_alpha"),
+          col("c.n_digit").cast(LongType).as("n_digit"),
+          col("c.n_ws").cast(LongType).as("n_ws"),
+          col("c.n_non_ascii").cast(LongType).as("n_non_ascii"))
+        .orderBy(col("doc_id"))),
 
     "x28_hash_sample" -> ((s, dir) =>
       // deterministic md5-uniform mixing: per-source keep rates, default
@@ -1823,6 +1863,15 @@ object SparkEntry {
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
 
+    "x62_char_mix" ->
+      s"""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |  CAST(length(text) - length(regexp_replace(text, '[$WsChars]', '', 'g')) AS BIGINT) AS n_ws,
+        |  CAST(length(text) - length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x28_hash_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT::DOUBLE
@@ -2173,6 +2222,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 
     "x59_pq_ann" ->
+      """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    "x63_ivfpq_ann" ->
       """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
 

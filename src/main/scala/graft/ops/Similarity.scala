@@ -1342,4 +1342,121 @@ object Similarity {
     val cb = pqTrain(corpus, idCol, vecCol, m, ksub, lloydPasses)
     pqSearch(pqEncode(corpus, idCol, vecCol, cb), cb, queries, idCol, vecCol, k)
   }
+
+  /** IVF+PQ standing index (the IVFADC composition of Jégou et al. 2011,
+    * §IV — coarse cells prune the scan, PQ codes compress what remains):
+    * one corpus pass assigns each vector its [[ivfTrain]] cell AND its
+    * [[pqTrain]] codes — (id, cell, codes), the frame to persist. The
+    * 10× curve measured why the composition exists: flat-scan ADC
+    * ([[pqSearch]]) is corpus-linear (ratio 4.2 at 6M), IVF cell
+    * pruning is flat (1.1) — IVFADC gets both the pruned scan and the
+    * compressed rows. Codes quantize the RAW vectors, not cell
+    * residuals (a documented simplification — recall at these settings
+    * is measured in AnnRecallSpec; residual coding would add a
+    * per-cell LUT rebuild per probe).
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "ivfPqIndex: codebooks must have >= 1 centroid per subspace")
+    val d = codebooks.map(_.head.length).sum
+    val offs = pqOffsets(d, codebooks.length)
+    val sc = corpus.sparkSession.sparkContext
+    val bcCents = sc.broadcast(centroids)
+    val bcCb = sc.broadcast(codebooks)
+    corpus
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
+      .select(col(idCol),
+        element_at(nearCellsUdf(bcCents)(col("__v"), lit(1)), 1).as("cell"),
+        pqAssignUdf(bcCb, offs)(col("__v")).as("codes"))
+  }
+
+  /** ADC top-k over a prebuilt [[ivfPqIndex]] frame: queries probe their
+    * `nprobe` nearest cells exactly like [[ivfSearchIndexed]] (probe
+    * cells assigned on the driver by the SAME [[nearCells]] function the
+    * index used), each probing query ships its (m × ksub) LUT in one
+    * broadcast cell→queries map, and scoring an index row is m lookups
+    * per query probing its cell. With `nprobe >= nlist` the candidate
+    * set is the whole corpus and results equal [[pqSearch]] row for row
+    * (pinned by spec); at production nprobe the scan fraction is
+    * nprobe/nlist of the code frame — both dials (pruning and
+    * compression) at once. Integral ids only, like [[pqSearch]].
+    */
+  def ivfPqSearch(index: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 8,
+      maxQueryBatch: Int = 100000): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "ivfPqSearch: codebooks must have >= 1 centroid per subspace")
+    val idT = index.schema(idCol).dataType
+    idT match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"ivfPqSearch: id column must be integral, got $other")
+    }
+    val probes = math.min(nprobe, centroids.length)
+    val m = codebooks.length
+    val d = codebooks.map(_.head.length).sum
+    val offs = pqOffsets(d, m)
+    val qRows: Array[(Long, Array[Float])] = collectQueryBatch(
+      queries
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol).cast(LongType), col(vecCol).cast(ArrayType(FloatType))),
+      maxQueryBatch, "ivfPqSearch")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // one LUT per query (same construction and FP order as [[pqSearch]],
+    // so the all-cells probe is score-identical), fanned out to the
+    // query's probe cells — the LUT array is SHARED across the cells,
+    // not copied per probe
+    val cellMap: Map[Int, Array[(Long, Array[Array[Double]])]] = qRows
+      .flatMap { case (qid, qv0) =>
+        val qv = pqPad(qv0, d)
+        val lut = Array.tabulate(m) { s =>
+          val off = offs(s)
+          val len = offs(s + 1) - off
+          codebooks(s).map { c =>
+            var acc = 0.0
+            var t = 0
+            while (t < len) { acc += (qv(off + t) * c(t)).toDouble; t += 1 }
+            acc
+          }
+        }
+        nearCells(centroids, qv0, probes).map(c => c -> (qid, lut))
+      }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val bcq = queries.sparkSession.sparkContext.broadcast(cellMap)
+    val scoreCell = udf { (nid: Long, cell: Int, codesRow: Seq[Int]) =>
+      bcq.value.get(cell) match {
+        case None => Seq.empty[(Long, Double)]
+        case Some(qs) =>
+          val cs = codesRow.toArray
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qs.length)
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, lut) = qs(qi)
+            if (qid != nid && cs.length == lut.length) {
+              var acc = 0.0
+              var s = 0
+              while (s < cs.length) { acc += lut(s)(cs(s)); s += 1 }
+              out += ((qid, acc))
+            }
+            qi += 1
+          }
+          out.toSeq
+      }
+    }
+    val scored = index
+      .where(col(idCol).isNotNull && col("codes").isNotNull && col("cell").isNotNull)
+      .select(col(idCol).cast(LongType).as("neighbor_id"), col("cell"), col("codes"))
+      .select(col("neighbor_id"),
+        explode(scoreCell(col("neighbor_id"), col("cell"), col("codes"))).as("t"))
+      .select(col("t._1").cast(idT).as("query_id"), col("neighbor_id"),
+        col("t._2").as("score"))
+    rankTopK(scored, k, idT)
+  }
 }

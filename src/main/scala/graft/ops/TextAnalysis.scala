@@ -311,6 +311,34 @@ object TextAnalysis {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Character-class mix of a document — the charset-level QC signal
+    * (script detection, mojibake/binary-spill flags, "mostly digits"
+    * boilerplate) that language filters threshold before any
+    * tokenization: the total plus counts of ASCII letters, ASCII
+    * digits, whitespace (the explicit [[WsCharsJava]] set,
+    * engine-portable), and non-ASCII code points. Classes OVERLAP by
+    * design (an NBSP is both whitespace and non-ASCII): each count
+    * answers its own filter question; they are not a partition.
+    * Counts are integer-exact — each class is `length(text) minus
+    * length(text with the class deleted)` over explicit character
+    * classes, so any SQL engine replays them bit-identically (fractions
+    * are one division away and engine-dependent; keep the counts).
+    * Pure column expressions: codegen'd, scan-speed, pushdown-friendly.
+    * Both `length()` and character classes operate on CODE POINTS in
+    * Spark and RE2-based engines alike, so the counts agree beyond the
+    * BMP too.
+    */
+  def charClassCounts(text: Column): Column = {
+    def without(cls: String): Column = length(regexp_replace(text, cls, ""))
+    val n = length(text)
+    struct(
+      n.as("n_chars"),
+      (n - without("[a-zA-Z]")).as("n_alpha"),
+      (n - without("[0-9]")).as("n_digit"),
+      (n - without(s"[$WsCharsJava]")).as("n_ws"),
+      (n - without("[^\\x00-\\x7F]")).as("n_non_ascii"))
+  }
+
   // ============ Bigram language-model scoring (CCNet-style) ============
 
   /** Train the corpus bigram language model behind [[lmScore]] — the

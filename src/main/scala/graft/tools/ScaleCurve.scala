@@ -200,6 +200,20 @@ object ScaleCurve {
         queries(q1), "vec_id", "embedding", k = 10)
         .write.format("noop").mode("overwrite").save()
 
+    /** IVFADC: coarse cells + PQ codes in one standing frame, both
+      * built untimed; the timed region probes nprobe/nlist of the code
+      * frame with per-query LUTs — the pruning AND the compression.
+      */
+    def sa6Index(path: String, out: String,
+        cents: Array[Array[Float]], cb: Array[Array[Array[Float]]]): Unit =
+      graft.ops.Similarity.ivfPqIndex(vecs(path), "vec_id", "embedding", cents, cb)
+        .write.mode("overwrite").parquet(out)
+    def sa6(idx: String, cents: Array[Array[Float]],
+        cb: Array[Array[Array[Float]]], q1: String): Unit =
+      graft.ops.Similarity.ivfPqSearch(spark.read.parquet(idx), cents, cb,
+        queries(q1), "vec_id", "embedding", k = 10, nprobe = 8)
+        .write.format("noop").mode("overwrite").save()
+
     /** min of two runs, each preceded by a GC + settle: six 10× workloads
       * back-to-back in ONE JVM heat the session (GC debris from earlier
       * shuffles degrades the later driver-side streams by 2-3×, measured
@@ -255,7 +269,11 @@ object ScaleCurve {
       val warmV = s"$work/warmv"
       buildVecs(2000, warmV)
       sa1(warmV, warmV); sa2(warmV, warmV); sa3(warmV, warmV)
-      sa5(s"$work/warmv-pq", sa5Index(warmV, s"$work/warmv-pq"), warmV)
+      val wCents = sa3Index(warmV, s"$work/warmv-ivfidx")
+      val wCb = sa5Index(warmV, s"$work/warmv-pq")
+      sa5(s"$work/warmv-pq", wCb, warmV)
+      sa6Index(warmV, s"$work/warmv-ivfpq", wCents, wCb)
+      sa6(s"$work/warmv-ivfpq", wCents, wCb, warmV)
 
       val v1 = s"$work/vecs1"
       val vN = s"$work/vecs$mult"
@@ -266,14 +284,17 @@ object ScaleCurve {
       System.err.println(s"[scale] vector corpora ready: $vRows at 1x, ${vRows * mult} at ${mult}x")
 
       val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_search",
-        "ann_pq_search")
+        "ann_pq_search", "ann_ivfpq_search")
       def runAll(path: String, tag: String): Seq[(String, Double)] = {
         val idx = s"$work/ivfidx-$tag"
         val cents = sa3Index(path, idx) // standing index: built untimed
         val pqIdx = s"$work/pqidx-$tag"
         val cb = sa5Index(path, pqIdx) // standing code frame: built untimed
+        val ipqIdx = s"$work/ivfpqidx-$tag"
+        sa6Index(path, ipqIdx, cents, cb) // standing IVFADC frame: untimed
         names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)), time(sa3(path, v1)),
-          time(sa4(idx, cents, v1)), time(sa5(pqIdx, cb, v1))))
+          time(sa4(idx, cents, v1)), time(sa5(pqIdx, cb, v1)),
+          time(sa6(ipqIdx, cents, cb, v1))))
       }
       val t1 = runAll(v1, "1")
       val tN = runAll(vN, s"$mult")

@@ -189,6 +189,24 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r8x64 >= 0.8, f"m=8 ksub=64 recall@10 = $r8x64%.3f")
     assert(r16x64 >= 0.8, f"m=16 ksub=64 recall@10 = $r16x64%.3f")
     assert(cr16x64 >= 0.99, f"cluster-recall@10 = $cr16x64%.3f")
+    // IVFADC (cells prune, codes compress): same tie-capped exact-set
+    // band as flat ADC, cluster hit rate intact at production nprobe
+    val cb = Similarity.pqTrain(nc, "vec_id", "embedding", m = 16, ksub = 64,
+      lloydPasses = 1)
+    val cents = Similarity.ivfTrain(nc, "vec_id", "embedding", nlist = 64,
+      lloydPasses = 1)
+    val idx = Similarity.ivfPqIndex(nc, "vec_id", "embedding", cents, cb).cache()
+    idx.count()
+    val ivfpq = Similarity.ivfPqSearch(idx, cents, cb, nq,
+      "vec_id", "embedding", k = K, nprobe = 8)
+    val rIvfPq = recall(ivfpq)
+    val crIvfPq = topSet(ivfpq).count { case (qid, nid) =>
+      (qid - 100000) == nid / Members }.toDouble / (100 * K)
+    info(f"ivfPqSearch m=16 ksub=64 nlist=64 nprobe=8 recall@10 = $rIvfPq%.3f")
+    info(f"ivfPqSearch m=16 ksub=64 nlist=64 nprobe=8 cluster-recall@10 = $crIvfPq%.3f")
+    assert(rIvfPq >= 0.8, f"IVFADC recall@10 = $rIvfPq%.3f")
+    assert(crIvfPq >= 0.99, f"IVFADC cluster-recall@10 = $crIvfPq%.3f")
+    idx.unpersist()
     nc.unpersist(); nq.unpersist()
   }
 

@@ -276,4 +276,22 @@ class FiltersSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(d30.size == 30 && d30.subsetOf(d100)) // prefix property of the hash order
   }
+
+  test("charClassCounts: exact per-class counts, overlapping classes, empty text") {
+    import graft.ops.TextAnalysis
+    // "Hello, wörld 123!" + NBSP + "中文 ok": NBSP is whitespace AND
+    // non-ASCII (classes overlap by contract); ö/中/文 are non-ASCII
+    val df = Seq(
+      (1L, "Hello, wörld 123! 中文 ok"),
+      (2L, ""),
+      (3L, "only ascii words")).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.charClassCounts($"text").as("c"))
+      .select($"doc_id", $"c.n_chars", $"c.n_alpha", $"c.n_digit", $"c.n_ws",
+        $"c.n_non_ascii")
+      .as[(Long, Int, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(got(1L) == ((23, 11, 3, 4, 4)))
+    assert(got(2L) == ((0, 0, 0, 0, 0)))
+    assert(got(3L) == ((16, 14, 0, 2, 0)))
+  }
 }

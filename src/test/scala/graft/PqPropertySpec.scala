@@ -147,6 +147,41 @@ class PqPropertySpec extends AnyFunSuite {
     assert(codesOf(df.repartition(7)) == want, "codes changed under repartitioning")
   }
 
+  test("ivfPqSearch with nprobe = nlist equals pqSearch row for row; pruning only drops candidates") {
+    import spark.implicits._
+    val vecs = (0L until 120L).map(i => i -> mkVec(i, 8, 29L))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = (0L until 8L).map(i => (2000L + i) -> mkVec(i * 7 + 2, 8, 29L))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "vec_id", "embedding", m = 4, ksub = 8, lloydPasses = 1)
+    val cents = Similarity.ivfTrain(df, "vec_id", "embedding", nlist = 6, lloydPasses = 1)
+    val idx = Similarity.ivfPqIndex(df, "vec_id", "embedding", cents, cb).cache()
+    idx.count()
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      d.select($"query_id", $"rank", $"neighbor_id", $"score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // all-cells probe = the flat ADC scan, bit-identical scores included
+    val full = rows(Similarity.ivfPqSearch(idx, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 6))
+    val flat = rows(Similarity.pqSearch(
+      Similarity.pqEncode(df, "vec_id", "embedding", cb), cb, queries,
+      "vec_id", "embedding", k = 5))
+    assert(full == flat)
+    // pruned probe returns a SUBSET of the flat candidate pairs with
+    // identical scores for what it does return (k large enough that the
+    // flat run ranks every corpus row)
+    val pruned = rows(Similarity.ivfPqSearch(idx, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val flatScores = rows(Similarity.pqSearch(
+        Similarity.pqEncode(df, "vec_id", "embedding", cb), cb, queries,
+        "vec_id", "embedding", k = 200))
+      .map { case (q, _, n, s) => (q, n) -> s }.toMap
+    pruned.foreach { case (q, _, n, s) =>
+      assert(flatScores.get((q, n)).contains(s), s"pruned pair ($q, $n) score drifted")
+    }
+    idx.unpersist()
+  }
+
   test("pqSearch equals the naive ADC ranking (score desc, id asc, self excluded)") {
     import spark.implicits._
     val vecs = (0L until 40L).map(i => i -> mkVec(i, 8, 23L))

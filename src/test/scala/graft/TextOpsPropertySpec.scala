@@ -283,4 +283,54 @@ class TextOpsPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzz: scrubSpans equals the naive covered-union reference (n=3)") {
+    import spark.implicits._
+    import graft.ops.Decontaminate
+    // small word alphabet → natural 3-gram overlap between random docs,
+    // so spans, merges, and full-doc scrubs all occur without planting
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "x1", "x2")
+    val doc = Gen.choose(0, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(24, doc)
+    val n = 3
+    forAllSeeded(corpus, 8) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val bench = docs.where($"doc_id" % 5 === 1).select($"text")
+      // naive reference: tokens → bench gram set → covered-position union
+      def toks(t: String): Array[String] =
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      def gramsOf(t: String): Seq[Seq[String]] = {
+        val ts = toks(t).toSeq
+        if (ts.length < n) Seq.empty else ts.sliding(n).toSeq
+      }
+      val benchSet: Set[Seq[String]] = texts.zipWithIndex
+        .filter(_._2 % 5 == 1).flatMap(x => gramsOf(x._1)).toSet
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        val ts = toks(t)
+        val covered = new Array[Boolean](ts.length)
+        if (ts.length >= n)
+          (0 to ts.length - n).foreach { s =>
+            if (benchSet(ts.slice(s, s + n).toSeq))
+              (s until s + n).foreach(covered(_) = true)
+          }
+        val removed = covered.count(identity)
+        val spans = covered.indices.count(p => covered(p) && (p == 0 || !covered(p - 1)))
+        val text = if (removed == 0) t
+          else ts.indices.filterNot(covered).map(ts).mkString(" ")
+        i.toLong -> ((text, spans, removed))
+      }.toMap
+      val got = Decontaminate.scrubSpans(docs, "text", "doc_id", bench, "text", n = n)
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == want)
+      // Bloom prefilter path: output-identical
+      val viaBloom = Decontaminate.scrubSpans(docs, "text", "doc_id", bench, "text",
+          n = n, bloomFpp = 0.01)
+        .as[(Long, String, Int, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(viaBloom == want)
+    }
+  }
 }

@@ -184,6 +184,46 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
         "the corpus side of the bucket join is reaching an exchange")
   }
 
+  test("lmScore is a zero-shuffle scan against the broadcast standing model") {
+    import spark.implicits._
+    val docs = (1 to 2000).map(i => (i.toLong, s"alpha beta gamma doc $i body " * 40))
+      .toDF("doc_id", "text")
+    val (uni, bi) = graft.ops.TextAnalysis.bigramModel(docs, "text",
+      vocabSize = 100, maxBigrams = 1000)
+    // model build shuffles (two aggregations) — that is its documented
+    // once-per-release cost. SCORING must not: one scan through the
+    // compiled kernel, model lookups in broadcast maps, no exchange.
+    val out = graft.ops.TextAnalysis.lmScore(docs, "text", "doc_id", uni, bi)
+    val shuffled = shuffleBytesWritten(out)
+    assert(out.count() == 2000)
+    assert(shuffled == 0,
+      s"lmScore shuffled $shuffled bytes — the scoring scan grew an exchange")
+  }
+
+  test("scrubSpans ships positions and 16-char gram keys, not document text") {
+    import spark.implicits._
+    // ~1% of docs embed a benchmark 8-gram inside ~2.4 KB of body text:
+    // the realistic sparse-contamination shape. The exchanges carry
+    // (id, window-pos, md5-16) postings and the matched-starts lists —
+    // the document text itself stays out of every shuffle (the final
+    // payload join broadcasts the tiny hits side under AQE).
+    val leak = (1 to 8).map(i => s"leak$i").mkString(" ")
+    val docs = (1 to 3000).map { i =>
+      val body = s"doc body token $i " * 150 // ~2.5 KB
+      (i.toLong, if (i % 100 == 0) s"$body $leak" else body)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val textBytes = docs.map(_._2.length.toLong).sum
+    val bench = Seq(s"context before $leak context after").toDF("text")
+    val out = graft.ops.Decontaminate.scrubSpans(df, "text", "doc_id",
+      bench, "text", n = 8)
+    val shuffled = shuffleBytesWritten(out)
+    assert(out.where($"n_spans_removed" > 0).count() == 30) // the planted 1%
+    assert(shuffled < textBytes / 10,
+      f"scrubSpans shuffled $shuffled bytes vs $textBytes text bytes " +
+        f"(${100.0 * shuffled / textBytes}%.1f%%) — the payload is leaking into an exchange")
+  }
+
   test("exactDedup shuffles fingerprints, not documents (measured bytes)") {
     import spark.implicits._
     // ~2 KB docs, ~10% exact duplicates — the realistic corpus shape the

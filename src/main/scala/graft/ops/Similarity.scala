@@ -735,8 +735,16 @@ object Similarity {
             out.toSeq
         }
       }
+      // explicit probe-union filter: the scoring UDF already no-ops on
+      // unprobed cells, but only a PREDICATE lets Catalyst prune — on a
+      // cell-partitioned standing index this skips the unprobed
+      // partitions at the source (nprobe × |queries| cells read instead
+      // of the whole frame; PartitionPruneSpec measures it), and even
+      // unpartitioned it short-circuits rows before the UDF
+      val probedCells = cellMap.keys.toSeq
       val scored = index
-        .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .where(col(idCol).isNotNull && col(vecCol).isNotNull &&
+          col("cell").isin(probedCells: _*))
         .select(col(idCol).cast(LongType).as("neighbor_id"), col("cell"),
           col(vecCol).cast(ArrayType(FloatType)).as("cv"))
         .select(col("neighbor_id"),
@@ -1450,8 +1458,13 @@ object Similarity {
           out.toSeq
       }
     }
+    // probe-union predicate for source-level pruning, exactly like
+    // [[ivfSearchIndexed]] — on a cell-partitioned code frame the
+    // unprobed partitions are never read
+    val probedCells = cellMap.keys.toSeq
     val scored = index
-      .where(col(idCol).isNotNull && col("codes").isNotNull && col("cell").isNotNull)
+      .where(col(idCol).isNotNull && col("codes").isNotNull &&
+        col("cell").isin(probedCells: _*))
       .select(col(idCol).cast(LongType).as("neighbor_id"), col("cell"), col("codes"))
       .select(col("neighbor_id"),
         explode(scoreCell(col("neighbor_id"), col("cell"), col("codes"))).as("t"))

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Similarity
+
+/** MEASURED partition-pruning evidence for the standing-index search
+  * paths: the Scaladoc tells users to persist [[Similarity.ivfIndex]] /
+  * [[Similarity.ivfPqIndex]] partitioned by `cell` so a probe scans only
+  * its cells — this spec writes a cell-partitioned index, searches it,
+  * and reads the actual scan-output row count off the executed plan. The
+  * probe-union predicate (`cell IN (...)`) is what makes Catalyst prune;
+  * a regression that drops it (scoring alone no-ops unprobed cells but
+  * reads them) fails the row-count assert by the unpruned fraction, and
+  * the results must stay identical to the unpartitioned in-memory frame.
+  */
+class PartitionPruneSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  private def h(a: Long, b: Long): Double = {
+    var x = a * 0x9E3779B97F4A7C15L + b * 0xD1B54A32D192ED03L + 0x2545F4914F6CDD1DL
+    x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+    x ^= x >>> 27; x *= 0x94D049BB133111EBL
+    x ^= x >>> 31
+    (x >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+  }
+
+  private def mkVec(id: Long): Array[Float] =
+    Array.tabulate(16)(j => h(id * 131 + j, 41L).toFloat)
+
+  /** Sum of `numOutputRows` over every file-source scan in the executed
+    * adaptive plan — rows actually emitted by the parquet read, i.e.
+    * rows in the partitions that SURVIVED pruning.
+    */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    def sum(p: SparkPlan): Long = {
+      val self = p match {
+        case s: FileSourceScanExec =>
+          s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        case _ => 0L
+      }
+      self + unwrap(p).map(sum).sum
+    }
+    sum(df.queryExecution.executedPlan)
+  }
+
+  test("cell-partitioned IVFADC index: a probe reads only its cells' partitions") {
+    import spark.implicits._
+    val n = 2000
+    val corpus = (0L until n.toLong).map(i => i -> mkVec(i)).toDF("vec_id", "embedding")
+      .cache()
+    corpus.count()
+    val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+      nlist = 16, lloydPasses = 1)
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 4, ksub = 16, lloydPasses = 1)
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", cents, cb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/idx"
+    idx.write.partitionBy("cell").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val queries = Seq(5000L -> mkVec(3), 5001L -> mkVec(7))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqSearch(stored, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val read = scanRows(res)
+    // 2 queries × nprobe 2 → at most 4 of 16 cells survive pruning; with
+    // ~uniform cells that is ~500 of 2000 rows. The assert leaves room
+    // for skewed cells but fails hard if the whole frame is read.
+    assert(read < n * 0.6, s"scan emitted $read of $n rows — partitions not pruned")
+    assert(read > 0)
+    // pruning must not change results: identical to the in-memory frame
+    def rows(d: DataFrame): Set[(Long, Int, Long, Double)] =
+      d.select($"query_id", $"rank", $"neighbor_id", $"score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    assert(rows(res) == rows(Similarity.ivfPqSearch(idx, cents, cb, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)))
+    // same contract on the float-vector IVF index
+    val vIdx = Similarity.ivfIndex(corpus, "vec_id", "embedding", cents)
+    val vDir = java.nio.file.Files.createTempDirectory("graft_prune_v").toString + "/idx"
+    vIdx.write.partitionBy("cell").parquet(vDir)
+    val vRes = Similarity.ivfSearchIndexed(spark.read.parquet(vDir), cents, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)
+    val vRead = scanRows(vRes)
+    assert(vRead < n * 0.6, s"IVF scan emitted $vRead of $n rows — not pruned")
+    assert(rows(vRes) == rows(Similarity.ivfSearchIndexed(vIdx, cents, queries,
+      "vec_id", "embedding", k = 5, nprobe = 2)))
+    corpus.unpersist()
+  }
+}

@@ -358,13 +358,20 @@ object TextAnalysis {
     * Both frames are bounded by the caps, not the corpus — persist them
     * once and score any number of batches. Scale shape: one shuffle-free
     * scan (total token count), one (token, count) aggregation, and one
-    * (w1, w2, count) aggregation — the token stream itself shuffles only
-    * as map-side-combined count partials; bigram vocabulary mapping is
-    * two broadcast joins against the vocab frame, so the exploded bigram
-    * stream never shuffles before its partial aggregation. Every
+    * bigram-pair aggregation — the token stream itself shuffles only as
+    * map-side-combined count partials; vocabulary mapping runs inside a
+    * compiled per-doc kernel over the broadcast vocab set (bounded by
+    * `vocabSize`), so the exploded pair stream is one short string per
+    * bigram and never shuffles before its partial aggregation. Every
     * selection order is total (counts then token text, ASCII by
     * construction), so the model — and everything scored with it — is
     * deterministic and oracle-replayable.
+    *
+    * The three scans re-evaluate `df`'s lineage each time — persist or
+    * checkpoint an input that is expensive to recompute before calling
+    * (the LmProbe measurement: on a checkpointed 600k corpus the build
+    * is ~2 s; through an unsplittable re-synthesized input the same
+    * build reads as ~10 s of corpus decode).
     */
   def bigramModel(df: DataFrame, textCol: String,
       vocabSize: Int = 20000, maxBigrams: Int = 200000): (DataFrame, DataFrame) = {
@@ -382,22 +389,44 @@ object TextAnalysis {
     import spark.implicits._
     val uni = vocab.unionAll(
       Seq(("<unk>", totalToks - vocabToks)).toDF("token", "n"))
-    val nT = size(col("__toks"))
-    val pairs = toks.where(nT >= 2)
-      .select(explode(zip_with(
-        slice(col("__toks"), lit(1), nT - 1),
-        slice(col("__toks"), lit(2), nT - 1),
-        (a, b) => struct(a.as("w1r"), b.as("w2r")))).as("bg"))
-      .select(col("bg.w1r").as("w1r"), col("bg.w2r").as("w2r"))
-    val bi = pairs
-      .join(broadcast(vocab.select(col("token").as("__v1"))),
-        col("w1r") === col("__v1"), "left")
-      .join(broadcast(vocab.select(col("token").as("__v2"))),
-        col("w2r") === col("__v2"), "left")
-      .select(coalesce(col("__v1"), lit("<unk>")).as("w1"),
-        coalesce(col("__v2"), lit("<unk>")).as("w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w1"), col("w2")).limit(maxBigrams)
+    // bigram counting through a compiled per-doc kernel over the
+    // broadcast vocab set (bounded by vocabSize): each doc emits its
+    // mapped "w1 w2" pair strings in one pass — no struct explode, no
+    // per-pair join probes. A single space joins the pair, and since
+    // space sorts below every token character ([a-z0-9]), the
+    // (n desc, pair asc) selection below is EXACTLY the documented
+    // (n desc, w1 asc, w2 asc) order; the pair splits back apart after
+    // the cap.
+    val vocabSet: Set[String] =
+      vocab.select("token").collect().map(_.getString(0)).toSet
+    val bcVocab = spark.sparkContext.broadcast(vocabSet)
+    val pairsOf = udf { (ts: Seq[String]) =>
+      if (ts == null || ts.lengthCompare(2) < 0) Array.empty[String]
+      else {
+        val vs = bcVocab.value
+        val raw = ts.toArray
+        val m = new Array[String](raw.length)
+        var i = 0
+        while (i < raw.length) {
+          m(i) = if (vs.contains(raw(i))) raw(i) else "<unk>"
+          i += 1
+        }
+        val out = new Array[String](raw.length - 1)
+        i = 0
+        while (i < raw.length - 1) {
+          out(i) = m(i) + " " + m(i + 1)
+          i += 1
+        }
+        out
+      }
+    }
+    val bi = toks
+      .select(explode(pairsOf(col("__toks"))).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p")).limit(maxBigrams)
+      .select(element_at(split(col("p"), " "), 1).as("w1"),
+        element_at(split(col("p"), " "), 2).as("w2"),
+        col("n"))
     (uni, bi)
   }
 

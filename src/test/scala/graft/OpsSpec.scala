@@ -976,6 +976,30 @@ class OpsSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("LSH index/search split: parquet-persisted signature frame reproduces lshTopKProbed") {
+    import spark.implicits._
+    val dim = 8
+    val points = (0 until 120).map { i =>
+      val rnd = new scala.util.Random(91 * i + 3)
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 4)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id", $"rank", $"score")
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val oneShot = keyed(Similarity.lshTopKProbed(emb, queries, "vec_id", "embedding",
+      k = 5, nBits = 6, probeDepth = 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh").toString
+    Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 6)
+      .write.mode("overwrite").parquet(s"$dir/index.parquet")
+    val viaIndex = keyed(Similarity.lshSearchIndexed(
+      spark.read.parquet(s"$dir/index.parquet"), queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 2))
+    assert(viaIndex == oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("IVF Lloyd refinement: recall vs brute force on a clustered corpus") {
     import spark.implicits._
     val dim = 8

@@ -719,6 +719,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x64_token_budget" -> ((s, dir) =>
+      // exact per-source token-budget mixture: hash-order prefix under a
+      // running n_chars budget, replayed by the oracle's identical
+      // windowed cumsum — budgets sized to bite mid-source at every SF
+      Sampling.tokenBudgetMix(rd(s, dir, "documents"), "doc_id", "n_chars",
+          "source", budgets = Map("src0" -> 60000L, "src1" -> 25000L),
+          defaultBudget = 12000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "x65_token_budget_approx" -> ((s, dir) =>
+      // the windowless scale form: keep the hash-fraction budget/total
+      // per source — fraction is one IEEE division from two exact
+      // integers, so the keep set replays bit-identically in SQL
+      Sampling.tokenBudgetMixApprox(rd(s, dir, "documents"), "doc_id", "n_chars",
+          "source", budgets = Map("src0" -> 60000L, "src1" -> 25000L),
+          defaultBudget = 12000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))),
+
     "x62_char_mix" -> ((s, dir) =>
       // charset-level QC counts, integer-exact in both engines (each
       // class = length minus length-with-class-deleted over EXPLICIT
@@ -1862,6 +1882,31 @@ object SparkEntry {
         |  len(t.tk) - COALESCE(a.n_tokens_removed, 0) AS n_tokens_after
         |FROM toks t LEFT JOIN agg a USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "x64_token_budget" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source
+        |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT,
+        |        doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM ranked
+        |WHERE cum <= CASE source WHEN 'src0' THEN 60000 WHEN 'src1' THEN 25000 ELSE 12000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "x65_token_budget_approx" ->
+      """WITH totals AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tot
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN totals t USING (source)
+        |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT::DOUBLE
+        |      / 1152921504606846976 <
+        |  least(CAST(1.0 AS DOUBLE),
+        |    CAST(CASE d.source WHEN 'src0' THEN 60000 WHEN 'src1' THEN 25000 ELSE 12000 END AS DOUBLE)
+        |      / CAST(t.tot AS DOUBLE))
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x62_char_mix" ->
       s"""SELECT doc_id,

@@ -150,4 +150,72 @@ object Sampling {
   def hashTopN(df: DataFrame, idCol: String, n: Int,
       salt: String = "graft"): DataFrame =
     df.orderBy(hashLong(col(idCol), salt), col(idCol)).limit(n)
+
+  /** Per-source TOKEN-budget selection — the mixture-building step that
+    * caps each source by token mass, not row count ([[domainCap]]'s
+    * sibling; published mixture recipes specify sources in tokens):
+    * within each source, rows are taken in the deterministic
+    * [[hashLong]] order (a uniform interleave, not corpus order) while
+    * the running token total stays ≤ the source's budget. Greedy prefix
+    * semantics: the first row that would overflow stops the source (no
+    * knapsack backfill), so the kept set is a hash-order PREFIX —
+    * stable under repartitioning and replayable by any SQL engine.
+    * Unlisted sources get `defaultBudget` (default: unlimited).
+    *
+    * Scale shape: the running sum windows over fixed-width (source,
+    * hash, id, tokens) rows — the payload joins back by id semi-join,
+    * never entering the window exchange. The window partitions by
+    * SOURCE, so one giant source serializes its (fixed-width) cumsum in
+    * one task: that is inherent to an exact sequential budget; use
+    * [[tokenBudgetMixApprox]] at the scale where it bites.
+    */
+  def tokenBudgetMix(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, salt: String = "graft"): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "token budgets must be >= 0")
+    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
+      when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashLong(col(idCol), salt), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val keep = df.select(col(sourceCol), col(idCol), col(tokenCol))
+      .withColumn("__cum", sum(col(tokenCol).cast(LongType)).over(w))
+      .where(col("__cum") <= budget)
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** The scale form of [[tokenBudgetMix]]: instead of an exact
+    * sequential cumsum, each source keeps the hash-fraction
+    * `min(1, budget / total_tokens(source))` of its rows — in
+    * EXPECTATION the token budget (hash order is independent of token
+    * length), within ±O(√n) token noise, with no window at all: one
+    * aggregation for the per-source totals (collected driver-side —
+    * source cardinality is assumed bounded, the [[temperatureMix]]
+    * precedent) and then a stateless codegen'd filter. Deterministic
+    * and engine-replayable: the fraction is one IEEE division from two
+    * exact integers, and the keep test is the [[hashUniform]]
+    * comparison every sampler here uses.
+    */
+  def tokenBudgetMixApprox(df: DataFrame, idCol: String, tokenCol: String,
+      sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, salt: String = "graft"): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
+      "token budgets must be >= 0")
+    val totals: Seq[(String, Long)] = df
+      .where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol))
+      .agg(coalesce(sum(col(tokenCol).cast(LongType)), lit(0L)).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val frac = totals.foldLeft(lit(0.0)) { case (acc, (s, tot)) =>
+      val b = budgets.getOrElse(s, defaultBudget)
+      val f = if (tot <= 0) 1.0 else math.min(1.0, b.toDouble / tot.toDouble)
+      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    df.where(hashUniform(col(idCol), salt) < frac)
+  }
 }

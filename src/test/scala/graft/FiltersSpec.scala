@@ -277,6 +277,50 @@ class FiltersSpec extends AnyFunSuite {
     assert(d30.size == 30 && d30.subsetOf(d100)) // prefix property of the hash order
   }
 
+  test("tokenBudgetMix: greedy hash-order prefix per source; approx form budgets in expectation") {
+    val docs = (1 to 300).map(i => (i.toLong, s"s${i % 3}", 10L + (i % 7)))
+      .toDF("id", "src", "toks")
+    val budgets = Map("s0" -> 300L, "s1" -> 200L)
+    def kept(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      Sampling.tokenBudgetMix(d, "id", "toks", "src", budgets, defaultBudget = 150L)
+        .select("id").as[Long].collect().toSet
+    val got = kept(docs)
+    // independent reference: per source, hash-order greedy prefix
+    val hashes = docs.select($"id", Sampling.hashLong($"id", "graft").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val want = (0 to 2).flatMap { s =>
+      val rows = (1 to 300).filter(_ % 3 == s)
+        .map(i => (i.toLong, 10L + (i % 7)))
+        .sortBy { case (id, _) => (hashes(id), id) }
+      val budget = budgets.getOrElse(s"s$s", 150L)
+      var cum = 0L
+      rows.takeWhile { case (_, t) => cum += t; cum <= budget }.map(_._1)
+    }.toSet
+    assert(got == want)
+    assert(kept(docs.repartition(7)) == got, "selection changed under repartitioning")
+    // per-source kept token mass: under budget, and within one max-doc of it
+    val tokOf = (1 to 300).map(i => i.toLong -> (10L + (i % 7))).toMap
+    (0 to 2).foreach { s =>
+      val mass = got.filter(_ % 3 == s).toSeq.map(tokOf).sum
+      val budget = budgets.getOrElse(s"s$s", 150L)
+      assert(mass <= budget && mass > budget - 17, s"s$s kept $mass of $budget")
+    }
+    // approx form: expected-budget token mass (loose tolerance), and a
+    // larger budget keeps a superset (same salt → nested hash prefixes)
+    val approx = Sampling.tokenBudgetMixApprox(docs, "id", "toks", "src",
+        budgets, defaultBudget = 150L)
+      .select("id").as[Long].collect().toSet
+    (0 to 2).foreach { s =>
+      val mass = approx.filter(_ % 3 == s).toSeq.map(tokOf).sum
+      val budget = budgets.getOrElse(s"s$s", 150L)
+      assert(math.abs(mass - budget) <= 120, s"s$s approx mass $mass vs budget $budget")
+    }
+    val approxBig = Sampling.tokenBudgetMixApprox(docs, "id", "toks", "src",
+        budgets.view.mapValues(_ * 2).toMap, defaultBudget = 300L)
+      .select("id").as[Long].collect().toSet
+    assert(approx.subsetOf(approxBig))
+  }
+
   test("charClassCounts: exact per-class counts, overlapping classes, empty text") {
     import graft.ops.TextAnalysis
     // "Hello, wörld 123!" + NBSP + "中文 ok": NBSP is whitespace AND

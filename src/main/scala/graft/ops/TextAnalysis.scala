@@ -506,12 +506,16 @@ object TextAnalysis {
       val h = if (n >= 2) -lp / ((n - 1) * math.log(2.0)) else 0.0
       (n.toLong, nOov, known, h)
     }
-    df.select(col(idCol), score(tokens(col(textCol))).as("__s"))
-      .select(col(idCol),
-        col("__s._1").as("n_tokens"),
-        col("__s._2").as("n_oov"),
-        col("__s._3").as("n_known_bigrams"),
-        col("__s._4").as("cross_entropy"))
+    require(!df.columns.contains("__lmsc"), "column name __lmsc is reserved")
+    // input columns pass through (filter on the scores and continue with
+    // the text in ONE stateless projection — also what lets the same
+    // call run unchanged on a readStream frame; StreamingSpec pins it)
+    df.withColumn("__lmsc", score(tokens(col(textCol))))
+      .withColumn("n_tokens", col("__lmsc._1"))
+      .withColumn("n_oov", col("__lmsc._2"))
+      .withColumn("n_known_bigrams", col("__lmsc._3"))
+      .withColumn("cross_entropy", col("__lmsc._4"))
+      .drop("__lmsc")
   }
 
   val EnglishStopwords: Seq[String] = Seq(

@@ -103,6 +103,7 @@ class LmPropertySpec extends AnyFunSuite {
       .map { case (w1, w2, n) => (w1, w2) -> n }.toMap
     assert(gotBi == want.bi, s"$label: bigram model")
     val got = TextAnalysis.lmScore(docs, "text", "doc_id", uni, bi, alpha)
+      .select("doc_id", "n_tokens", "n_oov", "n_known_bigrams", "cross_entropy")
       .as[(Long, Long, Long, Long, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     texts.zipWithIndex.foreach { case (t, i) =>

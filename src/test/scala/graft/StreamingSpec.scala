@@ -141,6 +141,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids().sorted == Seq(1L, 2L, 13L))
   }
 
+  test("stateless QC family runs unchanged on a stream: per-batch output equals the batch run") {
+    // the pipeline claim beyond the stateful dedup ops: quality scoring,
+    // charset QC, PII redaction, and standing-model LM scoring are all
+    // stateless projections, so the SAME code runs on readStream frames
+    // with no streaming-specific path — asserted by appending two
+    // micro-batches and comparing against one batch run over the union
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.ops.{Redact, TextAnalysis}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val modelCorpus = Seq(
+      (100L, "alpha beta gamma alpha beta"),
+      (101L, "beta gamma delta beta gamma"),
+      (102L, "gamma delta alpha gamma delta")).toDF("doc_id", "text")
+    val (uni, bi) = TextAnalysis.bigramModel(modelCorpus, "text", 20, 50)
+    val (uc, bc) = (uni.localCheckpoint(true), bi.localCheckpoint(true))
+    def qc(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.lmScore(df, "text", "doc_id", uc, bc)
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          col("n_known_bigrams"), round(col("cross_entropy"), 6).as("h"),
+          TextAnalysis.qualityScore(col("text")).as("q"),
+          TextAnalysis.charClassCounts(col("text")).as("cc"),
+          Redact.redact(col("text")).as("clean"))
+    val batches = Seq(
+      Seq((1L, "alpha beta gamma says hi to a@b.com"),
+        (2L, "delta gamma beta and 10.1.1.1 talked")),
+      Seq((3L, "unrelated words entirely here"),
+        (4L, "alpha beta alpha beta alpha beta")))
+    val in = MemoryStream[(Long, String)]
+    val q = qc(in.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sqc").outputMode("append").start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("sqc").collect().map(_.toSeq).toSet
+      val batch = qc(batches.flatten.toDF("doc_id", "text")).collect()
+        .map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermarked state join over MemoryStream sides") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -496,12 +496,16 @@ object Similarity {
     * join), and search any number of query batches with
     * [[lshSearchIndexed]] — completing the train-once/search-many split
     * the IVF ([[ivfIndex]]) and PQ ([[pqEncode]]) families already
-    * have. Searching `nBits` must match the index's.
+    * have. Searching `nBits` must match the index's — the index carries
+    * it as the constant `nbits` column (free under parquet RLE) so
+    * [[lshSearchIndexed]] can verify instead of silently probing the
+    * wrong bucket space.
     */
   def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nBits: Int = 12): DataFrame = {
     val sig = hyperplaneFast(corpus.schema(vecCol).dataType, nBits)(col(vecCol))
-    corpus.select(col(idCol), col(vecCol), sig.as("bucket"))
+    corpus.select(col(idCol), col(vecCol), sig.as("bucket"),
+      lit(nBits).as("nbits"))
   }
 
   /** Multi-probe ANN search over a prebuilt [[lshIndex]] frame — the
@@ -515,7 +519,21 @@ object Similarity {
     require(probeDepth >= 0 && probeDepth <= 2,
       s"probeDepth must be 0, 1, or 2, got $probeDepth")
     val sig = hyperplaneFast(index.schema(vecCol).dataType, nBits)(col(vecCol))
-    val c = index.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    // a signature-width mismatch (index built at one nBits, searched at
+    // another) probes the wrong bucket space and returns near-empty
+    // results with no error — fail fast instead. The index carries its
+    // width as the constant `nbits` column ([[lshIndex]]); the check is
+    // a codegen'd per-row assert on a RLE constant, no extra action.
+    // Frames persisted before the column existed pass through unchecked.
+    val checked =
+      if (index.columns.contains("nbits"))
+        index.where(assert_true(col("nbits") === lit(nBits),
+          lit(s"lshSearchIndexed: searching with nBits = $nBits but the " +
+            "standing index was built with a different width (see the " +
+            "index's nbits column) — rebuild the index or pass its nBits"))
+          .isNull)
+      else index
+    val c = checked.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       col("bucket"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), sig.as("qsig"))
     // flip masks are a tiny compile-time-constant set (≤ 1 + nBits +

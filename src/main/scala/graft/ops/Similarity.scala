@@ -523,11 +523,18 @@ object Similarity {
     // another) probes the wrong bucket space and returns near-empty
     // results with no error — fail fast instead. The index carries its
     // width as the constant `nbits` column ([[lshIndex]]); the check is
-    // a codegen'd per-row assert on a RLE constant, no extra action.
-    // Frames persisted before the column existed pass through unchecked.
+    // a codegen'd per-row assert on a RLE constant, no extra action —
+    // which also means it is LAZY: it fires only when an action scans at
+    // least one index row, so an empty (or fully pruned) mismatched
+    // index still returns empty results silently. Frames persisted
+    // before the column existed pass through unchecked, and so do NULL
+    // nbits values (e.g. a legacy frame unioned with a new one —
+    // null-tolerance keeps the legacy half from failing the whole scan
+    // with a misleading width error).
     val checked =
       if (index.columns.contains("nbits"))
-        index.where(assert_true(col("nbits") === lit(nBits),
+        index.where(assert_true(
+          col("nbits").isNull || col("nbits") === lit(nBits),
           lit(s"lshSearchIndexed: searching with nBits = $nBits but the " +
             "standing index was built with a different width (see the " +
             "index's nbits column) — rebuild the index or pass its nBits"))
@@ -1361,14 +1368,23 @@ object Similarity {
       (qid, lut)
     }
     val bcl = queries.sparkSession.sparkContext.broadcast(luts)
+    // a code row whose length != m means the frame was encoded with a
+    // DIFFERENT codebook — raise instead of silently skipping the row
+    // (a mis-paired codebook would otherwise return empty/partial
+    // results with no error, the lshSearchIndexed nbits lesson)
+    val mm = m
     val scoreCodes = udf { (nid: Long, codesRow: Seq[Int]) =>
       val cs = codesRow.toArray
+      if (cs.length != mm) throw new IllegalArgumentException(
+        s"pqSearch: codes row for id $nid has ${cs.length} codes but the " +
+          s"codebook has m = $mm subspaces — the code frame was encoded " +
+          "with a different codebook; re-encode or pass the matching one")
       val qs = bcl.value
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qs.length)
       var qi = 0
       while (qi < qs.length) {
         val (qid, lut) = qs(qi)
-        if (qid != nid && cs.length == lut.length) {
+        if (qid != nid) {
           var acc = 0.0
           var s = 0
           while (s < cs.length) { acc += lut(s)(cs(s)); s += 1 }
@@ -1485,16 +1501,25 @@ object Similarity {
       }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcq = queries.sparkSession.sparkContext.broadcast(cellMap)
+    // same mis-paired-codebook contract as [[pqSearch]]: wrong code
+    // length raises, it never silently drops candidates. The check runs
+    // on every scanned row, not just probed cells — a bad frame fails on
+    // the first action instead of whenever a probe happens to land on it.
+    val mm = m
     val scoreCell = udf { (nid: Long, cell: Int, codesRow: Seq[Int]) =>
+      val cs = codesRow.toArray
+      if (cs.length != mm) throw new IllegalArgumentException(
+        s"ivfPqSearch: codes row for id $nid has ${cs.length} codes but " +
+          s"the codebook has m = $mm subspaces — the index was encoded " +
+          "with a different codebook; re-encode or pass the matching one")
       bcq.value.get(cell) match {
         case None => Seq.empty[(Long, Double)]
         case Some(qs) =>
-          val cs = codesRow.toArray
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qs.length)
           var qi = 0
           while (qi < qs.length) {
             val (qid, lut) = qs(qi)
-            if (qid != nid && cs.length == lut.length) {
+            if (qid != nid) {
               var acc = 0.0
               var s = 0
               while (s < cs.length) { acc += lut(s)(cs(s)); s += 1 }

@@ -507,6 +507,18 @@ object TextAnalysis {
       (n.toLong, nOov, known, h)
     }
     require(!df.columns.contains("__lmsc"), "column name __lmsc is reserved")
+    // the four output names must be absent too: withColumn would
+    // silently OVERWRITE a pre-existing column of the same name (a
+    // realistic collision — chunkDocuments emits n_tokens), destroying
+    // input data with no error
+    locally {
+      val clash = Seq("n_tokens", "n_oov", "n_known_bigrams", "cross_entropy")
+        .filter(df.columns.contains)
+      require(clash.isEmpty,
+        s"lmScore: input already has column(s) ${clash.mkString(", ")} — " +
+          "lmScore appends these four score columns and would overwrite " +
+          "them; rename or drop the input columns first")
+    }
     // input columns pass through (filter on the scores and continue with
     // the text in ONE stateless projection — also what lets the same
     // call run unchanged on a readStream frame; StreamingSpec pins it)

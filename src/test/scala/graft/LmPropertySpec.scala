@@ -157,4 +157,24 @@ class LmPropertySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxModelRows"))
   }
+
+  test("lmScore refuses input columns that collide with its four outputs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val docs = Seq((0L, "alpha beta gamma")).toDF("doc_id", "text")
+    val (uni, bi) = TextAnalysis.bigramModel(docs, "text", 10, 10)
+    // realistic collision: chunkDocuments emits n_tokens — lmScore's
+    // withColumn would silently overwrite it without the guard
+    val chunked = TextAnalysis.chunkDocuments(docs, "text", "doc_id",
+      maxTokens = 2, overlap = 0)
+    val e1 = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScore(chunked, "chunk_text", "doc_id", uni, bi)
+    }
+    assert(e1.getMessage.contains("n_tokens"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.lmScore(docs.withColumn("cross_entropy", lit(0.0)),
+        "text", "doc_id", uni, bi)
+    }
+    assert(e2.getMessage.contains("cross_entropy"))
+  }
 }

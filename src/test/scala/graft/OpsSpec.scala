@@ -1000,6 +1000,78 @@ class OpsSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("LSH width guard: mismatched nBits fails fast, legacy/null frames pass unchecked") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val points = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(17 * i + 9)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshw").toString
+    Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 6)
+      .write.mode("overwrite").parquet(s"$dir/index.parquet")
+    val stored = spark.read.parquet(s"$dir/index.parquet")
+    // (a) searching with the wrong width throws the intended message —
+    // and the assert survives plan optimization (nothing folds it away)
+    val ex = intercept[Exception] {
+      Similarity.lshSearchIndexed(stored, queries,
+        "vec_id", "embedding", k = 5, nBits = 8, probeDepth = 1).collect()
+    }
+    assert(chain(ex).contains("built with a different width"),
+      s"wrong failure: ${chain(ex)}")
+    // (b) a pre-column legacy frame passes through unchecked (searched at
+    // whatever nBits the caller says — same results as a fresh index)
+    val legacy = stored.drop("nbits")
+    val viaLegacy = Similarity.lshSearchIndexed(legacy, queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val viaNew = Similarity.lshSearchIndexed(stored, queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1)
+      .select($"query_id", $"neighbor_id", $"rank").as[(Long, Long, Int)].collect().toSet
+    assert(viaLegacy == viaNew && viaNew.nonEmpty)
+    // (c) null-tolerance: a legacy half unioned under a new frame (nbits
+    // null on the legacy rows) searches instead of failing the scan
+    val mixed = stored.limit(30).unionByName(
+      legacy.limit(30).withColumn("nbits",
+        org.apache.spark.sql.functions.lit(null).cast("int")))
+    Similarity.lshSearchIndexed(mixed, queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1).collect()
+  }
+
+  test("PQ mis-paired codebook: wrong code length raises instead of returning empty") {
+    import spark.implicits._
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val points = (0 until 80).map { i =>
+      val rnd = new scala.util.Random(53 * i + 1)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val emb = points.toDF("vec_id", "embedding")
+    val queries = emb.where($"vec_id" < 2)
+    val cb4 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, ksub = 8)
+    val cb8 = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8, ksub = 8)
+    val codes4 = Similarity.pqEncode(emb, "vec_id", "embedding", cb4)
+    val ex1 = intercept[Exception] {
+      Similarity.pqSearch(codes4, cb8, queries, "vec_id", "embedding", k = 3).collect()
+    }
+    assert(chain(ex1).contains("different codebook"), s"wrong failure: ${chain(ex1)}")
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", nlist = 4)
+    val idx4 = Similarity.ivfPqIndex(emb, "vec_id", "embedding", cents, cb4)
+    val ex2 = intercept[Exception] {
+      Similarity.ivfPqSearch(idx4, cents, cb8, queries, "vec_id", "embedding",
+        k = 3, nprobe = 4).collect()
+    }
+    assert(chain(ex2).contains("different codebook"), s"wrong failure: ${chain(ex2)}")
+    // the matching codebook still searches fine
+    assert(Similarity.pqSearch(codes4, cb4, queries, "vec_id", "embedding", k = 3)
+      .count() == 6)
+  }
+
   test("IVF Lloyd refinement: recall vs brute force on a clustered corpus") {
     import spark.implicits._
     val dim = 8

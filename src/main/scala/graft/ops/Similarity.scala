@@ -508,6 +508,26 @@ object Similarity {
       lit(nBits).as("nbits"))
   }
 
+  /** All XOR masks within Hamming distance `probeDepth` of zero — the
+    * multi-probe flip set every LSH probe path shares (0 = identity
+    * only, 1 = the nBits single-bit flips, 2 = plus C(nBits, 2) double
+    * flips). Distinct by construction, so probe-bucket sets derived by
+    * XOR are duplicate-free.
+    */
+  private def hammingMasks(nBits: Int, probeDepth: Int): Seq[Long] = {
+    require(probeDepth >= 0 && probeDepth <= 2,
+      s"probeDepth must be 0, 1, or 2, got $probeDepth")
+    val single = (0 until nBits).map(i => 1L << i)
+    val double = for {
+      i <- 0 until nBits; j <- (i + 1) until nBits
+    } yield (1L << i) | (1L << j)
+    probeDepth match {
+      case 0 => Seq(0L)
+      case 1 => 0L +: single
+      case _ => (0L +: single) ++ double
+    }
+  }
+
   /** Multi-probe ANN search over a prebuilt [[lshIndex]] frame — the
     * query side of [[lshTopKProbed]], identical candidates and scores
     * (the one-shot form delegates here; the parquet round-trip is
@@ -546,17 +566,7 @@ object Similarity {
     // flip masks are a tiny compile-time-constant set (≤ 1 + nBits +
     // nBits(nBits-1)/2 longs) shared by every row — build them once on
     // the driver as a literal array instead of nested sequence lambdas
-    val masks: Seq[Long] = {
-      val single = (0 until nBits).map(i => 1L << i)
-      val double = for {
-        i <- 0 until nBits; j <- (i + 1) until nBits
-      } yield (1L << i) | (1L << j)
-      probeDepth match {
-        case 0 => Seq(0L)
-        case 1 => 0L +: single
-        case _ => (0L +: single) ++ double
-      }
-    }
+    val masks: Seq[Long] = hammingMasks(nBits, probeDepth)
     val probes =
       if (probeDepth == 0) qSig.withColumn("bucket", col("qsig"))
       else qSig.select(col("query_id"), col("qv"),
@@ -892,22 +902,50 @@ object Similarity {
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 12,
-      maxBucket: Int = 10000): DataFrame =
-    cosineDedupPairsCounted(df, idCol, vecCol, threshold, nBits, maxBucket)._1
+      maxBucket: Int = 10000, probeDepth: Int = 0): DataFrame =
+    cosineDedupPairsCounted(df, idCol, vecCol, threshold, nBits, maxBucket,
+      probeDepth)._1
 
   /** [[cosineDedupPairs]] plus this run's dropped-row accumulator
     * handle — the only reliable way to read the count of a particular
     * invocation, since every call registers a fresh same-named
     * accumulator on the context.
+    *
+    * `probeDepth` is the RECALL dial (default 0 = exact-bucket pairing,
+    * the historical behavior): a true near-duplicate pair at cosine ≈
+    * threshold sits at angle θ = arccos(threshold), and each of the
+    * nBits hyperplanes splits it with probability θ/π — at the 0.95
+    * default that is ~0.90^12 ≈ 0.28 same-bucket probability, so
+    * exact-bucket pairing MISSES most threshold-straddling pairs (the
+    * planted-twin oracles pair identical-direction twins whose
+    * signatures collide by construction and cannot see this;
+    * NearDupRecallSpec measures it). Depth d recovers every pair whose
+    * signatures differ in ≤ d bits via the [[hammingMasks]] flip set —
+    * measured pair recall on the perturbed-twin corpus is in SCALE.md
+    * §near-dup-pair-recall. Cost is ~|masks| probe rows per corpus row
+    * through the bucket join; each qualifying pair is still scored
+    * EXACTLY once (the smaller id probes into the larger id's exact
+    * bucket through the pair's unique XOR mask), so no dedup shuffle.
     */
   def cosineDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nBits: Int = 12, maxBucket: Int = 10000)
+      threshold: Double = 0.95, nBits: Int = 12, maxBucket: Int = 10000,
+      probeDepth: Int = 0)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val sig = hyperplaneFast(df.schema(vecCol).dataType, nBits)(col(vecCol))
-    cappedBucketPairs(
-      df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket")),
-      df.schema(idCol).dataType, df.schema(vecCol).dataType, threshold,
-      maxBucket, "cosine_dedup_dropped_bucket_rows")
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
+    if (probeDepth == 0)
+      cappedBucketPairs(base, df.schema(idCol).dataType,
+        df.schema(vecCol).dataType, threshold, maxBucket,
+        "cosine_dedup_dropped_bucket_rows")
+    else {
+      val masks = hammingMasks(nBits, probeDepth)
+      probedBucketPairs(base,
+        kept => kept.select(col("id"), col("v"),
+          explode(transform(array(masks.map(lit): _*),
+            m => col("bucket").bitwiseXOR(m))).as("bucket")),
+        df.schema(idCol).dataType, df.schema(vecCol).dataType, threshold,
+        maxBucket, bothSides = false, "cosine_dedup_dropped_bucket_rows")
+    }
   }
 
   /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
@@ -940,10 +978,11 @@ object Similarity {
     */
   def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
-      maxCell: Int = 10000)
+      maxCell: Int = 10000, probeCells: Int = 1)
       : (DataFrame, org.apache.spark.util.LongAccumulator) =
     semanticDedupPairsCounted(df, idCol, vecCol,
-      ivfTrain(df, idCol, vecCol, nlist, lloydPasses), threshold, maxCell)
+      ivfTrain(df, idCol, vecCol, nlist, lloydPasses), threshold, maxCell,
+      probeCells)
 
   /** [[semanticDedupPairsCounted]] over PREBUILT centroids — the 100 TB
     * form: train the quantizer once on a hash-sample of the corpus
@@ -951,16 +990,48 @@ object Similarity {
     * centroids converge on a sample; the full corpus only pays the
     * assignment scan), persist the centroids, and reuse them across
     * daily runs so re-clustering never rides the dedup job.
+    *
+    * `probeCells` is the RECALL dial (default 1 = assigned-cell-only
+    * pairing, the historical behavior): a near-duplicate pair
+    * straddling a Voronoi boundary lands in two different cells and is
+    * never scored at probeCells = 1 (NearDupRecallSpec measures the
+    * miss; SCALE.md §near-dup-pair-recall). At p > 1 each row ALSO
+    * probes its p nearest cells (the same [[nearCells]] ranking the
+    * assignment uses), pairing with those cells' members. Unlike the
+    * Hamming flip set, probe sets are not symmetric (cellB ∈ topP(A)
+    * does not imply cellA ∈ topP(B)), so BOTH orderings probe and the
+    * thresholded pair frame deduplicates on (id_a, id_b) — a shuffle
+    * of the tiny pair set only, never the corpus.
     */
   def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]], threshold: Double, maxCell: Int)
       : (DataFrame, org.apache.spark.util.LongAccumulator) =
-    cappedBucketPairs(
-      ivfIndex(df, idCol, vecCol, centroids)
-        .select(col(idCol).as("id"), col(vecCol).as("v"),
-          col("cell").as("bucket")),
-      df.schema(idCol).dataType, ArrayType(FloatType), threshold, maxCell,
-      "semantic_dedup_dropped_cell_rows")
+    semanticDedupPairsCounted(df, idCol, vecCol, centroids, threshold,
+      maxCell, probeCells = 1)
+
+  /** [[semanticDedupPairsCounted]] (prebuilt centroids) with the
+    * multi-probe dial explicit. */
+  def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], threshold: Double, maxCell: Int,
+      probeCells: Int)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    require(probeCells >= 1, s"need probeCells >= 1, got $probeCells")
+    val base = ivfIndex(df, idCol, vecCol, centroids)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        col("cell").as("bucket"))
+    if (probeCells == 1)
+      cappedBucketPairs(base, df.schema(idCol).dataType, ArrayType(FloatType),
+        threshold, maxCell, "semantic_dedup_dropped_cell_rows")
+    else {
+      val p = math.min(probeCells, centroids.length)
+      val bc = df.sparkSession.sparkContext.broadcast(centroids)
+      probedBucketPairs(base,
+        kept => kept.select(col("id"), col("v"),
+          explode(nearCellsUdf(bc)(col("v"), lit(p))).as("bucket")),
+        df.schema(idCol).dataType, ArrayType(FloatType), threshold, maxCell,
+        bothSides = true, "semantic_dedup_dropped_cell_rows")
+    }
+  }
 
   /** The ONE capped same-bucket pair scorer behind the embedding
     * near-dup family — [[cosineDedupPairsCounted]] (LSH-signature
@@ -1068,12 +1139,113 @@ object Similarity {
     }
   }
 
+  /** The multi-probe sibling of [[cappedBucketPairs]]: `base0` is
+    * (id, v, bucket) exactly as there, and `mkProbes` expands the
+    * CAPPED, null-filtered base into probe rows (id, v, bucket) — one
+    * per (row, probe bucket). Probe rows join the exact-bucket side
+    * aggregated per bucket (the batched-kernel shape for integral id +
+    * float vectors; a plain join otherwise), so a pair is scored when
+    * the prober reaches its partner's HOME bucket — candidates beyond
+    * the exact-bucket set are exactly what buys the recall.
+    *
+    * `bothSides = false` (symmetric probe sets, e.g. Hamming flips):
+    * only smaller-id-probes-larger pairs are emitted — each qualifying
+    * pair is produced exactly once, no dedup. `bothSides = true`
+    * (asymmetric probe sets, e.g. nearest cells): both orderings probe
+    * and the thresholded output deduplicates on (id_a, id_b).
+    *
+    * Cap contract matches [[cappedBucketPairs]] with ONE deliberate
+    * difference: singleton buckets are NOT dropped (their rows can now
+    * pair across buckets), so only rows in buckets over `maxBucket`
+    * drop — each bumping `accName` once per action via the designated
+    * exact side. Scores run the same smaller-id-first [[cosineArrF]]
+    * order as the exact-bucket path, so a pair found by both paths has
+    * bit-identical scores.
+    */
+  private def probedBucketPairs(base0: DataFrame,
+      mkProbes: DataFrame => DataFrame, idT: DataType, vecT: DataType,
+      threshold: Double, maxBucket: Int, bothSides: Boolean, accName: String)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val acc = base0.sparkSession.sparkContext.longAccumulator(accName)
+    val keepMark = udf { (keep: Boolean, oversized: Boolean) =>
+      if (oversized) acc.add(1L)
+      keep
+    }.asNondeterministic()
+    val base = base0
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("bucket")))
+    val exact = base
+      .where(keepMark(col("__n") <= maxBucket, col("__n") > maxBucket))
+      .where(col("id").isNotNull && col("v").isNotNull)
+      .drop("__n")
+    val probes = mkProbes(
+      base.where(col("__n") <= maxBucket)
+        .where(col("id").isNotNull && col("v").isNotNull)
+        .drop("__n"))
+    val integralId = idT match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val floatVec = vecT match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    val pairs =
+      if (integralId && floatVec) {
+        val th = threshold
+        val bs = bothSides
+        val scoreProbe = udf { (pid: Long, pv: Seq[Float],
+            ids: Seq[Long], vs: Seq[Seq[Float]]) =>
+          val x = pv.toArray
+          val idArr = ids.toArray
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          val it = vs.iterator; var i = 0
+          while (it.hasNext) {
+            val wv = it.next()
+            val nid = idArr(i)
+            if ((if (bs) nid != pid else nid > pid) && wv != null) {
+              val w = wv.toArray
+              if (w.length == x.length) {
+                val s = if (pid < nid) cosineArrF(x, w) else cosineArrF(w, x)
+                if (s >= th)
+                  out += ((math.min(pid, nid), math.max(pid, nid), s))
+              }
+            }
+            i += 1
+          }
+          out.toSeq
+        }
+        val agg = exact.groupBy(col("bucket"))
+          .agg(collect_list(col("id").cast(LongType)).as("ids"),
+            collect_list(col("v").cast(ArrayType(FloatType))).as("vs"))
+        probes
+          .select(col("id").cast(LongType).as("pid"),
+            col("v").cast(ArrayType(FloatType)).as("pv"), col("bucket"))
+          .join(agg, Seq("bucket"))
+          .select(explode(scoreProbe(col("pid"), col("pv"),
+            col("ids"), col("vs"))).as("t"))
+          .select(col("t._1").cast(idT).as("id_a"),
+            col("t._2").cast(idT).as("id_b"), col("t._3").as("score"))
+      } else {
+        val a = probes.alias("a")
+        val b = exact.alias("b")
+        val cond = col("a.bucket") === col("b.bucket") &&
+          (if (bothSides) col("a.id") =!= col("b.id")
+           else col("a.id") < col("b.id"))
+        a.join(b, cond)
+          .select(least(col("a.id"), col("b.id")).as("id_a"),
+            greatest(col("a.id"), col("b.id")).as("id_b"),
+            cosineFast(vecT)(col("a.v"), col("b.v")).as("score"))
+          .where(col("score") >= threshold)
+      }
+    (if (bothSides) pairs.dropDuplicates("id_a", "id_b") else pairs, acc)
+  }
+
   /** [[semanticDedupPairsCounted]] without the accumulator handle. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
-      maxCell: Int = 10000): DataFrame =
+      maxCell: Int = 10000, probeCells: Int = 1): DataFrame =
     semanticDedupPairsCounted(df, idCol, vecCol, threshold, nlist,
-      lloydPasses, maxCell)._1
+      lloydPasses, maxCell, probeCells)._1
 
   /** Apply semantic dedup to the corpus: within each connected component
     * of the [[semanticDedupPairs]] graph, keep only the minimum id — rows
@@ -1083,10 +1255,10 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
-      maxCell: Int = 10000): DataFrame =
+      maxCell: Int = 10000, probeCells: Int = 1): DataFrame =
     Dedup.dedupByPairs(df, idCol,
       semanticDedupPairs(df, idCol, vecCol, threshold, nlist, lloydPasses,
-        maxCell))
+        maxCell, probeCells))
 
   /** Each row's nearest centroid and its cosine to it —
     * (idCol, cell, score). The per-cluster density signal cluster-based

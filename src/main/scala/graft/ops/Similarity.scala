@@ -1586,6 +1586,47 @@ object Similarity {
     pqSearch(pqEncode(corpus, idCol, vecCol, cb), cb, queries, idCol, vecCol, k)
   }
 
+  /** The per-row residual against a vector's nearest centroid,
+    * x − centroid(cell), over the first `min(|x|, |centroid|)` dims
+    * (extra dims pass through — the [[pqPad]] ragged-row contract).
+    * Float subtraction, so residual codes are engine-deterministic
+    * like everything else in the family.
+    */
+  private[graft] def cellResidual(cents: Array[Array[Float]],
+      x: Array[Float]): (Int, Array[Float]) = {
+    val cell = nearCells(cents, x, 1)(0)
+    val c = cents(cell)
+    val r = Array.tabulate(x.length)(j =>
+      if (j < c.length) x(j) - c(j) else x(j))
+    (cell, r)
+  }
+
+  /** Train PQ codebooks on the CELL RESIDUALS x − centroid(cell) instead
+    * of the raw vectors — the full IVFADC recipe (Jégou et al. 2011,
+    * §IV-A): within a cell the residual distribution is far tighter
+    * than the global vector distribution, so the same m × ksub codebook
+    * budget resolves much finer structure (measured on a spread corpus
+    * in AnnRecallSpec — raw codes mostly collapse to the coarse cell,
+    * residual codes separate neighbors within it). Pair with
+    * `ivfPqIndex(..., residual = true)` and
+    * `ivfPqSearch(..., residual = true)`; one shared codebook across
+    * cells (the published simplification that keeps the LUT per query,
+    * not per (query, cell) — the per-cell shift moves into a scalar
+    * bias term at search time).
+    */
+  def pqTrainResidual(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], m: Int = 8, ksub: Int = 256,
+      lloydPasses: Int = 1): Array[Array[Array[Float]]] = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val res = udf { (v: Seq[Float]) => cellResidual(bc.value, v.toArray)._2 }
+    pqTrain(
+      corpus.where(col(idCol).isNotNull && col(vecCol).isNotNull)
+        .select(col(idCol),
+          res(col(vecCol).cast(ArrayType(FloatType))).as(vecCol)),
+      idCol, vecCol, m, ksub, lloydPasses)
+  }
+
   /** IVF+PQ standing index (the IVFADC composition of Jégou et al. 2011,
     * §IV — coarse cells prune the scan, PQ codes compress what remains):
     * one corpus pass assigns each vector its [[ivfTrain]] cell AND its
@@ -1593,14 +1634,22 @@ object Similarity {
     * 10× curve measured why the composition exists: flat-scan ADC
     * ([[pqSearch]]) is corpus-linear (ratio 4.2 at 6M), IVF cell
     * pruning is flat (1.1) — IVFADC gets both the pruned scan and the
-    * compressed rows. Codes quantize the RAW vectors, not cell
-    * residuals (a documented simplification — recall at these settings
-    * is measured in AnnRecallSpec; residual coding would add a
-    * per-cell LUT rebuild per probe).
+    * compressed rows.
+    *
+    * `residual = false` (default) quantizes the RAW vectors — the
+    * historical simplification, fine on clustered geometry (recall
+    * table in SCALE.md). `residual = true` quantizes x − centroid(cell)
+    * (§IV-A of the paper; train the codebooks with [[pqTrainResidual]])
+    * — markedly better code resolution on spread corpora, measured in
+    * AnnRecallSpec. The frame records the mode as the constant
+    * `residual` column so [[ivfPqSearch]] fail-fasts on a mode
+    * mismatch instead of silently scoring garbage (the lshIndex nbits
+    * pattern).
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]]): DataFrame = {
+      codebooks: Array[Array[Array[Float]]],
+      residual: Boolean = false): DataFrame = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "ivfPqIndex: codebooks must have >= 1 centroid per subspace")
@@ -1609,12 +1658,25 @@ object Similarity {
     val sc = corpus.sparkSession.sparkContext
     val bcCents = sc.broadcast(centroids)
     val bcCb = sc.broadcast(codebooks)
-    corpus
+    val nn = corpus
       .where(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).cast(ArrayType(FloatType)).as("__v"))
-      .select(col(idCol),
+    if (!residual)
+      nn.select(col(idCol),
         element_at(nearCellsUdf(bcCents)(col("__v"), lit(1)), 1).as("cell"),
-        pqAssignUdf(bcCb, offs)(col("__v")).as("codes"))
+        pqAssignUdf(bcCb, offs)(col("__v")).as("codes"),
+        lit(false).as("residual"))
+    else {
+      // cell and codes from ONE kernel call (codes depend on the cell's
+      // centroid, so the two assignments can't be independent columns)
+      val assign = udf { (v: Seq[Float]) =>
+        val (cell, r) = cellResidual(bcCents.value, v.toArray)
+        (cell, pqAssign(bcCb.value, offs, r))
+      }
+      nn.select(col(idCol), assign(col("__v")).as("__a"))
+        .select(col(idCol), col("__a._1").as("cell"),
+          col("__a._2").as("codes"), lit(true).as("residual"))
+    }
   }
 
   /** ADC top-k over a prebuilt [[ivfPqIndex]] frame: queries probe their
@@ -1631,7 +1693,7 @@ object Similarity {
   def ivfPqSearch(index: DataFrame, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 8,
-      maxQueryBatch: Int = 100000): DataFrame = {
+      maxQueryBatch: Int = 100000, residual: Boolean = false): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1, got $nprobe")
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
@@ -1642,6 +1704,19 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"ivfPqSearch: id column must be integral, got $other")
     }
+    // scoring a residual-coded frame with raw LUTs (or vice versa)
+    // produces silently-wrong scores — fail fast off the index's
+    // constant `residual` marker, lazily per row like the lshIndex
+    // nbits guard (null / pre-column legacy frames pass unchecked)
+    val checked =
+      if (index.columns.contains("residual"))
+        index.where(assert_true(
+          col("residual").isNull || col("residual") === lit(residual),
+          lit(s"ivfPqSearch: searching with residual = $residual but the " +
+            "index was built in the other encoding mode (see its residual " +
+            "column) — pass the matching residual flag and codebooks"))
+          .isNull)
+      else index
     val probes = math.min(nprobe, centroids.length)
     val m = codebooks.length
     val d = codebooks.map(_.head.length).sum
@@ -1655,8 +1730,12 @@ object Similarity {
     // one LUT per query (same construction and FP order as [[pqSearch]],
     // so the all-cells probe is score-identical), fanned out to the
     // query's probe cells — the LUT array is SHARED across the cells,
-    // not copied per probe
-    val cellMap: Map[Int, Array[(Long, Array[Array[Double]])]] = qRows
+    // not copied per probe. In residual mode the per-cell shift is the
+    // scalar bias <q, centroid(cell)>: score = bias + Σ lut, since the
+    // reconstructed vector is centroid + decode(codes). Raw mode's bias
+    // is 0.0, making the summation sequence identical to the historical
+    // code (acc starts at 0.0 either way).
+    val cellMap: Map[Int, Array[(Long, Array[Array[Double]], Double)]] = qRows
       .flatMap { case (qid, qv0) =>
         val qv = pqPad(qv0, d)
         val lut = Array.tabulate(m) { s =>
@@ -1669,7 +1748,17 @@ object Similarity {
             acc
           }
         }
-        nearCells(centroids, qv0, probes).map(c => c -> (qid, lut))
+        nearCells(centroids, qv0, probes).map { c =>
+          val bias = if (!residual) 0.0 else {
+            val cent = centroids(c)
+            var acc = 0.0
+            var j = 0
+            val n = math.min(qv.length, cent.length)
+            while (j < n) { acc += (qv(j) * cent(j)).toDouble; j += 1 }
+            acc
+          }
+          c -> (qid, lut, bias)
+        }
       }
       .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
     val bcq = queries.sparkSession.sparkContext.broadcast(cellMap)
@@ -1690,9 +1779,9 @@ object Similarity {
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)](qs.length)
           var qi = 0
           while (qi < qs.length) {
-            val (qid, lut) = qs(qi)
+            val (qid, lut, bias) = qs(qi)
             if (qid != nid) {
-              var acc = 0.0
+              var acc = bias
               var s = 0
               while (s < cs.length) { acc += lut(s)(cs(s)); s += 1 }
               out += ((qid, acc))
@@ -1706,7 +1795,7 @@ object Similarity {
     // [[ivfSearchIndexed]] — on a cell-partitioned code frame the
     // unprobed partitions are never read
     val probedCells = cellMap.keys.toSeq
-    val scored = index
+    val scored = checked
       .where(col(idCol).isNotNull && col("codes").isNotNull &&
         col("cell").isin(probedCells: _*))
       .select(col(idCol).cast(LongType).as("neighbor_id"), col("cell"), col("codes"))

@@ -37,18 +37,70 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.where(hashUniform(col(idCol), salt) < fraction)
 
+  /** Keys above this, and a driver-side map stops being a `when`-chain:
+    * a million-entry map must not become a million-node expression tree
+    * (Catalyst analysis is superlinear in tree size and codegen falls
+    * over long before that). Below it, the chain spelling is kept
+    * byte-identical to the historical plans; above it, the map becomes
+    * a BROADCAST-JOINED lookup frame — same values (the chain and the
+    * join both resolve a key to exactly its mapped value), one extra
+    * broadcast of |map| rows, still zero shuffle of the payload.
+    */
+  private val WhenChainMax = 256
+
+  /** The per-row value of `keyCol` under a driver-side map, as a
+    * (frame, valueColumn) pair: `when`-chain below [[WhenChainMax]]
+    * (frame unchanged, byte-identical to the historical plans),
+    * broadcast-joined lookup frame above it. Keys compare as STRINGS in
+    * both spellings (the chain's `===` against a string literal coerces
+    * the same way). Callers drop `__kv` when done.
+    */
+  private def lookupDouble(df: DataFrame, keyCol: String,
+      m: Map[String, Double], default: Double): (DataFrame, Column) =
+    if (m.size <= WhenChainMax)
+      (df, m.foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(col(keyCol) === k, v).otherwise(acc)
+      })
+    else {
+      require(!df.columns.contains("__lk") && !df.columns.contains("__kv"),
+        "column names __lk and __kv are reserved")
+      import df.sparkSession.implicits._
+      val kv = m.toSeq.toDF("__lk", "__kv")
+      (df.join(broadcast(kv), col(keyCol).cast(StringType) === col("__lk"),
+        "left").drop("__lk"),
+        coalesce(col("__kv"), lit(default)))
+    }
+
+  /** [[lookupDouble]] for Long-valued maps (token budgets). Kept exact —
+    * budgets above 2^53 must not round through a double. */
+  private def lookupLong(df: DataFrame, keyCol: String,
+      m: Map[String, Long], default: Long): (DataFrame, Column) =
+    if (m.size <= WhenChainMax)
+      (df, m.foldLeft(lit(default)) { case (acc, (k, v)) =>
+        when(col(keyCol) === k, v).otherwise(acc)
+      })
+    else {
+      require(!df.columns.contains("__lk") && !df.columns.contains("__kv"),
+        "column names __lk and __kv are reserved")
+      import df.sparkSession.implicits._
+      val kv = m.toSeq.toDF("__lk", "__kv")
+      (df.join(broadcast(kv), col(keyCol).cast(StringType) === col("__lk"),
+        "left").drop("__lk"),
+        coalesce(col("__kv"), lit(default)))
+    }
+
   /** Domain-weighted corpus mixing: per-domain keep rates (e.g. upsample
     * curated sources, downsample web crawl), unknown domains get
     * `defaultRate`. One scan, no shuffle — the mix decision is a
-    * codegen'd projection.
+    * codegen'd projection (or a broadcast-joined lookup above
+    * [[WhenChainMax]] domains — million-domain rate maps are legal).
     */
   def stratifiedMix(df: DataFrame, domainCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: String = "graft"): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (dom, r)) =>
-      when(col(domainCol) === dom, r).otherwise(acc)
-    }
-    df.where(hashUniform(col(idCol), salt) < rate)
+    val (framed, rate) = lookupDouble(df, domainCol, rates, defaultRate)
+    framed.where(hashUniform(col(idCol), salt) < rate)
+      .drop("__kv")
   }
 
   /** Temperature-flattened corpus mixing — the multilingual rebalancing
@@ -77,23 +129,58 @@ object Sampling {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     require(targetFraction > 0 && targetFraction <= 1,
       s"targetFraction must be in (0, 1], got $targetFraction")
-    val counts = df.where(col(groupCol).isNotNull)
+    val countsDf = df.where(col(groupCol).isNotNull)
       .groupBy(col(groupCol).cast(StringType).as("g"))
       .agg(count(lit(1)).as("c"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    if (counts.isEmpty) return df.where(lit(false))
-    val total = counts.map(_._2).sum.toDouble
-    val powSum = counts.foldLeft(0.0) { case (a, (_, c)) =>
-      a + math.pow(c.toDouble, alpha)
+    val nGroups = countsDf.count()
+    if (nGroups == 0) return df.where(lit(false))
+    if (nGroups <= WhenChainMax) {
+      // historical driver-side path, byte-identical plans and rates
+      val counts = countsDf
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      val total = counts.map(_._2).sum.toDouble
+      val powSum = counts.foldLeft(0.0) { case (a, (_, c)) =>
+        a + math.pow(c.toDouble, alpha)
+      }
+      val rates = counts.map { case (g, c) =>
+        val share = math.pow(c.toDouble, alpha) / powSum
+        val r = math.min(1.0, targetFraction * total * share / c)
+        g -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      stratifiedMix(df.where(col(groupCol).isNotNull), groupCol, idCol,
+        rates, defaultRate = 0.0, salt)
+    } else {
+      // cardinality-proof path: a million-group column must not become a
+      // driver-side map + million-node when-chain. The rates stay IN the
+      // counts frame (one row per group) and broadcast-join onto the
+      // payload. total is exact (sum of longs); powSum reduces
+      // distributed, whose summation ORDER differs from the driver
+      // fold's — a ≤ few-ulp difference the 9-dp rounding absorbs
+      // everywhere except a measure-zero grid boundary (the same
+      // argument that already covers cross-ENGINE replay, Scaladoc
+      // above). Per-group arithmetic mirrors the driver expression tree
+      // exactly: ((tf * total) * (pow(c, α) / powSum)) / c, then
+      // HALF_UP round to 9 — Spark's pow and round are Math.pow and
+      // HALF_UP, the driver's own operations.
+      val g = countsDf.agg(
+        sum(col("c")).as("t"),
+        sum(call_function("power", col("c").cast(DoubleType), lit(alpha))).as("p"))
+        .collect()(0)
+      val total = g.getLong(0).toDouble
+      val powSum = g.getDouble(1)
+      val rates = countsDf.select(col("g").as("__k"),
+        round(least(lit(1.0),
+          (lit(targetFraction) * lit(total) *
+            (call_function("power", col("c").cast(DoubleType), lit(alpha)) / lit(powSum))) /
+            col("c").cast(DoubleType)), 9).as("__kv"))
+      require(!df.columns.contains("__k") && !df.columns.contains("__kv"),
+        "column names __k and __kv are reserved")
+      df.where(col(groupCol).isNotNull)
+        .join(broadcast(rates), col(groupCol).cast(StringType) === col("__k"), "left")
+        .where(hashUniform(col(idCol), salt) < coalesce(col("__kv"), lit(0.0)))
+        .drop("__k", "__kv")
     }
-    val rates = counts.map { case (g, c) =>
-      val share = math.pow(c.toDouble, alpha) / powSum
-      val r = math.min(1.0, targetFraction * total * share / c)
-      g -> BigDecimal(r).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-    }.toMap
-    stratifiedMix(df.where(col(groupCol).isNotNull), groupCol, idCol,
-      rates, defaultRate = 0.0, salt)
   }
 
   /** Per-domain document cap (the C4/RefinedWeb "max pages per domain"
@@ -161,31 +248,76 @@ object Sampling {
     * knapsack backfill), so the kept set is a hash-order PREFIX —
     * stable under repartitioning and replayable by any SQL engine.
     * Unlisted sources get `defaultBudget` (default: unlimited).
+    * Negative token counts would break the prefix semantics (the cumsum
+    * could dip back under budget mid-source) — they raise; null token
+    * counts contribute nothing to the sum, as before.
     *
-    * Scale shape: the running sum windows over fixed-width (source,
-    * hash, id, tokens) rows — the payload joins back by id semi-join,
-    * never entering the window exchange. The window partitions by
-    * SOURCE, so one giant source serializes its (fixed-width) cumsum in
-    * one task: that is inherent to an exact sequential budget; use
-    * [[tokenBudgetMixApprox]] at the scale where it bites.
+    * Scale shape — a PARALLEL two-pass prefix sum, not one window per
+    * source: [[hashLong]] is uniform on [0, 2^60), so slicing its
+    * keyspace into `prefixBuckets` equal ranges splits each source's
+    * hash order into contiguous chunks at deterministic, DATA-INDEPENDENT
+    * boundaries. Pass 1 aggregates per-(source, bucket) token subtotals
+    * (map-side combined; the frame is |sources| × buckets rows) and a
+    * tiny window turns them into per-bucket OFFSETS; pass 2 windows only
+    * WITHIN (source, bucket) — so a single giant source runs as
+    * `prefixBuckets` parallel sort tasks instead of one serialized
+    * cumsum (the r12/r13 "single-reducer sort" weak item, closed). The
+    * kept set is byte-identical to the serial single-window spelling:
+    * bucket id is a monotone prefix of the hash, so bucket-then-(hash,
+    * id) IS the (hash, id) order, and offset + within-bucket sum IS the
+    * global running sum (null accounting matched exactly via non-null
+    * counts). The payload still joins back by id semi-join — only
+    * fixed-width (source, id, tokens, hash) rows enter any exchange.
     */
   def tokenBudgetMix(df: DataFrame, idCol: String, tokenCol: String,
       sourceCol: String, budgets: Map[String, Long],
-      defaultBudget: Long = Long.MaxValue, salt: String = "graft"): DataFrame = {
+      defaultBudget: Long = Long.MaxValue, salt: String = "graft",
+      prefixBuckets: Int = 256): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "token budgets must be >= 0")
-    val budget = budgets.foldLeft(lit(defaultBudget)) { case (acc, (s, b)) =>
-      when(col(sourceCol) === s, lit(b)).otherwise(acc)
-    }
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(sourceCol))
-      .orderBy(hashLong(col(idCol), salt), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val keep = df.select(col(sourceCol), col(idCol), col(tokenCol))
-      .withColumn("__cum", sum(col(tokenCol).cast(LongType)).over(w))
+    require(prefixBuckets >= 1 && (prefixBuckets & (prefixBuckets - 1)) == 0 &&
+      prefixBuckets <= (1 << 20),
+      s"prefixBuckets must be a power of two in [1, 2^20], got $prefixBuckets")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(prefixBuckets)
+    import org.apache.spark.sql.expressions.Window
+    val slim = df
+      .where(assert_true(col(tokenCol).isNull || col(tokenCol).cast(LongType) >= 0,
+        lit(s"tokenBudgetMix: negative token count in column $tokenCol — " +
+          "the greedy-prefix budget semantics require non-negative token " +
+          "counts; clean or clamp them upstream")).isNull)
+      .select(col(sourceCol).as("__src"), col(idCol).as("__id"),
+        col(tokenCol).cast(LongType).as("__tok"))
+      .withColumn("__h", hashLong(col("__id"), salt))
+      .withColumn("__b", shiftright(col("__h"), shift))
+    // pass 1: per-(source, bucket) subtotal and non-null count → offsets
+    val offW = Window.partitionBy("__src").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = slim.groupBy("__src", "__b")
+      .agg(sum("__tok").as("__st"), count(col("__tok")).as("__sc"))
+      .select(col("__src"), col("__b"),
+        coalesce(sum(col("__st")).over(offW), lit(0L)).as("__off"),
+        coalesce(sum(col("__sc")).over(offW), lit(0L)).as("__offc"))
+    // pass 2: within-bucket running sum, shifted by the bucket's offset.
+    // cum must be NULL exactly when the whole inclusive prefix is null
+    // (the serial window's semantics — such rows never pass `<= budget`)
+    val cumW = Window.partitionBy("__src", "__b")
+      .orderBy(col("__h"), col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe on the source key: a null-source group budgets under
+    // defaultBudget like any other (the serial window partitioned nulls
+    // together; a plain equi-join would silently drop them)
+    val withOff = slim.join(
+        broadcast(offs.withColumnRenamed("__src", "__osrc")
+          .withColumnRenamed("__b", "__ob")),
+        col("__src") <=> col("__osrc") && col("__b") === col("__ob"))
+      .drop("__osrc", "__ob")
+      .withColumn("__cum",
+        when(col("__offc") + count(col("__tok")).over(cumW) > 0,
+          col("__off") + coalesce(sum(col("__tok")).over(cumW), lit(0L))))
+    val (framed, budget) = lookupLong(withOff, "__src", budgets, defaultBudget)
+    val keep = framed
       .where(col("__cum") <= budget)
-      .select(col(idCol))
+      .select(col("__id").as(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
 
@@ -206,16 +338,45 @@ object Sampling {
       defaultBudget: Long = Long.MaxValue, salt: String = "graft"): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "token budgets must be >= 0")
-    val totals: Seq[(String, Long)] = df
+    // negative token counts corrupt the per-source totals (hence every
+    // fraction) silently — raise, like the exact form
+    val checked = df.where(assert_true(
+      col(tokenCol).isNull || col(tokenCol).cast(LongType) >= 0,
+      lit(s"tokenBudgetMixApprox: negative token count in column $tokenCol " +
+        "— totals and keep fractions would be silently wrong; clean or " +
+        "clamp them upstream")).isNull)
+    val totalsDf = checked
       .where(col(sourceCol).isNotNull)
-      .groupBy(col(sourceCol))
+      .groupBy(col(sourceCol).cast(StringType).as("__k"))
       .agg(coalesce(sum(col(tokenCol).cast(LongType)), lit(0L)).as("__t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-    val frac = totals.foldLeft(lit(0.0)) { case (acc, (s, tot)) =>
-      val b = budgets.getOrElse(s, defaultBudget)
-      val f = if (tot <= 0) 1.0 else math.min(1.0, b.toDouble / tot.toDouble)
-      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    val nSources = totalsDf.count()
+    if (nSources <= WhenChainMax) {
+      // historical driver-side path, byte-identical plans and fractions
+      val totals: Seq[(String, Long)] =
+        totalsDf.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val frac = totals.foldLeft(lit(0.0)) { case (acc, (s, tot)) =>
+        val b = budgets.getOrElse(s, defaultBudget)
+        val f = if (tot <= 0) 1.0 else math.min(1.0, b.toDouble / tot.toDouble)
+        when(col(sourceCol) === s, lit(f)).otherwise(acc)
+      }
+      checked.where(hashUniform(col(idCol), salt) < frac)
+    } else {
+      // cardinality-proof path (the temperatureMix argument): fractions
+      // stay in the totals frame and broadcast-join onto the payload.
+      // Unlike temperatureMix there is no cross-path ulp concern at all:
+      // each fraction is ONE IEEE division of two exact longs followed
+      // by min — bit-identical wherever it's computed.
+      val (withBudget, budget) = lookupLong(totalsDf, "__k", budgets, defaultBudget)
+      val fracs = withBudget.select(col("__k"),
+        when(col("__t") <= 0, lit(1.0))
+          .otherwise(least(lit(1.0),
+            budget.cast(DoubleType) / col("__t").cast(DoubleType))).as("__f"))
+      require(!df.columns.contains("__f") && !df.columns.contains("__k"),
+        "column names __k and __f are reserved")
+      checked
+        .join(broadcast(fracs), col(sourceCol).cast(StringType) === col("__k"), "left")
+        .where(hashUniform(col(idCol), salt) < coalesce(col("__f"), lit(0.0)))
+        .drop("__k", "__f")
     }
-    df.where(hashUniform(col(idCol), salt) < frac)
   }
 }

@@ -321,6 +321,103 @@ class FiltersSpec extends AnyFunSuite {
     assert(approx.subsetOf(approxBig))
   }
 
+  test("tokenBudgetMix parallel prefix-sum: bucketed result equals the serial window, nulls included") {
+    import org.apache.spark.sql.expressions.Window
+    // nullable tokens AND a null source — the exact corner cases of the
+    // serial window's null accounting (null tokens add nothing; a row
+    // whose whole inclusive prefix is null-token is dropped; a null
+    // source budgets under defaultBudget as its own group)
+    val docs = ((1 to 400).map { i =>
+      (i.toLong, if (i % 5 == 0) null else s"s${i % 3}",
+        if (i % 11 == 0) None else Some(10L + (i % 7)))
+    }).toDF("id", "src", "toks")
+    // the serial reference: the pre-r14 single-window spelling
+    val budget2 = Map("s0" -> 300L, "s1" -> 200L).foldLeft(lit(150L)) {
+      case (acc, (s, b)) => when($"src" === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy($"src")
+      .orderBy(Sampling.hashLong($"id", "graft"), $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val serial = docs
+      .withColumn("__cum", sum($"toks".cast("long")).over(w))
+      .where($"__cum" <= budget2)
+      .select("id").as[Long].collect().toSet
+    // the parallel form at several bucket counts, including 1 (pure
+    // serial) and 4 (multi-row buckets at this corpus size)
+    for (buckets <- Seq(1, 4, 256)) {
+      val got = Sampling.tokenBudgetMix(docs, "id", "toks", "src",
+          Map("s0" -> 300L, "s1" -> 200L), defaultBudget = 150L,
+          prefixBuckets = buckets)
+        .select("id").as[Long].collect().toSet
+      assert(got == serial, s"prefixBuckets=$buckets diverged from the serial window")
+      val again = Sampling.tokenBudgetMix(docs.repartition(13), "id", "toks", "src",
+          Map("s0" -> 300L, "s1" -> 200L), defaultBudget = 150L,
+          prefixBuckets = buckets)
+        .select("id").as[Long].collect().toSet
+      assert(again == serial, s"prefixBuckets=$buckets changed under repartitioning")
+    }
+  }
+
+  test("token budget forms raise on negative token counts") {
+    val bad = Seq((1L, "s0", 5L), (2L, "s0", -3L), (3L, "s1", 7L))
+      .toDF("id", "src", "toks")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception] {
+      Sampling.tokenBudgetMix(bad, "id", "toks", "src", Map("s0" -> 100L)).collect()
+    }
+    assert(chain(e1).contains("negative token count"), chain(e1))
+    val e2 = intercept[Exception] {
+      Sampling.tokenBudgetMixApprox(bad, "id", "toks", "src", Map("s0" -> 100L)).collect()
+    }
+    assert(chain(e2).contains("negative token count"), chain(e2))
+  }
+
+  test("mixture samplers survive 100k-group cardinality (broadcast-join path)") {
+    // the r12/r13 minor carried item: per-group collect + when-chains are
+    // the wrong shape for million-group columns. Above the chain
+    // threshold the rates/fractions/budgets become broadcast-joined
+    // lookup frames — this pins that the big-cardinality path (a) runs,
+    // (b) is deterministic under repartitioning, (c) meets its mass
+    // contract, on a 100k-group corpus no when-chain could survive.
+    val n = 200000
+    val big = spark.range(1, n + 1)
+      .select($"id", concat(lit("g"), ($"id" % 100000)).as("g"),
+        (lit(10L) + ($"id" % 7)).as("toks"))
+      .cache()
+    big.count()
+    // temperatureMix: distributed rates; alpha=1 is proportional
+    // sampling, so kept fraction ~ targetFraction
+    val tm = Sampling.temperatureMix(big, "g", "id", alpha = 0.7,
+      targetFraction = 0.5)
+    val kept = tm.count()
+    assert(kept > n * 0.40 && kept < n * 0.60, s"temperatureMix kept $kept of $n")
+    val keptAgain = Sampling.temperatureMix(big.repartition(17), "g", "id",
+      alpha = 0.7, targetFraction = 0.5).count()
+    assert(keptAgain == kept, "temperatureMix not repartition-stable at 100k groups")
+    // stratifiedMix with a 100k-entry rate map (join path)
+    val rates = (0 until 100000).map(i => s"g$i" -> (if (i % 2 == 0) 1.0 else 0.0)).toMap
+    val sm = Sampling.stratifiedMix(big, "g", "id", rates, defaultRate = 0.0)
+      .select("g").distinct().collect().map(_.getString(0)).toSet
+    assert(sm.nonEmpty && sm.forall(g => g.drop(1).toLong % 2 == 0),
+      "stratifiedMix join path applied the wrong rates")
+    // approx token budget across 100k sources (distributed fractions)
+    val tb = Sampling.tokenBudgetMixApprox(big, "id", "toks", "g",
+      Map.empty, defaultBudget = 7L)
+    val tbN = tb.count()
+    assert(tbN > 0 && tbN < n / 2, s"tokenBudgetMixApprox kept $tbN of $n")
+    // exact token budget with a >chain-threshold budgets map: 500
+    // budgeted sources at 0 tokens → none of their rows survive; the
+    // rest budget under defaultBudget = unlimited → all survive
+    val budgets = (0 until 500).map(i => s"g$i" -> 0L).toMap
+    val ex = Sampling.tokenBudgetMix(big, "id", "toks", "g", budgets)
+    val exG = ex.select("g").distinct().collect().map(_.getString(0)).toSet
+    assert(!exG.exists(g => g.drop(1).toLong < 500) && exG.size == 100000 - 500,
+      "tokenBudgetMix join-path budgets misapplied")
+    big.unpersist()
+  }
+
   test("charClassCounts: exact per-class counts, overlapping classes, empty text") {
     import graft.ops.TextAnalysis
     // "Hello, wörld 123!" + NBSP + "中文 ok": NBSP is whitespace AND

@@ -508,6 +508,19 @@ object Similarity {
       lit(nBits).as("nbits"))
   }
 
+  /** Write [[lshIndex]]'s frame partitioned by `bucket` — the layout
+    * under which [[lshSearchIndexed]]'s probe-union predicate becomes
+    * SOURCE-level partition pruning: a query batch reads only its probe
+    * buckets' partitions (≤ |queries| × |masks| of the 2^nBits
+    * directories; PartitionPruneSpec measures the scan-output rows at
+    * the probed fraction). 2^nBits directories is the trade — fine at
+    * the 12-bit default (4096), deliberate above it.
+    */
+  def lshIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nBits: Int = 12): Unit =
+    lshIndex(corpus, idCol, vecCol, nBits)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
   /** All XOR masks within Hamming distance `probeDepth` of zero — the
     * multi-probe flip set every LSH probe path shares (0 = identity
     * only, 1 = the nBits single-bit flips, 2 = plus C(nBits, 2) double
@@ -535,7 +548,7 @@ object Similarity {
     */
   def lshSearchIndexed(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nBits: Int = 12,
-      probeDepth: Int = 1): DataFrame = {
+      probeDepth: Int = 1, maxProbeFilter: Int = 4096): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= 2,
       s"probeDepth must be 0, 1, or 2, got $probeDepth")
     val sig = hyperplaneFast(index.schema(vecCol).dataType, nBits)(col(vecCol))
@@ -572,13 +585,51 @@ object Similarity {
       else qSig.select(col("query_id"), col("qv"),
         explode(transform(array(masks.map(lit): _*),
           m => col("qsig").bitwiseXOR(m))).as("bucket"))
+    // probe-union predicate for SOURCE-level pruning, the ivfSearchIndexed
+    // pattern brought to LSH: the distinct probe buckets are collected
+    // driver-side (one extra job over the QUERY lineage — the small side
+    // by assumption) and pushed as an IN filter on the index scan, so a
+    // bucket-partitioned standing index ([[lshIndexWrite]]) reads only
+    // the probed partitions and even an unpartitioned scan short-circuits
+    // rows before the join. Skipped when the probe set exceeds
+    // `maxProbeFilter` (a huge query batch at depth 2 — an IN list that
+    // big would cost more than the scan it prunes; capped via
+    // limit-collect so the driver never materializes an unbounded set).
+    val probeSet: Option[Array[Long]] = {
+      // null buckets (null query vectors) never equi-join — exclude them
+      // from the IN list instead of tripping the primitive getter
+      val got = probes.select(col("bucket")).where(col("bucket").isNotNull)
+        .distinct().limit(maxProbeFilter + 1).collect().map(_.getLong(0))
+      if (got.length > maxProbeFilter) None else Some(got)
+    }
+    val cPruned = probeSet match {
+      case Some(bs) =>
+        // the IN filter can remove EVERY row of a mismatched-width index
+        // before the lazy per-row width assert sees one — exactly the
+        // silently-empty failure the guard exists to kill. When pruning
+        // applies, check the width EAGERLY off one index row first (one
+        // tiny job; on a bucket-partitioned store this reads a single
+        // row group). The per-row assert stays as belt and braces.
+        if (index.columns.contains("nbits")) {
+          val one = index.select(col("nbits")).where(col("nbits").isNotNull)
+            .limit(1).collect()
+          if (one.nonEmpty && one(0).getInt(0) != nBits)
+            throw new IllegalArgumentException(
+              s"lshSearchIndexed: searching with nBits = $nBits but the " +
+                "standing index was built with a different width " +
+                s"(nBits = ${one(0).getInt(0)}) — rebuild the index or " +
+                "pass its nBits")
+        }
+        c.where(col("bucket").isin(bs.map(Long.box): _*))
+      case None => c
+    }
     // no distinct needed (same argument as ivfTopK below): each corpus row
     // lives in exactly one bucket — its own signature — and a query's probe
     // set (qsig XOR distinct masks) is a set of DISTINCT bucket values, so
     // a (query, neighbor) pair can match at most once. A distinct here
     // would full-shuffle every scored candidate row before rankTopK's
     // map-side bounded aggregate gets to reduce them.
-    val scored = probes.join(c, Seq("bucket"))
+    val scored = probes.join(cPruned, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineFast(index.schema(vecCol).dataType)(col("qv"), col("cv")).as("score"))

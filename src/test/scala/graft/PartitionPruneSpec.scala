@@ -95,4 +95,38 @@ class PartitionPruneSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 5, nprobe = 2)))
     corpus.unpersist()
   }
+
+  test("bucket-partitioned LSH index: a probe reads only its buckets' partitions") {
+    import spark.implicits._
+    val n = 2000
+    val corpus = (0L until n.toLong).map(i => i -> mkVec(i)).toDF("vec_id", "embedding")
+      .cache()
+    corpus.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_lsh").toString + "/idx"
+    // nBits = 6 → 64 bucket partitions; 2 queries at depth 1 probe at
+    // most 2 × 7 = 14 of them
+    Similarity.lshIndexWrite(corpus, "vec_id", "embedding", dir, nBits = 6)
+    val stored = spark.read.parquet(dir)
+    val queries = Seq(5000L -> mkVec(3), 5001L -> mkVec(7))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.lshSearchIndexed(stored, queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1)
+    val read = scanRows(res)
+    assert(read < n * 0.6, s"LSH scan emitted $read of $n rows — partitions not pruned")
+    assert(read > 0)
+    // pruning must not change results: identical to the unpartitioned
+    // in-memory index frame
+    def rows(d: DataFrame): Set[(Long, Int, Long, Double)] =
+      d.select($"query_id", $"rank", $"neighbor_id", $"score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val mem = Similarity.lshIndex(corpus, "vec_id", "embedding", nBits = 6)
+    assert(rows(res) == rows(Similarity.lshSearchIndexed(mem, queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1)))
+    assert(rows(res).nonEmpty)
+    // oversized probe sets skip the IN filter but return the same rows
+    assert(rows(res) == rows(Similarity.lshSearchIndexed(stored, queries,
+      "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1,
+      maxProbeFilter = 3)))
+    corpus.unpersist()
+  }
 }

@@ -560,8 +560,25 @@ object SparkEntry {
         Similarity.l2Normalize(df, "embedding")
           .select(col("vec_id"), col("normalized").as("embedding"))
       val corpus = norm(emb.select("vec_id", "embedding").unionAll(planted))
-      Similarity.pqTopK(corpus, norm(planted), "vec_id", "embedding",
-          k = 1, m = 16, ksub = 64, lloydPasses = 1)
+      // the contract rests on the twins SHARING their originals' codes:
+      // normalization of 1.001×x is only ulp-identical to x's, so a
+      // Voronoi-boundary code flip at some SF would silently void the
+      // rank-1 guarantee and surface as an undiagnosable oracle hash
+      // mismatch. Check the precondition EAGERLY and raise a named
+      // error instead (r13 ADVICE 5).
+      val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        m = 16, ksub = 64, lloydPasses = 1)
+      val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      val twinCodes = codes.where(col("vec_id") >= PlantedOffset)
+        .select((col("vec_id") - PlantedOffset).as("vec_id"),
+          col("codes").as("__tc"))
+      val flipped = codes.join(twinCodes, "vec_id")
+        .where(not(col("codes") === col("__tc"))).count()
+      require(flipped == 0,
+        s"x59 planted-twin precondition violated: $flipped twin(s) PQ-code " +
+          "differently from their originals (Voronoi-boundary flip at this " +
+          "SF) — the rank-1 oracle contract is void; adjust the plant")
+      Similarity.pqSearch(codes, cb, norm(planted), "vec_id", "embedding", k = 1)
         .select(col("query_id"), col("rank"), col("neighbor_id"))
         .orderBy(col("query_id"))
     }),
@@ -586,6 +603,20 @@ object SparkEntry {
       val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding",
         nlist = 16, lloydPasses = 1)
       val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", cents, cb)
+      // same eager planted-twin precondition as x59, over BOTH dials: a
+      // twin must share its original's coarse cell AND its PQ codes, or
+      // the rank-1 contract is void — raise a named error, not an
+      // undiagnosable oracle hash mismatch (r13 ADVICE 5)
+      val twinIdx = idx.where(col("vec_id") >= PlantedOffset)
+        .select((col("vec_id") - PlantedOffset).as("vec_id"),
+          col("cell").as("__tcell"), col("codes").as("__tc"))
+      val flipped = idx.join(twinIdx, "vec_id")
+        .where(col("cell") =!= col("__tcell") ||
+          not(col("codes") === col("__tc"))).count()
+      require(flipped == 0,
+        s"x63 planted-twin precondition violated: $flipped twin(s) land in " +
+          "a different cell or PQ-code differently from their originals " +
+          "(boundary flip at this SF) — the rank-1 oracle contract is void")
       Similarity.ivfPqSearch(idx, cents, cb, norm(planted),
           "vec_id", "embedding", k = 1, nprobe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"))

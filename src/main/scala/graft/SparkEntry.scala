@@ -1231,6 +1231,26 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "f25_variant_flatten" -> ((s, dir) => {
+      // schemaless landing-zone flatten (SURVEY.md §1.4): the nested
+      // order documents serialized to JSON text and parsed to VARIANT —
+      // no declared schema anywhere — then flattened through
+      // FlattenPlanner.flattenVariant (schema_of_variant_agg-derived
+      // shredding). The output contract is the struct-schema path's
+      // (f1): same oracle.
+      val docs = nestedOrders(s, dir)
+      val v = docs
+        .select(parse_json(to_json(struct(docs.columns.map(col): _*))).as("doc"))
+      FlattenPlanner.flattenVariant(v, "doc", flattenOpts)("main")
+        // variant shreds JSON decimal literals to DECIMAL (exact) where
+        // the parquet schema had DOUBLE — cast at the end, both engines
+        .select(col("_link"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast(DoubleType).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "f13_variant" -> ((s, dir) => {
       // Spark 4 VariantType: schemaless ingest of the raw JSON props —
       // parse once to variant, extract typed paths lazily (shredded access
@@ -2352,6 +2372,11 @@ object SparkEntry {
 
     "x15_exact_dedup_keep" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
+
+    "f25_variant_flatten" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS _link, o_orderkey, o_custkey,
+        |  o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f13_variant" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

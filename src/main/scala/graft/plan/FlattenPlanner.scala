@@ -56,6 +56,50 @@ object FlattenPlanner {
   def flatten(input: DataFrame, opts: FlattenOptions = FlattenOptions()): ListMap[String, DataFrame] =
     ListMap(plan(input, opts).map(t => t.title -> t.df): _*)
 
+  /** Variant-backed flatten (SURVEY.md §1.4): flatten a SCHEMALESS landing
+    * zone — a Spark-4 `VariantType` column (e.g. `parse_json` over raw
+    * text, or `to_variant_object` over heterogeneous structs) — without a
+    * declared schema. ONE aggregation derives the merged schema of every
+    * variant document (`schema_of_variant_agg`, the engine's shredding
+    * primitive — the same infer-from-all-rows contract as the reference's
+    * type guessing, `/root/reference/docs/index.md` §types), the variants
+    * cast to that struct (typed per-path access; paths a document lacks
+    * come back null, exactly like `spark.read.json`'s union schema), and
+    * the existing planner takes over — every P1–P10 option applies
+    * unchanged. Only the variant column is flattened; other columns of
+    * `input` are ignored (project them into the documents first if they
+    * belong to the output).
+    *
+    * Cost at scale: the schema aggregation is one corpus pass with a
+    * map-side-combined schema merge (bytes: one merged-schema row per
+    * partition), then the normal flatten scans — no driver-side document
+    * walk anywhere.
+    */
+  def flattenVariant(input: DataFrame, variantCol: String,
+      opts: FlattenOptions = FlattenOptions()): ListMap[String, DataFrame] = {
+    val raw = input
+      .select(schema_of_variant_agg(col(quoted(variantCol))).as("s"))
+      .collect()(0).getString(0)
+    // the variant schema string spells structs OBJECT<...>; the DDL
+    // parser wants STRUCT<...> (a plain token swap — OBJECT< cannot
+    // occur inside a field name without backticks, which variant schema
+    // strings don't emit)
+    val ddl = raw.replace("OBJECT<", "STRUCT<")
+    DataType.fromDDL(ddl) match {
+      case st: StructType =>
+        require(!input.columns.contains("__graft_doc"),
+          "column name __graft_doc is reserved")
+        val shredded = input
+          .select(col(quoted(variantCol)).cast(st).as("__graft_doc"))
+          .select(col("__graft_doc.*"))
+        flatten(shredded, opts)
+      case other => throw new IllegalArgumentException(
+        s"flattenVariant: column $variantCol holds $other documents, not " +
+          "objects — flatten needs object-typed documents (wrap scalar/" +
+          "array payloads in an object first)")
+    }
+  }
+
   /** Full plan, including table name → title mapping (tables.csv control). */
   def plan(input: DataFrame, opts: FlattenOptions): Seq[PlannedTable] = {
     val spark = input.sparkSession

@@ -52,6 +52,26 @@ class FlattenGoldenSpec extends AnyFunSuite {
     assert(res.tables.keySet == Set("main", "developer", "platforms"))
   }
 
+  test("basic.json through the VARIANT path matches goldens — schemaless-landing-zone invariance") {
+    // the schemaless route: documents as VariantType values (no declared
+    // schema), schema derived by schema_of_variant_agg inside
+    // flattenVariant — the flatten forest must be identical to the
+    // struct-schema route, golden CSVs included
+    import org.apache.spark.sql.functions.{struct, to_variant_object}
+    val typed = JsonInput.jsonArray(spark, s"$fixtures/basic.json")
+    val docs = typed.select(
+      to_variant_object(struct(typed.columns.map(col): _*)).as("doc"))
+    val tables = FlattenPlanner.flattenVariant(docs, "doc",
+      FlattenOptions(fields = basicFieldOrder))
+    val out = Files.createTempDirectory("graft_variant").toString
+    tables.foreach { case (t, df) =>
+      graft.sinks.Sinks.csvSingleFile(df, s"$out/csv", t)
+    }
+    for (t <- Seq("main", "developer", "platforms")) {
+      assert(writtenCsv(out, t) == readGolden(s"$fixtures/basic_expected/csv/$t.csv"), s"table $t")
+    }
+  }
+
   test("basic.jl (pretty-printed JSON stream, S4) matches goldens — ingest-form invariance") {
     val input = JsonInput.jsonStream(spark, s"$fixtures/basic.jl")
     val out = Files.createTempDirectory("graft_jl").toString

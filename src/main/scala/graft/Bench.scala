@@ -321,6 +321,35 @@ object Bench {
       graft.ops.TextAnalysis.lmScore(docs, "text", "doc_id", b12Uni, b12Bi)
         .write.format("noop").mode("overwrite").save()
 
+    // b13: EXACT token-budget mixture at fact scale — the r14 parallel
+    // two-pass prefix sum (before it, each source's running cumsum
+    // serialized in ONE window task; the r12/r13 carried weak item).
+    // 600k docs split over 16 sources, budgets sized to keep roughly
+    // half of each source's token mass, so the budget boundary actually
+    // bites in every source. Timed region: negative-count guard scan,
+    // hash + keyspace bucketing, per-(source, bucket) subtotal
+    // aggregation, offset window, within-bucket windows (16 sources ×
+    // 256 buckets of parallelism), and the id semi-join back to the
+    // payload.
+    def b13Src(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      docs.withColumn("src", concat(lit("s"), col("doc_id") % 16))
+        .withColumn("toks", length(col("text")).cast("long"))
+    }
+    // budgets are pipeline CONFIG — derived once, untimed (half the
+    // smallest source's mass, so the boundary bites in every source)
+    val b13Budgets: Map[String, Long] = {
+      import org.apache.spark.sql.functions._
+      val total = b13Src(lmDocs).groupBy("src").agg(sum("toks").as("t"))
+        .agg(min(org.apache.spark.sql.functions.col("t"))).collect()(0).getLong(0)
+      (0 until 16).map(i => s"s$i" -> total / 2).toMap
+    }
+    def runB13(docs: org.apache.spark.sql.DataFrame,
+        budgets: Map[String, Long]): Unit =
+      graft.ops.Sampling.tokenBudgetMix(b13Src(docs), "doc_id", "toks", "src",
+        budgets)
+        .write.format("noop").mode("overwrite").save()
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
@@ -330,8 +359,9 @@ object Bench {
     try {
       val warmDocs = bCorpus("/root/testdata/sf0.001").localCheckpoint(true)
       runB11(warmDocs); runB12(warmDocs)
+      runB13(warmDocs, b13Budgets)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup b11/b12 FAILED: $e") }
+      System.err.println(s"[bench] warmup b11/b12/b13 FAILED: $e") }
     try {
       runB8(b8Vecs(2000L))
       val wv = b8Vecs(2000L).localCheckpoint(true)
@@ -362,7 +392,8 @@ object Bench {
         runB10(b10Codes, b10Cb,
           b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))),
       "b11_lm_model_600k" -> runTimes("b11")(runB11(lmDocs)),
-      "b12_lm_score_600k" -> runTimes("b12")(runB12(lmDocs)))
+      "b12_lm_score_600k" -> runTimes("b12")(runB12(lmDocs)),
+      "b13_token_budget_600k" -> runTimes("b13")(runB13(lmDocs, b13Budgets)))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

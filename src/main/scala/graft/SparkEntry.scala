@@ -885,6 +885,38 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x66_cosine_dedup_probed" -> ((s, dir) => {
+      // the r14 multi-probe recall dial on the planted-twin contract:
+      // identical-direction twins collide at flip mask 0, deeper probing
+      // only ADDS candidate buckets, candidates are exact-cosine-verified,
+      // and nothing natural clears the 0.9 bar — so the depth-2 output is
+      // EXACTLY the planted pair set (x11's oracle), through the
+      // completely different probe-join execution path.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+        transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      Similarity.cosineDedupPairs(emb.select("vec_id", "embedding").unionAll(planted),
+          "vec_id", "embedding", threshold = 0.9, nBits = 8, probeDepth = 2)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "x67_semantic_dedup_probed" -> ((s, dir) => {
+      // probeCells on the verbatim-copy contract: a copy shares its
+      // original's nearest cell (identical vector ⇒ identical centroid
+      // scores), extra probed cells only add exact-verified candidates,
+      // nothing natural clears 0.9 — output is exactly the planted set
+      // through the two-sided probe join + pair dedup path.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.select((col("vec_id") + PlantedOffset).as("vec_id"),
+        col("embedding"))
+      Similarity.semanticDedupPairs(
+          emb.select("vec_id", "embedding").unionAll(planted),
+          "vec_id", "embedding", threshold = 0.9, nlist = 16, probeCells = 2)
+        .select(col("id_a"), col("id_b"), round(col("score"), 4).as("score_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x50_semantic_dedup" -> ((s, dir) => {
       // SemDeDup contract run: planted VERBATIM copies (identical vector,
       // new id) are semantic duplicates by construction — an identical
@@ -2072,6 +2104,14 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
         |  FROM votes)
         |SELECT query_id, label, votes FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "x66_cosine_dedup_probed" ->
+      """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r
+        |FROM embeddings ORDER BY id_a""".stripMargin,
+
+    "x67_semantic_dedup_probed" ->
+      """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r
+        |FROM embeddings ORDER BY id_a""".stripMargin,
 
     "x50_semantic_dedup" ->
       """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r

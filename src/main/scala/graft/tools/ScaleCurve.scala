@@ -231,7 +231,9 @@ object ScaleCurve {
 
     val runDedup = family == "all" || family == "dedup"
     val runAnn = family == "all" || family == "ann"
-    require(runDedup || runAnn, s"unknown family '$family' (all | dedup | ann)")
+    val runMix = family == "all" || family == "mix"
+    require(runDedup || runAnn || runMix,
+      s"unknown family '$family' (all | dedup | ann | mix)")
 
     var rows1 = 0L
     var rowsN = 0L
@@ -299,6 +301,55 @@ object ScaleCurve {
       val t1 = runAll(v1, "1")
       val tN = runAll(vN, s"$mult")
       results ++= names.indices.map(i => (names(i), t1(i)._2, tN(i)._2))
+    }
+
+    if (runMix) {
+      // the ONE-GIANT-SOURCE token-budget case (the r12/r13 weak item):
+      // every row in a single source, so the pre-r14 serial spelling's
+      // per-source window runs as ONE task — its wall time scales with
+      // the corpus no matter how many cores exist — while the r14
+      // two-pass hash-keyspace prefix sum runs 256 within-bucket windows
+      // in parallel. Both forms produce the byte-identical keep set
+      // (FiltersSpec); this measures the wall-clock gap and its 10×
+      // growth. Budgets (pipeline config) derive untimed per scale.
+      def mixCols(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), lit("s0").as("src"),
+          length(col("text")).cast("long").as("toks"))
+      def budgetFor(path: String): Long =
+        mixCols(corpus(path)).agg(sum("toks")).collect()(0).getLong(0) / 2
+      def smixPar(path: String, budget: Long): Unit =
+        graft.ops.Sampling.tokenBudgetMix(mixCols(corpus(path)),
+          "doc_id", "toks", "src", Map("s0" -> budget))
+          .write.format("noop").mode("overwrite").save()
+      def smixSer(path: String, budget: Long): Unit = {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("src"))
+          .orderBy(graft.ops.Sampling.hashLong(col("doc_id"), "graft"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val keep = mixCols(corpus(path))
+          .withColumn("__cum", sum(col("toks")).over(w))
+          .where(col("__cum") <= budget)
+          .select(col("doc_id"))
+        mixCols(corpus(path)).join(keep, Seq("doc_id"), "left_semi")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val warmPath = s"$work/warm-mix"
+      buildCorpus("/root/testdata/sf0.001", 1, warmPath)
+      locally {
+        val wb = budgetFor(warmPath)
+        smixPar(warmPath, wb); smixSer(warmPath, wb)
+      }
+      val p1 = s"$work/mix1"
+      val pN = s"$work/mix$mult"
+      val r1 = buildCorpus(sfDir, 1, p1)
+      val rN = buildCorpus(sfDir, mult, pN)
+      if (rows1 == 0) { rows1 = r1; rowsN = rN }
+      System.err.println(s"[scale] mix corpora ready: $r1 rows at 1x, $rN at ${mult}x")
+      val b1 = budgetFor(p1)
+      val bN = budgetFor(pN)
+      results ++= Seq(
+        ("mix_budget_serial", time(smixSer(p1, b1)), time(smixSer(pN, bN))),
+        ("mix_budget_parallel", time(smixPar(p1, b1)), time(smixPar(pN, bN))))
     }
 
     val items = results.map { case (n, a, b) =>

@@ -728,6 +728,39 @@ class OpsSpec extends AnyFunSuite {
       s"second action must add exactly 25 again, got ${acc.value}")
   }
 
+  test("probed cosineDedupPairsCounted keeps the accumulator contract; singletons now pair") {
+    import spark.implicits._
+    // the multi-probe path's cap semantics differ from the exact path in
+    // ONE deliberate way: singleton-bucket rows are NOT dropped (they can
+    // pair across buckets through the flip set), so only the oversized
+    // bucket's rows count — and exactly once per action, through the
+    // one-side marker, despite the probe side also scanning the capped
+    // pipeline
+    val clone = Array.fill(8)(0.5f)
+    val pairVec = Array(1f, -1f, 0.25f, -0.5f, 0.75f, -0.25f, 1f, -1f)
+    val singles = Seq(
+      Array(-1f, 1f, -1f, 1f, -1f, 1f, -1f, 1f),
+      Array(0.1f, 0.9f, -0.7f, 0.3f, -0.2f, 0.8f, -0.6f, 0.4f),
+      Array(-0.9f, -0.1f, 0.6f, -0.4f, 0.2f, -0.8f, 0.7f, -0.3f))
+    val rows = (0 until 25).map(i => (i.toLong, clone)) ++
+      Seq((100L, pairVec), (101L, pairVec.map(_ * 1.01f))) ++
+      singles.zipWithIndex.map { case (v, i) => ((200 + i).toLong, v) }
+    val (pairs, acc) = Similarity.cosineDedupPairsCounted(
+      rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10,
+      probeDepth = 2)
+    assert(acc.value == 0L, "accumulator must start at zero (fresh per call)")
+    val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    // nothing but the planted pair clears 0.9 — the probed candidate set
+    // is wider (singletons included) but exact verification filters it
+    assert(got == Set((100L, 101L)), s"probed pair set: $got")
+    assert(acc.value == 25L,
+      s"one action must count each oversized-bucket row exactly once, got ${acc.value}")
+    pairs.count()
+    assert(acc.value == 50L,
+      s"second action must add exactly 25 again, got ${acc.value}")
+  }
+
   test("dedupDocLines: keep-first order-preserving line dedup, raw identity, blanks collapse") {
     import spark.implicits._
     val rows = Seq(

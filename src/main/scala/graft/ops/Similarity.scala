@@ -1212,6 +1212,14 @@ object Similarity {
     * exact side. Scores run the same smaller-id-first [[cosineArrF]]
     * order as the exact-bucket path, so a pair found by both paths has
     * bit-identical scores.
+    *
+    * Plan shape (verified with ProbedPlanCheck): both sides consume the
+    * signature+window pipeline through ONE exchange (ReusedExchange) —
+    * the corpus pays the signature kernel once, not twice — and the
+    * probe rows carry their vectors through the bucket equi-join, so
+    * multi-probe's real cost is |masks| × corpus bytes through that one
+    * join (measured in SCALE.md §near-dup-pair-recall's cost table; AQE
+    * broadcasts the aggregated bucket side when it fits).
     */
   private def probedBucketPairs(base0: DataFrame,
       mkProbes: DataFrame => DataFrame, idT: DataType, vecT: DataType,

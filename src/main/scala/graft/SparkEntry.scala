@@ -885,6 +885,26 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x68_cosine_dedup_increment" -> ((s, dir) => {
+      // incremental embedding near-dup on the planted contract: the batch
+      // holds scaled copies of corpus rows (same direction → same bucket
+      // at mask 0, cosine 1.0 → dropped) and NEGATED corpus rows (cosine
+      // −1 to their source, |cosine| < 0.5 to everything else → fresh,
+      // survive). Output is exactly the negated half's ids.
+      val emb = rd(s, dir, "embeddings").select("vec_id", "embedding")
+      val idx = Similarity.lshIndex(emb, "vec_id", "embedding", nBits = 8)
+      val copies = emb.where(col("vec_id") < 250)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      val fresh = emb.where(col("vec_id") >= 250 && col("vec_id") < 500)
+        .select((col("vec_id") + 2L * PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => -v).as("embedding"))
+      Similarity.cosineDedupIncrement(idx, copies.unionAll(fresh),
+          "vec_id", "embedding", threshold = 0.9, nBits = 8, probeDepth = 1)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "x66_cosine_dedup_probed" -> ((s, dir) => {
       // the r14 multi-probe recall dial on the planted-twin contract:
       // identical-direction twins collide at flip mask 0, deeper probing
@@ -2104,6 +2124,10 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS rn
         |  FROM votes)
         |SELECT query_id, label, votes FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
+
+    "x68_cosine_dedup_increment" ->
+      """SELECT vec_id + 200000000 AS vec_id FROM embeddings
+        |WHERE vec_id >= 250 AND vec_id < 500 ORDER BY vec_id""".stripMargin,
 
     "x66_cosine_dedup_probed" ->
       """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r

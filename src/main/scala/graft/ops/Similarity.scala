@@ -999,6 +999,38 @@ object Similarity {
     }
   }
 
+  /** Incremental embedding near-dup — the daily-batch shape of
+    * [[cosineDedupPairs]], completing the family symmetry with
+    * [[graft.ops.Dedup.nearDupIncrement]] (text MinHash): drop incoming
+    * rows whose cosine against the STANDING corpus reaches `threshold`,
+    * without ever re-scoring corpus × corpus. `index` is a [[lshIndex]]
+    * frame — persist it once (optionally [[lshIndexWrite]]-partitioned,
+    * so the batch's probe-bucket set prunes the scan at the source) and
+    * amortize across daily batches; the corpus pays nothing per batch
+    * beyond the probed buckets.
+    *
+    * Candidates come from `probeDepth`-deep multi-probe (the
+    * NearDupRecallSpec recall dial — exact-bucket probing misses most
+    * threshold-straddling pairs, depth 2 recovers ≥ 0.96 measured) and
+    * every candidate is EXACT-cosine verified, so a probe miss can only
+    * KEEP a row a deeper probe would have dropped — never drop a clean
+    * one. Batch-internal duplicates are out of scope (both survive if
+    * neither matches the corpus); run [[cosineDedupPairs]] within the
+    * batch for that, like the text form. Ids must be distinct across
+    * the two frames (the search path excludes same-id matches as
+    * self-pairs).
+    */
+  def cosineDedupIncrement(index: DataFrame, incoming: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.95,
+      nBits: Int = 12, probeDepth: Int = 1,
+      maxProbeFilter: Int = 4096): DataFrame = {
+    val hits = lshSearchIndexed(index, incoming, idCol, vecCol, k = 1,
+        nBits, probeDepth, maxProbeFilter)
+      .where(col("score") >= threshold)
+      .select(col("query_id").as(idCol))
+    incoming.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
     * embedding corpus ([[ivfTrain]]'s deterministic seeds + Lloyd
     * refinement) and score cosine only WITHIN a cluster — the clustering

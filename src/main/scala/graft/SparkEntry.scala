@@ -905,6 +905,28 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "x69_semantic_dedup_increment" -> ((s, dir) => {
+      // semantic incremental on the same planted contract as x68: the
+      // batch's scaled copies share their originals' nearest cell (same
+      // direction ⇒ same centroid scores) and verify at cosine 1.0 →
+      // dropped; negated rows are fresh (|cosine| < 0.5 naturally) →
+      // survive. Fully distributed (no driver collect of the batch).
+      val emb = rd(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+        nlist = 16, lloydPasses = 1)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      val copies = emb.where(col("vec_id") < 250)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      val fresh = emb.where(col("vec_id") >= 250 && col("vec_id") < 500)
+        .select((col("vec_id") + 2L * PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => -v).as("embedding"))
+      Similarity.semanticDedupIncrement(idx, cents, copies.unionAll(fresh),
+          "vec_id", "embedding", threshold = 0.9, nprobe = 4)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     "x66_cosine_dedup_probed" -> ((s, dir) => {
       // the r14 multi-probe recall dial on the planted-twin contract:
       // identical-direction twins collide at flip mask 0, deeper probing
@@ -2126,6 +2148,10 @@ object SparkEntry {
         |SELECT query_id, label, votes FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin,
 
     "x68_cosine_dedup_increment" ->
+      """SELECT vec_id + 200000000 AS vec_id FROM embeddings
+        |WHERE vec_id >= 250 AND vec_id < 500 ORDER BY vec_id""".stripMargin,
+
+    "x69_semantic_dedup_increment" ->
       """SELECT vec_id + 200000000 AS vec_id FROM embeddings
         |WHERE vec_id >= 250 AND vec_id < 500 ORDER BY vec_id""".stripMargin,
 

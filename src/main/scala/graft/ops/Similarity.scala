@@ -1031,6 +1031,55 @@ object Similarity {
     incoming.join(hits, Seq(idCol), "left_anti")
   }
 
+  /** The semantic (k-means-cell) twin of [[cosineDedupIncrement]]: drop
+    * incoming rows whose exact cosine against the STANDING [[ivfIndex]]
+    * frame reaches `threshold`, probing each batch row's `nprobe`
+    * nearest cells. Fully DISTRIBUTED on both sides — cell assignment is
+    * an executor-side kernel over the broadcast centroids and the
+    * candidate step is a cell equi-join, so the BATCH is unbounded (no
+    * driver collect; the deliberate contrast with [[ivfSearchIndexed]]'s
+    * driver-batched query path, which assumes a small query set).
+    *
+    * `pruneCells = true` (default) additionally collects the batch's
+    * probed-cell union (bounded by nlist rows) and pushes it as a
+    * `cell IN (...)` predicate — on a cell-partitioned standing index
+    * the corpus reads only those partitions. It costs one extra
+    * cell-assignment pass over the batch; disable it when the batch
+    * dwarfs the index. Ids must be distinct across frames, as in the
+    * LSH form; batch-internal duplicates are out of scope.
+    */
+  def semanticDedupIncrement(index: DataFrame, centroids: Array[Array[Float]],
+      incoming: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nprobe: Int = 8,
+      pruneCells: Boolean = true): DataFrame = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val probes = math.min(nprobe, centroids.length)
+    val bc = incoming.sparkSession.sparkContext.broadcast(centroids)
+    val cellsUdf = nearCellsUdf(bc)
+    val q = incoming
+      .where(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).as("__qid"),
+        col(vecCol).cast(ArrayType(FloatType)).as("__qv"))
+      .withColumn("cell", explode(cellsUdf(col("__qv"), lit(probes))))
+      .withColumn("__qv", col("__qv").cast(ArrayType(DoubleType)))
+    val c0 = index.select(col(idCol).as("__nid"),
+      col(vecCol).cast(ArrayType(FloatType)).cast(ArrayType(DoubleType)).as("__cv"),
+      col("cell"))
+    val c =
+      if (!pruneCells) c0
+      else {
+        val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+        c0.where(col("cell").isin(probed.map(Int.box): _*))
+      }
+    val hits = q.join(c, Seq("cell"))
+      .where(col("__qid") =!= col("__nid"))
+      .select(col("__qid"),
+        cosineKernelD(col("__qv"), col("__cv")).as("__score"))
+      .where(col("__score") >= threshold)
+      .select(col("__qid").as(idCol)).distinct()
+    incoming.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs: k-means-cluster the
     * embedding corpus ([[ivfTrain]]'s deterministic seeds + Lloyd
     * refinement) and score cosine only WITHIN a cluster — the clustering

@@ -1075,6 +1075,32 @@ class OpsSpec extends AnyFunSuite {
       "vec_id", "embedding", k = 5, nBits = 6, probeDepth = 1).collect()
   }
 
+  test("cosineDedupIncrement over a persisted bucket-partitioned index equals the in-memory run") {
+    import spark.implicits._
+    val points = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(41 * i + 13)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }
+    val corpus = points.toDF("vec_id", "embedding")
+    // batch: copies of corpus rows 0..19 (must drop) + negations of rows
+    // 20..39 (fresh — |cosine| < threshold to everything — must survive)
+    val copies = (0 until 20).map(i => ((10000 + i).toLong, points(i)._2.map(_ * 1.001f)))
+    val fresh = (20 until 40).map(i => ((20000 + i).toLong, points(i)._2.map(x => -x)))
+    val batch = (copies ++ fresh).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString + "/idx"
+    Similarity.lshIndexWrite(corpus, "vec_id", "embedding", dir, nBits = 6)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("vec_id").as[Long].collect().toSet
+    val viaStore = ids(Similarity.cosineDedupIncrement(
+      spark.read.parquet(dir), batch, "vec_id", "embedding",
+      threshold = 0.9, nBits = 6, probeDepth = 1))
+    val viaMem = ids(Similarity.cosineDedupIncrement(
+      Similarity.lshIndex(corpus, "vec_id", "embedding", nBits = 6), batch,
+      "vec_id", "embedding", threshold = 0.9, nBits = 6, probeDepth = 1))
+    assert(viaStore == viaMem)
+    assert(viaStore == (20020L until 20040L).toSet, s"survivors: $viaStore")
+  }
+
   test("PQ mis-paired codebook: wrong code length raises instead of returning empty") {
     import spark.implicits._
     def chain(t: Throwable): String =

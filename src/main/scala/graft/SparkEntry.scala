@@ -927,6 +927,40 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    "x70_streaming_cosine_dedup" -> ((s, dir) => {
+      // streaming embedding near-dup over TWO real micro-batches, the
+      // x58 contract on vectors: batch 1 is the embedding corpus
+      // (nothing to collide with — survives), batch 2 is a scaled copy
+      // of every vector (cosine 1.0 ⇒ mask-0 candidate ⇒ drops) plus a
+      // negated fresh vector per row (|cosine| < 0.5 to everything ⇒
+      // survives). The accumulated parquet store is the checked output.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingFlatten
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val vecs = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id"))
+        .as[(Long, Array[Float])].collect()
+      val work = java.nio.file.Files.createTempDirectory("x70").toString
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = StreamingFlatten.streamingCosineDedup(
+        in.toDF().toDF("vec_id", "embedding"), "embedding", "vec_id",
+        s"$work/corpus", s"$work/ckpt",
+        threshold = 0.9, nBits = 8, probeDepth = 1)
+      try {
+        in.addData(vecs.toSeq)
+        q.processAllAvailable()
+        in.addData(vecs.toSeq.flatMap { case (id, v) =>
+          Seq((id + PlantedOffset, v.map(_ * 1.001f)),
+            (id + 2 * PlantedOffset, v.map(x => -x)))
+        })
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$work/corpus")
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     "x66_cosine_dedup_probed" -> ((s, dir) => {
       // the r14 multi-probe recall dial on the planted-twin contract:
       // identical-direction twins collide at flip mask 0, deeper probing
@@ -2154,6 +2188,12 @@ object SparkEntry {
     "x69_semantic_dedup_increment" ->
       """SELECT vec_id + 200000000 AS vec_id FROM embeddings
         |WHERE vec_id >= 250 AND vec_id < 500 ORDER BY vec_id""".stripMargin,
+
+    "x70_streaming_cosine_dedup" ->
+      """SELECT vec_id FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 200000000 AS vec_id FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
 
     "x66_cosine_dedup_probed" ->
       """SELECT vec_id AS id_a, vec_id + 100000000 AS id_b, 1.0 AS score_r

@@ -135,6 +135,58 @@ object StreamingFlatten {
       .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
   }
 
+  /** Embedding near-dup on a STREAM — the vector twin of
+    * [[streamingNearDup]]: each micro-batch drops rows whose EXACT
+    * cosine against the accumulated corpus reaches `threshold`
+    * ([[graft.ops.Similarity.cosineDedupIncrement]] over an
+    * [[graft.ops.Similarity.lshIndex]] of the store, with the
+    * `probeDepth` recall dial), then appends the survivors to its own
+    * `batch=<id>` partition — the same replay-idempotent layout:
+    * re-running a batch id overwrites its own partition and dedups only
+    * against the others. Like the text twin, the corpus side's
+    * signatures recompute per batch; a pipeline with long-lived volume
+    * should persist the signature column alongside the vectors and feed
+    * [[graft.ops.Similarity.lshSearchIndexed]] directly.
+    */
+  def streamingCosineDedup(docs: DataFrame, vecCol: String, idCol: String,
+      corpusDir: String, checkpointDir: String, threshold: Double = 0.95,
+      nBits: Int = 12, probeDepth: Int = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cosineDedupBatch(batch, batchId, vecCol, idCol, corpusDir,
+          threshold, nBits, probeDepth)
+      }
+      .start()
+
+  /** One [[streamingCosineDedup]] micro-batch — package-visible for the
+    * replay-idempotence contract, like [[nearDupBatch]]. */
+  private[graft] def cosineDedupBatch(batch: DataFrame, batchId: Long,
+      vecCol: String, idCol: String, corpusDir: String, threshold: Double,
+      nBits: Int, probeDepth: Int): Unit = {
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasOther = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+        .exists { st =>
+          st.getPath.getName.startsWith("batch=") &&
+            st.getPath.getName != s"batch=$batchId"
+        }
+    val fresh =
+      if (!hasOther) batch
+      else {
+        val existing = spark.read.parquet(corpusDir)
+          .where(col("batch") =!= batchId)
+          .select(col(idCol), col(vecCol))
+        graft.ops.Similarity.cosineDedupIncrement(
+          graft.ops.Similarity.lshIndex(existing, idCol, vecCol, nBits),
+          batch, idCol, vecCol, threshold, nBits, probeDepth)
+      }
+    fresh.select(col(idCol), col(vecCol))
+      .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape over an events stream.
     */

@@ -141,6 +141,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids().sorted == Seq(1L, 2L, 13L))
   }
 
+  test("streaming cosine dedup batch replay: overwrite-own-partition, dedup-against-others (vector twin)") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("scdr").toString
+    val corpus = s"$work/corpus"
+    val v1 = Array.tabulate(16)(j => ((j * 37 + 5) % 13 - 6).toFloat)
+    val v2 = Array.tabulate(16)(j => ((j * 11 + 2) % 7 - 3).toFloat)
+    def run(rows: Seq[(Long, Array[Float])], id: Long): Unit =
+      StreamingFlatten.cosineDedupBatch(rows.toDF("vec_id", "embedding"), id,
+        "embedding", "vec_id", corpus, 0.95, 8, 1)
+    def ids() = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSeq
+    val b0 = Seq((1L, v1), (2L, v2))
+    run(b0, 0)
+    run(b0, 0) // replay of the FIRST batch: overwrite, no dup rows
+    assert(ids().sorted == Seq(1L, 2L))
+    // batch 1: a scaled copy of v1 (cosine 1.0 → drops) + a fresh
+    // negated v2 (cosine −1 to v2, small to v1 → survives)
+    val b1 = Seq((11L, v1.map(_ * 1.001f)), (13L, v2.map(x => -x)))
+    run(b1, 1)
+    assert(ids().sorted == Seq(1L, 2L, 13L))
+    run(b1, 1) // replay: same corpus, deduped against the OTHERS only
+    assert(ids().sorted == Seq(1L, 2L, 13L))
+  }
+
   test("stateless QC family runs unchanged on a stream: per-batch output equals the batch run") {
     // the pipeline claim beyond the stateful dedup ops: quality scoring,
     // charset QC, PII redaction, and standing-model LM scoring are all

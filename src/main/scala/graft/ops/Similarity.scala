@@ -482,8 +482,8 @@ object Similarity {
     * the no-dedup-shuffle argument of the depth-1 form still holds.
     */
   def lshTopKProbed(corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10, nBits: Int = 12,
-      probeDepth: Int = 1): DataFrame =
+      idCol: String, vecCol: String, k: Int = 10, nBits: Int = 16,
+      probeDepth: Int = 2): DataFrame =
     lshSearchIndexed(lshIndex(corpus, idCol, vecCol, nBits), queries,
       idCol, vecCol, k, nBits, probeDepth)
 
@@ -502,24 +502,44 @@ object Similarity {
     * wrong bucket space.
     */
   def lshIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nBits: Int = 12): DataFrame = {
+      nBits: Int = 16): DataFrame = {
     val sig = hyperplaneFast(corpus.schema(vecCol).dataType, nBits)(col(vecCol))
     corpus.select(col(idCol), col(vecCol), sig.as("bucket"),
       lit(nBits).as("nbits"))
   }
 
-  /** Write [[lshIndex]]'s frame partitioned by `bucket` — the layout
-    * under which [[lshSearchIndexed]]'s probe-union predicate becomes
-    * SOURCE-level partition pruning: a query batch reads only its probe
-    * buckets' partitions (≤ |queries| × |masks| of the 2^nBits
-    * directories; PartitionPruneSpec measures the scan-output rows at
-    * the probed fraction). 2^nBits directories is the trade — fine at
-    * the 12-bit default (4096), deliberate above it.
+  /** Write [[lshIndex]]'s frame laid out so [[lshSearchIndexed]]'s
+    * probe-union predicate becomes SOURCE-level partition pruning: a
+    * query batch reads only its probe buckets' partitions
+    * (PartitionPruneSpec measures the scan-output rows at the probed
+    * fraction).
+    *
+    * At `nBits` ≤ 12 the frame partitions directly by `bucket` (≤ 4096
+    * directories — the historical layout, and what legacy stores on
+    * disk already look like). Above 12 bits, one directory per bucket
+    * would mean 2^nBits directories (65,536 at the 16-bit default —
+    * hostile to object-store listings and driver file indexes), so the
+    * store partitions by the bucket PREFIX `bucket >>> (nBits - 12)`
+    * (≤ 4096 directories again) and keeps the full `bucket` as a data
+    * column: partition pruning happens on the prefix (the search path
+    * derives the probe prefixes from the probe buckets), and parquet
+    * min/max stats on the sorted-within-partition `bucket` column
+    * finish the job at row-group granularity. The shift is carried in
+    * the constant `pfxshift` column (free under RLE, like `nbits`) so
+    * the search side never guesses the layout.
     */
   def lshIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, nBits: Int = 12): Unit =
-    lshIndex(corpus, idCol, vecCol, nBits)
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      path: String, nBits: Int = 16): Unit = {
+    val idx = lshIndex(corpus, idCol, vecCol, nBits)
+    val shift = math.max(0, nBits - 12)
+    if (shift == 0)
+      idx.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    else
+      idx.withColumn("pfxshift", lit(shift))
+        .withColumn("bucket_pfx", shiftrightunsigned(col("bucket"), shift))
+        .sortWithinPartitions(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket_pfx").parquet(path)
+  }
 
   /** All XOR masks within Hamming distance `probeDepth` of zero — the
     * multi-probe flip set every LSH probe path shares (0 = identity
@@ -547,8 +567,8 @@ object Similarity {
     * pinned by spec).
     */
   def lshSearchIndexed(index: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int = 10, nBits: Int = 12,
-      probeDepth: Int = 1, maxProbeFilter: Int = 4096): DataFrame = {
+      idCol: String, vecCol: String, k: Int = 10, nBits: Int = 16,
+      probeDepth: Int = 2, maxProbeFilter: Int = 4096): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= 2,
       s"probeDepth must be 0, 1, or 2, got $probeDepth")
     val sig = hyperplaneFast(index.schema(vecCol).dataType, nBits)(col(vecCol))
@@ -573,8 +593,9 @@ object Similarity {
             "index's nbits column) — rebuild the index or pass its nBits"))
           .isNull)
       else index
-    val c = checked.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      col("bucket"))
+    def project(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("bucket"))
     val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"), sig.as("qsig"))
     // flip masks are a tiny compile-time-constant set (≤ 1 + nBits +
     // nBits(nBits-1)/2 longs) shared by every row — build them once on
@@ -610,8 +631,17 @@ object Similarity {
         // applies, check the width EAGERLY off one index row first (one
         // tiny job; on a bucket-partitioned store this reads a single
         // row group). The per-row assert stays as belt and braces.
+        // The same one-row read recovers `pfxshift` when the store is
+        // prefix-partitioned ([[lshIndexWrite]] above 12 bits), so the
+        // probe set can also prune on the PARTITION column bucket_pfx —
+        // the bucket IN filter alone would only hit row-group stats.
+        val hasPfx = index.columns.contains("bucket_pfx") &&
+          index.columns.contains("pfxshift")
+        var shift: Option[Int] = None
         if (index.columns.contains("nbits")) {
-          val one = index.select(col("nbits")).where(col("nbits").isNotNull)
+          val sel =
+            if (hasPfx) Seq(col("nbits"), col("pfxshift")) else Seq(col("nbits"))
+          val one = index.select(sel: _*).where(col("nbits").isNotNull)
             .limit(1).collect()
           if (one.nonEmpty && one(0).getInt(0) != nBits)
             throw new IllegalArgumentException(
@@ -619,9 +649,17 @@ object Similarity {
                 "standing index was built with a different width " +
                 s"(nBits = ${one(0).getInt(0)}) — rebuild the index or " +
                 "pass its nBits")
+          if (hasPfx && one.nonEmpty && !one(0).isNullAt(1))
+            shift = Some(one(0).getInt(1))
         }
-        c.where(col("bucket").isin(bs.map(Long.box): _*))
-      case None => c
+        val byBucket = checked.where(col("bucket").isin(bs.map(Long.box): _*))
+        project(shift match {
+          case Some(s) =>
+            val pfxs = bs.map(_ >>> s).distinct
+            byBucket.where(col("bucket_pfx").isin(pfxs.map(Long.box): _*))
+          case None => byBucket
+        })
+      case None => project(checked)
     }
     // no distinct needed (same argument as ivfTopK below): each corpus row
     // lives in exactly one bucket — its own signature — and a query's probe
@@ -952,8 +990,8 @@ object Similarity {
     * returned handle.
     */
   def cosineDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nBits: Int = 12,
-      maxBucket: Int = 10000, probeDepth: Int = 0): DataFrame =
+      threshold: Double = 0.95, nBits: Int = 16,
+      maxBucket: Int = 10000, probeDepth: Int = 2): DataFrame =
     cosineDedupPairsCounted(df, idCol, vecCol, threshold, nBits, maxBucket,
       probeDepth)._1
 
@@ -962,25 +1000,31 @@ object Similarity {
     * invocation, since every call registers a fresh same-named
     * accumulator on the context.
     *
-    * `probeDepth` is the RECALL dial (default 0 = exact-bucket pairing,
-    * the historical behavior): a true near-duplicate pair at cosine ≈
-    * threshold sits at angle θ = arccos(threshold), and each of the
-    * nBits hyperplanes splits it with probability θ/π — at the 0.95
-    * default that is ~0.90^12 ≈ 0.28 same-bucket probability, so
-    * exact-bucket pairing MISSES most threshold-straddling pairs (the
-    * planted-twin oracles pair identical-direction twins whose
-    * signatures collide by construction and cannot see this;
-    * NearDupRecallSpec measures it). Depth d recovers every pair whose
-    * signatures differ in ≤ d bits via the [[hammingMasks]] flip set —
-    * measured pair recall on the perturbed-twin corpus is in SCALE.md
-    * §near-dup-pair-recall. Cost is ~|masks| probe rows per corpus row
+    * `probeDepth` is the RECALL dial, and the DEFAULT is the measured
+    * scale recipe (nBits = 16, depth 2 — 0.924 pair recall on the
+    * threshold-straddling corpus, NearDupRecallSpec): a true
+    * near-duplicate pair at cosine ≈ threshold sits at angle
+    * θ = arccos(threshold), and each hyperplane splits it with
+    * probability θ/π — at the 0.95 threshold exact-bucket pairing at
+    * 12 bits keeps only ~0.90^12 ≈ 0.28 of such pairs in one bucket,
+    * so depth 0 MISSES most threshold-straddling pairs (measured 0.419
+    * pair recall; the planted-twin oracles pair identical-direction
+    * twins whose signatures collide by construction and cannot see
+    * this). Depth d recovers every pair whose signatures differ in
+    * ≤ d bits via the [[hammingMasks]] flip set — the full measured
+    * table is SCALE.md §near-dup-pair-recall. Raising nBits SHRINKS
+    * the per-bucket corpus fraction faster than the flip set grows
+    * (137/2^16 at 16-bit depth 2 vs 79/2^12 at 12-bit depth 2 — ~9×
+    * less candidate volume), which is why the default raises both
+    * dials together. Pass probeDepth = 0 for the cheap low-recall
+    * exact-bucket pairing. Cost is ~|masks| probe rows per corpus row
     * through the bucket join; each qualifying pair is still scored
     * EXACTLY once (the smaller id probes into the larger id's exact
     * bucket through the pair's unique XOR mask), so no dedup shuffle.
     */
   def cosineDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, nBits: Int = 12, maxBucket: Int = 10000,
-      probeDepth: Int = 0)
+      threshold: Double = 0.95, nBits: Int = 16, maxBucket: Int = 10000,
+      probeDepth: Int = 2)
       : (DataFrame, org.apache.spark.util.LongAccumulator) = {
     val sig = hyperplaneFast(df.schema(vecCol).dataType, nBits)(col(vecCol))
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"), sig.as("bucket"))
@@ -1022,7 +1066,7 @@ object Similarity {
     */
   def cosineDedupIncrement(index: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double = 0.95,
-      nBits: Int = 12, probeDepth: Int = 1,
+      nBits: Int = 16, probeDepth: Int = 2,
       maxProbeFilter: Int = 4096): DataFrame = {
     val hits = lshSearchIndexed(index, incoming, idCol, vecCol, k = 1,
         nBits, probeDepth, maxProbeFilter)
@@ -1110,7 +1154,7 @@ object Similarity {
     */
   def semanticDedupPairsCounted(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
-      maxCell: Int = 10000, probeCells: Int = 1)
+      maxCell: Int = 10000, probeCells: Int = 2)
       : (DataFrame, org.apache.spark.util.LongAccumulator) =
     semanticDedupPairsCounted(df, idCol, vecCol,
       ivfTrain(df, idCol, vecCol, nlist, lloydPasses), threshold, maxCell,
@@ -1123,11 +1167,11 @@ object Similarity {
     * assignment scan), persist the centroids, and reuse them across
     * daily runs so re-clustering never rides the dedup job.
     *
-    * `probeCells` is the RECALL dial (default 1 = assigned-cell-only
-    * pairing, the historical behavior): a near-duplicate pair
-    * straddling a Voronoi boundary lands in two different cells and is
-    * never scored at probeCells = 1 (NearDupRecallSpec measures the
-    * miss; SCALE.md §near-dup-pair-recall). At p > 1 each row ALSO
+    * `probeCells` is the RECALL dial (default 2 — 0.990 measured pair
+    * recall, NearDupRecallSpec): a near-duplicate pair straddling a
+    * Voronoi boundary lands in two different cells and is never scored
+    * at probeCells = 1 (measured 0.905 on the boundary-straddling
+    * corpus; SCALE.md §near-dup-pair-recall). At p > 1 each row ALSO
     * probes its p nearest cells (the same [[nearCells]] ranking the
     * assignment uses), pairing with those cells' members. Unlike the
     * Hamming flip set, probe sets are not symmetric (cellB ∈ topP(A)
@@ -1139,7 +1183,7 @@ object Similarity {
       centroids: Array[Array[Float]], threshold: Double, maxCell: Int)
       : (DataFrame, org.apache.spark.util.LongAccumulator) =
     semanticDedupPairsCounted(df, idCol, vecCol, centroids, threshold,
-      maxCell, probeCells = 1)
+      maxCell, probeCells = 2)
 
   /** [[semanticDedupPairsCounted]] (prebuilt centroids) with the
     * multi-probe dial explicit. */
@@ -1383,7 +1427,7 @@ object Similarity {
   /** [[semanticDedupPairsCounted]] without the accumulator handle. */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
-      maxCell: Int = 10000, probeCells: Int = 1): DataFrame =
+      maxCell: Int = 10000, probeCells: Int = 2): DataFrame =
     semanticDedupPairsCounted(df, idCol, vecCol, threshold, nlist,
       lloydPasses, maxCell, probeCells)._1
 
@@ -1395,7 +1439,7 @@ object Similarity {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nlist: Int = 64, lloydPasses: Int = 1,
-      maxCell: Int = 10000, probeCells: Int = 1): DataFrame =
+      maxCell: Int = 10000, probeCells: Int = 2): DataFrame =
     Dedup.dedupByPairs(df, idCol,
       semanticDedupPairs(df, idCol, vecCol, threshold, nlist, lloydPasses,
         maxCell, probeCells))

@@ -631,7 +631,8 @@ class OpsSpec extends AnyFunSuite {
     val rows = (0 until 40).map(i => (i.toLong, clone)) ++
       Seq((100L, distinct), (101L, distinct.map(_ * 1.01f)))
     val out = Similarity.cosineDedupPairs(rows.toDF("vec_id", "embedding"),
-      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10)
+      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10,
+      probeDepth = 0)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(out == Set((100L, 101L)))
   }
@@ -714,7 +715,8 @@ class OpsSpec extends AnyFunSuite {
       singles.zipWithIndex.map { case (v, i) => ((200 + i).toLong, v) }
     val (pairs, acc) = Similarity.cosineDedupPairsCounted(
       rows.toDF("vec_id", "embedding"),
-      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10)
+      "vec_id", "embedding", threshold = 0.9, nBits = 8, maxBucket = 10,
+      probeDepth = 0)
     assert(acc.value == 0L, "accumulator must start at zero (fresh per call)")
     val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(got == Set((100L, 101L)), "planted small-bucket pair must survive the cap")
@@ -884,7 +886,7 @@ class OpsSpec extends AnyFunSuite {
     assert(expectedDropped >= 25, s"fixture drifted: cells $sizes")
     val (pairs, acc) = Similarity.semanticDedupPairsCounted(df, "vec_id",
       "embedding", threshold = 0.9, nlist = 4, lloydPasses = 1,
-      maxCell = maxCell)
+      maxCell = maxCell, probeCells = 1)
     assert(acc.value == 0L, "accumulator must start at zero (fresh per call)")
     val got = pairs.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(got == expectedPairs, s"got $got expected $expectedPairs (sizes $sizes)")
@@ -917,7 +919,8 @@ class OpsSpec extends AnyFunSuite {
       (i.toLong, Array.fill(8)(rnd.nextFloat() * 2 - 1))
     }
     val out = Similarity.cosineDedupPairs(rows.toDF("vec_id", "embedding"),
-      "vec_id", "embedding", threshold = 0.8, nBits = 4, maxBucket = 50)
+      "vec_id", "embedding", threshold = 0.8, nBits = 4, maxBucket = 50,
+      probeDepth = 0)
     out.collect() // AQE finalizes the plan at runtime
     val got = out.select(col("id_a"), col("id_b"), col("score"))
       .as[(Long, Long, Double)].collect().toSet
@@ -931,7 +934,7 @@ class OpsSpec extends AnyFunSuite {
     val sdf = rows.map { case (i, v) => (f"d$i%03d", v) }
       .toDF("vec_id", "embedding")
     val out2 = Similarity.cosineDedupPairs(sdf, "vec_id", "embedding",
-      threshold = 0.8, nBits = 4, maxBucket = 50)
+      threshold = 0.8, nBits = 4, maxBucket = 50, probeDepth = 0)
     out2.collect()
     val plan2 = out2.queryExecution.executedPlan.toString
     assert(plan2.contains("ReusedExchange") || plan2.contains("ReusedQueryStage"),
@@ -959,7 +962,8 @@ class OpsSpec extends AnyFunSuite {
     // contain NO join at all (the joined form paid per-pair row
     // machinery on every candidate)
     val out = Similarity.semanticDedupPairsCounted(df,
-      "vec_id", "embedding", cents, threshold = 0.8, maxCell = 50)._1
+      "vec_id", "embedding", cents, threshold = 0.8, maxCell = 50,
+      probeCells = 1)._1
     out.collect() // AQE finalizes the plan at runtime
     val got = out.select(col("id_a"), col("id_b"), col("score"))
       .as[(Long, Long, Double)].collect().toSet
@@ -972,7 +976,7 @@ class OpsSpec extends AnyFunSuite {
     val sdf = rows.map { case (i, v) => (f"d$i%03d", v) }
       .toDF("vec_id", "embedding")
     val out2 = Similarity.semanticDedupPairsCounted(sdf, "vec_id", "embedding",
-      cents, threshold = 0.8, maxCell = 50)._1
+      cents, threshold = 0.8, maxCell = 50, probeCells = 1)._1
     out2.collect() // AQE finalizes reuse decisions at runtime
     val got2 = out2.select(col("id_a"), col("id_b"), col("score"))
       .as[(String, String, Double)].collect().toSet

@@ -129,4 +129,49 @@ class PartitionPruneSpec extends AnyFunSuite {
       maxProbeFilter = 3)))
     corpus.unpersist()
   }
+
+  test("16-bit prefix-partitioned LSH index: ~4k directories, probes prune on the prefix") {
+    import spark.implicits._
+    val n = 2000
+    val corpus = (0L until n.toLong).map(i => i -> mkVec(i)).toDF("vec_id", "embedding")
+      .cache()
+    corpus.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_pfx").toString + "/idx"
+    // SCALE.md's recipe raises nBits to 16 at scale — one directory per
+    // bucket would be 65,536; the writer must fall back to the 12-bit
+    // prefix (<= 4096 dirs) and the search must still prune at the source
+    Similarity.lshIndexWrite(corpus, "vec_id", "embedding", dir, nBits = 16)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("bucket_pfx="))
+    assert(dirs.nonEmpty && dirs.length <= 4096,
+      s"expected prefix directories (<= 4096), got ${dirs.length}")
+    val stored = spark.read.parquet(dir)
+    val queries = Seq(5000L -> mkVec(3), 5001L -> mkVec(7))
+      .toDF("vec_id", "embedding")
+    // depth 2 at 16 bits probes 2 × 137 buckets → <= 274 of the ~2000
+    // occupied prefixes; the scan must emit only the surviving partitions
+    val res = Similarity.lshSearchIndexed(stored, queries,
+      "vec_id", "embedding", k = 5, nBits = 16, probeDepth = 2)
+    val read = scanRows(res)
+    assert(read < n * 0.6, s"prefix scan emitted $read of $n rows — not pruned")
+    def rows(d: DataFrame): Set[(Long, Int, Long, Double)] =
+      d.select($"query_id", $"rank", $"neighbor_id", $"score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // identical to the unpartitioned in-memory index frame...
+    val mem = Similarity.lshIndex(corpus, "vec_id", "embedding", nBits = 16)
+    assert(rows(res) == rows(Similarity.lshSearchIndexed(mem, queries,
+      "vec_id", "embedding", k = 5, nBits = 16, probeDepth = 2)))
+    assert(rows(res).nonEmpty)
+    // ...and with the IN filter disabled (no pruning at all)
+    assert(rows(res) == rows(Similarity.lshSearchIndexed(stored, queries,
+      "vec_id", "embedding", k = 5, nBits = 16, probeDepth = 2,
+      maxProbeFilter = 3)))
+    // width guard still fires on the prefix layout (eager, pruning path)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.lshSearchIndexed(stored, queries,
+        "vec_id", "embedding", k = 5, nBits = 12, probeDepth = 1).collect()
+    }
+    assert(ex.getMessage.contains("nBits"), ex.getMessage)
+    corpus.unpersist()
+  }
 }

@@ -394,6 +394,27 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "x71_neardup_increment_indexed" -> ((s, dir) => {
+      // the x45 contract routed through the STANDING band table: the
+      // corpus' MinHash bands persist once (writeBandTable, bucketed
+      // catalog table) and the daily batch probes them
+      // (nearDupIncrementIndexed) with no corpus-side MinHash pass —
+      // identical semantics to the per-call path by construction
+      // (IncrementalDedupPropertySpec parity fuzz), so x45's oracle
+      // applies: exact copies drop, token-disjoint fresh docs survive.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = d.select((col("doc_id") + PlantedOffset).as("doc_id"), col("text"))
+      val fresh = d.select((col("doc_id") + 2 * PlantedOffset).as("doc_id"),
+        concat(lit("zzqx"), col("doc_id"), lit(" vvwk"), col("doc_id"),
+          lit(" ppmj"), col("doc_id")).as("text"))
+      Dedup.writeBandTable(d, "text", "doc_id", "graft_x71_bands",
+        numHashes = 32, bands = 8, numBuckets = 8)
+      Dedup.nearDupIncrementIndexed(s.table("graft_x71_bands"), d,
+          copies.unionAll(fresh), "text", "doc_id",
+          threshold = 0.9, numHashes = 32, bands = 8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x47_neardup_threshold" -> ((s, dir) => {
       // near-THRESHOLD replay (the computed complement to x45's planted
       // extremes): incoming docs are corpus docs with k = doc_id % 4 junk
@@ -1756,6 +1777,10 @@ object SparkEntry {
     // incremental near-dup: copies (jaccard 1.0) drop with certainty,
     // token-disjoint fresh docs verify to ~0 — output is the fresh set
     "x45_neardup_increment" ->
+      """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
+
+    // same planted contract as x45 through the standing band table
+    "x71_neardup_increment_indexed" ->
       """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
 
     // near-threshold incremental near-dup: recompute the incoming docs

@@ -23,6 +23,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // catalog-table queries (standing band/fingerprint tables) get a
+      // fresh warehouse per run — a leftover managed-table directory
+      // from a previous JVM would fail saveAsTable with
+      // LOCATION_ALREADY_EXISTS even under overwrite mode
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_verify_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -151,9 +151,12 @@ object Dedup {
     * (the same degenerate-signature guard as [[minhashCandidates]]:
     * without it one boilerplate-heavy bucket multiplies every colliding
     * incoming row by the bucket size). Texts move only for verification
-    * candidates, via semi-joins. The corpus signature scan is per call —
-    * a standing pipeline would persist the corpus band frame and replace
-    * `existing` here with that table.
+    * candidates, via semi-joins. The corpus signature scan is PER CALL —
+    * the right shape for a one-off backfill, but a daily pipeline should
+    * persist the band frame once with [[writeBandTable]] and probe it
+    * with [[nearDupIncrementIndexed]], which skips the corpus MinHash
+    * pass entirely (per-batch cost flat in corpus size, ScaleCurve
+    * §standing-band).
     *
     * The cap is NOT silent: corpus band rows it drops bump the named
     * accumulator `neardup_dropped_bucket_rows` (visible in the Spark UI
@@ -176,12 +179,111 @@ object Dedup {
   def nearDupIncrement(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, threshold: Double = 0.7,
       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    nearDupVerify(
+      bandFrame(existing, textCol, idCol, numHashes, bands, shingleSize),
+      existing, incoming, textCol, idCol, threshold, numHashes, bands,
+      shingleSize, maxBucket)
+
+  /** The corpus' banded-MinHash frame — (id, band, bandHash) plus the
+    * constant config columns (numhashes, bands, shinglesize), the text
+    * analog of [[graft.ops.Similarity.lshIndex]]'s `nbits`: free under
+    * parquet RLE, and what lets [[nearDupIncrementIndexed]] verify a
+    * probe's config matches the standing table instead of silently
+    * probing the wrong hash space.
+    */
+  def bandIndex(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    def banded(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"),
+    bandFrame(df, textCol, idCol, numHashes, bands, shingleSize)
+      .withColumn("numhashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
+      .withColumn("shinglesize", lit(shingleSize))
+  }
+
+  /** (id, band, bandHash) for every document — the shared signature pass. */
+  private def bandFrame(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    df.select(col(idCol).as("id"),
         TextHash.minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)).as("bh"))
       .select(col("id"), posexplode(col("bh")).as(Seq("band", "bandHash")))
+  }
+
+  /** Materialize [[bandIndex]] as a standing BUCKETED catalog table —
+    * the near-dup completion of [[writeFingerprintTable]], and the text
+    * twin of [[graft.ops.Similarity.lshIndexWrite]]: at 100 TB the
+    * dominant per-batch cost of [[nearDupIncrement]] is re-running the
+    * MinHash kernel over the WHOLE corpus every daily batch (the corpus
+    * band pass, repeated daily); this table pays that pass ONCE, at
+    * write time, and [[nearDupIncrementIndexed]] probes it afterwards —
+    * a batch costs its own signatures plus a fixed-width scan of the
+    * standing bands, flat in corpus size (ScaleCurve §standing-band).
+    * Bucketing on (band, bandHash) keeps even that scan exchange-free:
+    * the batch's tiny band frame shuffles into the table's bucketing,
+    * the corpus side never moves. `append = true` folds a kept batch's
+    * bands in through the same bucketed writer, so the table tracks the
+    * corpus across daily runs.
+    */
+  def writeBandTable(df: DataFrame, textCol: String, idCol: String,
+      table: String, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, numBuckets: Int = 256,
+      append: Boolean = false): Unit =
+    graft.sinks.Sinks.parquetBucketed(
+      bandIndex(df, textCol, idCol, numHashes, bands, shingleSize),
+      table, Seq("band", "bandHash"), numBuckets,
+      mode = if (append) "append" else "overwrite")
+
+  /** [[nearDupIncrement]] against a standing [[writeBandTable]] /
+    * [[bandIndex]] frame — same semantics, same output, but the corpus
+    * pays NO per-batch MinHash pass: `bandIdx` (e.g.
+    * `spark.table("corpus_bands")`) already holds every corpus row's
+    * band keys, so the per-batch corpus-side cost is a bucketed scan of
+    * fixed-width rows. Candidate verification still reads the matched
+    * docs' TEXT from `existing` (exact shingle Jaccard, candidates
+    * only — the semi-join ships only candidate ids).
+    *
+    * A config mismatch (different numHashes/bands/shingleSize between
+    * the table and this probe) would probe a foreign hash space and
+    * pass EVERYTHING as fresh with no error — the lshSearchIndexed
+    * width-guard failure mode on text — so when the frame carries the
+    * [[bandIndex]] config columns they are checked EAGERLY off one row
+    * and a mismatch throws. Frames without the config columns (a
+    * hand-built (id, band, bandHash) frame) pass unchecked.
+    */
+  def nearDupIncrementIndexed(bandIdx: DataFrame, existing: DataFrame,
+      incoming: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    if (bandIdx.columns.contains("numhashes")) {
+      val one = bandIdx
+        .select(col("numhashes"), col("bands"), col("shinglesize"))
+        .where(col("numhashes").isNotNull).limit(1).collect()
+      if (one.nonEmpty) {
+        val (nh, bd, ss) = (one(0).getInt(0), one(0).getInt(1), one(0).getInt(2))
+        if (nh != numHashes || bd != bands || ss != shingleSize)
+          throw new IllegalArgumentException(
+            "nearDupIncrementIndexed: probing with (numHashes = " +
+              s"$numHashes, bands = $bands, shingleSize = $shingleSize) " +
+              s"but the band table was written with (numHashes = $nh, " +
+              s"bands = $bd, shingleSize = $ss) — rebuild the table or " +
+              "match its config")
+      }
+    }
+    nearDupVerify(bandIdx.select(col("id"), col("band"), col("bandHash")),
+      existing, incoming, textCol, idCol, threshold, numHashes, bands,
+      shingleSize, maxBucket)
+  }
+
+  /** The shared candidate + exact-verify tail of the incremental
+    * near-dup family: `corpusBands` is (id, band, bandHash) — computed
+    * per call by [[nearDupIncrement]], read from a standing table by
+    * [[nearDupIncrementIndexed]]. */
+  private def nearDupVerify(corpusBands: DataFrame, existing: DataFrame,
+      incoming: DataFrame, textCol: String, idCol: String,
+      threshold: Double, numHashes: Int, bands: Int, shingleSize: Int,
+      maxBucket: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bandHash"))
     // no-silent-caps accounting: every corpus band row the maxBucket
@@ -194,11 +296,11 @@ object Dedup {
       if (!keep) acc.add(1L)
       keep
     }.asNondeterministic()
-    val ex = banded(existing)
+    val ex = corpusBands
       .withColumn("__n", count(lit(1)).over(w))
       .where(keepMark(col("__n") <= maxBucket))
       .select(col("id").as("old_id"), col("band"), col("bandHash"))
-    val in = banded(incoming)
+    val in = bandFrame(incoming, textCol, idCol, numHashes, bands, shingleSize)
       .select(col("id").as("new_id"), col("band"), col("bandHash"))
     val cands = in.join(ex, Seq("band", "bandHash"))
       .select(col("new_id"), col("old_id")).distinct()

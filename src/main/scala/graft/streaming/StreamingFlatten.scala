@@ -81,12 +81,18 @@ object StreamingFlatten {
     * `batch=<id>` partition per micro-batch: a replayed batch after a
     * failure OVERWRITES its own partition (idempotent, restart-safe
     * with the checkpoint), and the accumulated corpus is just
-    * `spark.read.parquet(corpusDir)` — queryable mid-stream. At 100 TB
-    * the existing-side scan is fingerprint-width (nearDupIncrement
-    * ships band keys and candidate shingles, never corpus text —
-    * ShuffleEvidenceSpec), and the corpus can be maintained as the
-    * standing BUCKETED fingerprint table instead for exchange-free
-    * batches. Within-batch near-dups are NOT collapsed (the
+    * `spark.read.parquet(corpusDir)` — queryable mid-stream. Each
+    * partition also stores its docs' MinHash band arrays (`bh` + the
+    * band-config columns), so the accumulated store doubles as a
+    * standing band index: a micro-batch probes the stored hashes
+    * ([[graft.ops.Dedup.nearDupIncrementIndexed]]) instead of
+    * re-running the MinHash kernel over every accumulated document —
+    * per-batch corpus cost is flat in stream length. At 100 TB the
+    * existing-side scan is fingerprint-width (band keys and candidate
+    * shingles, never corpus text — ShuffleEvidenceSpec); a long-lived
+    * pipeline can graduate to [[graft.ops.Dedup.writeBandTable]]'s
+    * bucketed catalog table for exchange-free batches on top.
+    * Within-batch near-dups are NOT collapsed (the
     * nearDupIncrement contract; compose [[graft.ops.Dedup.minhashDedupPairs]]
     * on the batch first if needed).
     */
@@ -124,14 +130,41 @@ object StreamingFlatten {
     val fresh =
       if (!hasOther) batch
       else {
+        // never dedup a replayed batch against its own partial write
         val existing = spark.read.parquet(corpusDir)
-          // never dedup a replayed batch against its own partial write
           .where(col("batch") =!= batchId)
-          .select(col(idCol), col(textCol))
-        graft.ops.Dedup.nearDupIncrement(existing, batch, textCol, idCol,
-          threshold, numHashes, bands, shingleSize, maxBucket)
+        val texts = existing.select(col(idCol), col(textCol))
+        // stored band arrays make the accumulated store a standing band
+        // index ([[graft.ops.Dedup.writeBandTable]]'s shape, inlined in
+        // the partitioned store): the corpus-side per-batch cost is a
+        // posexplode of fixed-width hashes, NOT a MinHash pass over
+        // every accumulated document. Only legacy rows (store written
+        // before this layout / null `bh` in a schema-merged mixed
+        // store) pay the kernel again; the config columns ride along so
+        // a stream restarted with different band parameters fails fast.
+        val bandIdx =
+          if (existing.columns.contains("bh") &&
+              existing.columns.contains("numhashes")) {
+            val stored = existing.where(col("bh").isNotNull)
+              .select(col(idCol).as("id"),
+                posexplode(col("bh")).as(Seq("band", "bandHash")),
+                col("numhashes"), col("bands"), col("shinglesize"))
+            val legacy = graft.ops.Dedup.bandIndex(
+              existing.where(col("bh").isNull).select(col(idCol), col(textCol)),
+              textCol, idCol, numHashes, bands, shingleSize)
+            stored.unionByName(legacy)
+          } else
+            graft.ops.Dedup.bandIndex(texts, textCol, idCol,
+              numHashes, bands, shingleSize)
+        graft.ops.Dedup.nearDupIncrementIndexed(bandIdx, texts, batch,
+          textCol, idCol, threshold, numHashes, bands, shingleSize, maxBucket)
       }
     fresh.select(col(idCol), col(textCol))
+      .withColumn("bh", graft.functions.TextHash
+        .minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)))
+      .withColumn("numhashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
+      .withColumn("shinglesize", lit(shingleSize))
       .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
   }
 
@@ -143,10 +176,21 @@ object StreamingFlatten {
     * `probeDepth` recall dial), then appends the survivors to its own
     * `batch=<id>` partition — the same replay-idempotent layout:
     * re-running a batch id overwrites its own partition and dedups only
-    * against the others. Like the text twin, the corpus side's
-    * signatures recompute per batch; a pipeline with long-lived volume
-    * should persist the signature column alongside the vectors and feed
-    * [[graft.ops.Similarity.lshSearchIndexed]] directly.
+    * against the others.
+    *
+    * Each partition stores its rows' LSH SIGNATURES alongside the
+    * vectors ([[graft.ops.Similarity.lshIndex]] columns `bucket` /
+    * `nbits`), so the accumulated store IS the standing index: a
+    * micro-batch's corpus-side cost is the probe join over stored
+    * fixed-width columns — flat in stream length — instead of
+    * re-running the signature kernel over every accumulated row per
+    * batch (which made cumulative stream cost quadratic). Store rows
+    * written before this layout (no `bucket` column, or null buckets
+    * from a schema-merged mixed store) are re-signed per batch — only
+    * those rows pay the kernel — and a stream restarted with a
+    * DIFFERENT `nBits` than the store was written with fails fast on
+    * the index's `nbits` guard instead of silently probing the wrong
+    * bucket space.
     */
   def streamingCosineDedup(docs: DataFrame, vecCol: String, idCol: String,
       corpusDir: String, checkpointDir: String, threshold: Double = 0.95,
@@ -178,12 +222,27 @@ object StreamingFlatten {
       else {
         val existing = spark.read.parquet(corpusDir)
           .where(col("batch") =!= batchId)
-          .select(col(idCol), col(vecCol))
+        // stored signatures make the accumulated store a standing
+        // lshIndex frame; only rows without one (legacy layout, or the
+        // null-bucket half of a mixed store) pay the kernel again
+        val idx =
+          if (existing.columns.contains("bucket") &&
+              existing.columns.contains("nbits")) {
+            val stored = existing.where(col("bucket").isNotNull)
+              .select(col(idCol), col(vecCol), col("bucket"), col("nbits"))
+            val legacy = graft.ops.Similarity.lshIndex(
+              existing.where(col("bucket").isNull)
+                .select(col(idCol), col(vecCol)),
+              idCol, vecCol, nBits)
+            stored.unionByName(legacy)
+          } else
+            graft.ops.Similarity.lshIndex(
+              existing.select(col(idCol), col(vecCol)), idCol, vecCol, nBits)
         graft.ops.Similarity.cosineDedupIncrement(
-          graft.ops.Similarity.lshIndex(existing, idCol, vecCol, nBits),
-          batch, idCol, vecCol, threshold, nBits, probeDepth)
+          idx, batch, idCol, vecCol, threshold, nBits, probeDepth)
       }
-    fresh.select(col(idCol), col(vecCol))
+    graft.ops.Similarity.lshIndex(
+        fresh.select(col(idCol), col(vecCol)), idCol, vecCol, nBits)
       .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
   }
 

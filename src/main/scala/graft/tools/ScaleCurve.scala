@@ -42,6 +42,10 @@ object ScaleCurve {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // band-family catalog tables live in a per-run warehouse so a
+      // crashed run's orphaned directories can't fail the next one
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_scale_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -232,8 +236,9 @@ object ScaleCurve {
     val runDedup = family == "all" || family == "dedup"
     val runAnn = family == "all" || family == "ann"
     val runMix = family == "all" || family == "mix"
-    require(runDedup || runAnn || runMix,
-      s"unknown family '$family' (all | dedup | ann | mix)")
+    val runBand = family == "all" || family == "band"
+    require(runDedup || runAnn || runMix || runBand,
+      s"unknown family '$family' (all | dedup | ann | mix | band)")
 
     var rows1 = 0L
     var rowsN = 0L
@@ -350,6 +355,58 @@ object ScaleCurve {
       results ++= Seq(
         ("mix_budget_serial", time(smixSer(p1, b1)), time(smixSer(pN, bN))),
         ("mix_budget_parallel", time(smixPar(p1, b1)), time(smixPar(pN, bN))))
+    }
+
+    if (runBand) {
+      // the STANDING BAND TABLE case (r14 VERDICT "what's wrong" #2):
+      // the per-call incremental near-dup re-signatures the whole corpus
+      // every batch — per-batch cost grows with the corpus — while
+      // nearDupIncrementIndexed probes a table whose MinHash pass was
+      // paid once at write time, so the per-batch ratio should be far
+      // below the per-call path's (the table build itself is untimed,
+      // like every standing index here). The SAME fixed batch probes at
+      // both scales so the ratio isolates corpus-side cost.
+      val warmPath = s"$work/bwarm"
+      buildCorpus("/root/testdata/sf0.001", 1, warmPath)
+      val p1 = s"$work/band1"
+      val pN = s"$work/band$mult"
+      val r1 = buildCorpus(sfDir, 1, p1)
+      val rN = buildCorpus(sfDir, mult, pN)
+      if (rows1 == 0) { rows1 = r1; rowsN = rN }
+      System.err.println(s"[scale] band corpora ready: $r1 rows at 1x, $rN at ${mult}x")
+      def batch(): DataFrame = {
+        val base = corpus(p1) // fixed 1x-derived batch at both scales
+        base.where(col("doc_id") % 100 === 0)
+          .select((col("doc_id") + 1000000000000L).as("doc_id"), col("text"))
+          .unionAll(base.where(col("doc_id") % 100 === 50)
+            .select((col("doc_id") + 2000000000000L).as("doc_id"),
+              concat(col("text"), lit(" appended")).as("text")))
+      }
+      def percall(path: String): Unit =
+        graft.ops.Dedup.nearDupIncrement(corpus(path), batch(),
+          "text", "doc_id", threshold = 0.9, numHashes = 32, bands = 8,
+          shingleSize = 3, maxBucket = 1000)
+          .write.format("noop").mode("overwrite").save()
+      def indexed(table: String, path: String): Unit =
+        graft.ops.Dedup.nearDupIncrementIndexed(spark.table(table),
+          corpus(path), batch(), "text", "doc_id", threshold = 0.9,
+          numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000)
+          .write.format("noop").mode("overwrite").save()
+      // warmup both paths untimed
+      graft.ops.Dedup.writeBandTable(corpus(warmPath), "text", "doc_id",
+        "graft_scale_bandw", numHashes = 32, bands = 8, numBuckets = 8)
+      percall(warmPath); indexed("graft_scale_bandw", warmPath)
+      // standing tables built untimed at each scale
+      graft.ops.Dedup.writeBandTable(corpus(p1), "text", "doc_id",
+        "graft_scale_band1", numHashes = 32, bands = 8, numBuckets = 32)
+      graft.ops.Dedup.writeBandTable(corpus(pN), "text", "doc_id",
+        s"graft_scale_band$mult", numHashes = 32, bands = 8, numBuckets = 32)
+      results ++= Seq(
+        ("neardup_percall", time(percall(p1)), time(percall(pN))),
+        ("neardup_indexed", time(indexed("graft_scale_band1", p1)),
+          time(indexed(s"graft_scale_band$mult", pN))))
+      Seq("graft_scale_bandw", "graft_scale_band1", s"graft_scale_band$mult")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
 
     val items = results.map { case (n, a, b) =>

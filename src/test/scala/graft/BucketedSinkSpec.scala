@@ -77,4 +77,73 @@ class BucketedSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_fp")
     }
   }
+
+  test("standing band table: near-dup batches probe it bucketed, equal the per-call path, and fold appends") {
+    import spark.implicits._
+    // near-dup-rich corpus: docs 1..40 have an incoming near-copy (one
+    // appended token on a 12-token body — shingle Jaccard ~0.77), the
+    // 2000-block is fresh
+    def body(i: Long) = s"alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu $i"
+    val corpus = (1L to 400L).map(i => (i, body(i))).toDF("doc_id", "text")
+    val incoming = ((1L to 40L).map(i => (1000L + i, body(i) + " tail")) ++
+      (1L to 40L).map(i => (2000L + i, s"completely different daily report number $i with fresh words")))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.writeBandTable(corpus, "text", "doc_id", "graft_bkt_bands",
+      numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      val indexed = graft.ops.Dedup.nearDupIncrementIndexed(
+        spark.table("graft_bkt_bands"), corpus, incoming, "text", "doc_id",
+        threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3)
+      // identical kept set to the per-call corpus-signature path
+      val direct = ids(graft.ops.Dedup.nearDupIncrement(corpus, incoming,
+        "text", "doc_id", threshold = 0.7, numHashes = 32, bands = 8,
+        shingleSize = 3))
+      assert(ids(indexed) == direct, s"indexed=${ids(indexed)} direct=$direct")
+      // fresh docs always survive (exact verification); near-copies at
+      // J≈0.85 drop except legal banding misses (deterministic hashes —
+      // this corpus has exactly one, doc 1019's copy)
+      assert((1L to 40L).map(2000L + _).toSet.subsetOf(direct),
+        s"fixture drifted: fresh docs must survive, got $direct")
+      val survivingCopies = direct.count(_ < 2000L)
+      assert(survivingCopies <= 4,
+        s"fixture drifted: $survivingCopies of 40 near-copies survived banding")
+      // the standing table scans bucketed — the corpus side never
+      // re-shuffles band keys per batch. (The operator's FINAL plan
+      // hides the scan behind the candidate localCheckpoint, so the
+      // layout evidence is the probe join itself: batch bands against
+      // the table on the bucketing keys.)
+      val inBands = graft.ops.Dedup.bandIndex(incoming, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleSize = 3)
+        .select(col("id").as("new_id"), col("band"), col("bandHash"))
+      val probeJoin = inBands.join(spark.table("graft_bkt_bands"),
+        Seq("band", "bandHash"))
+      probeJoin.collect()
+      val plan = probeJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"band table scan not bucketed:\n$plan")
+      // config mismatch fails fast instead of silently passing everything
+      val ex = intercept[IllegalArgumentException] {
+        graft.ops.Dedup.nearDupIncrementIndexed(
+          spark.table("graft_bkt_bands"), corpus, incoming, "text", "doc_id",
+          threshold = 0.7, numHashes = 64, bands = 16, shingleSize = 3)
+      }
+      assert(ex.getMessage.contains("band table"), ex.getMessage)
+      // fold the kept batch in via append: a re-run of the same batch
+      // against the grown table (and corpus) now drops everything
+      val kept = incoming.join(indexed.select($"doc_id"), Seq("doc_id"), "left_semi")
+      graft.ops.Dedup.writeBandTable(kept, "text", "doc_id", "graft_bkt_bands",
+        numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 8, append = true)
+      val rerun = graft.ops.Dedup.nearDupIncrementIndexed(
+        spark.table("graft_bkt_bands"), corpus.unionAll(kept), incoming,
+        "text", "doc_id", threshold = 0.7, numHashes = 32, bands = 8,
+        shingleSize = 3)
+      assert(rerun.count() == 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_bands")
+    }
+  }
 }

@@ -150,4 +150,28 @@ class IncrementalDedupPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fuzz: nearDupIncrementIndexed over a prebuilt band frame equals the per-call path") {
+    import spark.implicits._
+    // the standing-band contract: probing a bandIndex frame must return
+    // the SAME kept set as re-signaturing the corpus per call — the two
+    // paths share bandFrame, so any divergence is a refactor bug, and
+    // this pins it across random token structures
+    forAllSeeded(caseGen, 6) { case (corpus, incoming, _) =>
+      val existing = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val batch = incoming.zipWithIndex.map { case (t, i) => (1000L + i, t) }
+        .toDF("doc_id", "text")
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      val direct = ids(Dedup.nearDupIncrement(existing, batch, "text",
+        "doc_id", threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3))
+      val idx = Dedup.bandIndex(existing, "text", "doc_id",
+        numHashes = 32, bands = 8, shingleSize = 3)
+      val viaIdx = ids(Dedup.nearDupIncrementIndexed(idx, existing, batch,
+        "text", "doc_id", threshold = 0.7, numHashes = 32, bands = 8,
+        shingleSize = 3))
+      assert(viaIdx == direct, s"indexed=$viaIdx direct=$direct")
+    }
+  }
 }

@@ -50,44 +50,34 @@ object Sampling {
 
   /** The per-row value of `keyCol` under a driver-side map, as a
     * (frame, valueColumn) pair: `when`-chain below [[WhenChainMax]]
-    * (frame unchanged, byte-identical to the historical plans),
-    * broadcast-joined lookup frame above it. Keys compare as STRINGS in
-    * both spellings (the chain's `===` against a string literal coerces
-    * the same way). Callers drop `__kv` when done.
+    * (frame unchanged), broadcast-joined lookup frame above it. Keys
+    * compare as STRINGS in BOTH spellings — the key column is cast to
+    * string before comparing, so a numeric key column matches exactly
+    * like the join path ("05" ≠ "5"; previously the chain used numeric
+    * coercion and the two paths silently disagreed when a map crossed
+    * [[WhenChainMax]]). For string key columns — every current caller —
+    * the cast is a no-op Catalyst folds away, so plans are unchanged.
+    * Long values stay exact (budgets above 2^53 must not round through
+    * a double). Callers drop `__kv` when done.
     */
-  private def lookupDouble(df: DataFrame, keyCol: String,
-      m: Map[String, Double], default: Double): (DataFrame, Column) =
+  private def lookup[V: scala.reflect.runtime.universe.TypeTag](
+      df: DataFrame, keyCol: String, m: Map[String, V], default: V)
+      : (DataFrame, Column) = {
+    val key = col(keyCol).cast(StringType)
     if (m.size <= WhenChainMax)
       (df, m.foldLeft(lit(default)) { case (acc, (k, v)) =>
-        when(col(keyCol) === k, v).otherwise(acc)
+        when(key === k, v).otherwise(acc)
       })
     else {
       require(!df.columns.contains("__lk") && !df.columns.contains("__kv"),
         "column names __lk and __kv are reserved")
-      import df.sparkSession.implicits._
-      val kv = m.toSeq.toDF("__lk", "__kv")
-      (df.join(broadcast(kv), col(keyCol).cast(StringType) === col("__lk"),
-        "left").drop("__lk"),
+      val spark = df.sparkSession
+      import spark.implicits._
+      val kv = spark.createDataset(m.toSeq).toDF("__lk", "__kv")
+      (df.join(broadcast(kv), key === col("__lk"), "left").drop("__lk"),
         coalesce(col("__kv"), lit(default)))
     }
-
-  /** [[lookupDouble]] for Long-valued maps (token budgets). Kept exact —
-    * budgets above 2^53 must not round through a double. */
-  private def lookupLong(df: DataFrame, keyCol: String,
-      m: Map[String, Long], default: Long): (DataFrame, Column) =
-    if (m.size <= WhenChainMax)
-      (df, m.foldLeft(lit(default)) { case (acc, (k, v)) =>
-        when(col(keyCol) === k, v).otherwise(acc)
-      })
-    else {
-      require(!df.columns.contains("__lk") && !df.columns.contains("__kv"),
-        "column names __lk and __kv are reserved")
-      import df.sparkSession.implicits._
-      val kv = m.toSeq.toDF("__lk", "__kv")
-      (df.join(broadcast(kv), col(keyCol).cast(StringType) === col("__lk"),
-        "left").drop("__lk"),
-        coalesce(col("__kv"), lit(default)))
-    }
+  }
 
   /** Domain-weighted corpus mixing: per-domain keep rates (e.g. upsample
     * curated sources, downsample web crawl), unknown domains get
@@ -98,7 +88,7 @@ object Sampling {
   def stratifiedMix(df: DataFrame, domainCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: String = "graft"): DataFrame = {
-    val (framed, rate) = lookupDouble(df, domainCol, rates, defaultRate)
+    val (framed, rate) = lookup(df, domainCol, rates, defaultRate)
     framed.where(hashUniform(col(idCol), salt) < rate)
       .drop("__kv")
   }
@@ -268,11 +258,22 @@ object Sampling {
     * global running sum (null accounting matched exactly via non-null
     * counts). The payload still joins back by id semi-join — only
     * fixed-width (source, id, tokens, hash) rows enter any exchange.
+    *
+    * The offsets frame is |distinct (source, bucket) present| rows —
+    * tiny under any human-written mixture config, so it broadcast-joins
+    * onto the slim rows. The hint is SIZE-GATED at
+    * `maxBroadcastOffsets` rows (counted off the materialized frame, so
+    * the aggregation is paid once either way): at extreme source
+    * cardinality (millions of sources × buckets) a forced broadcast
+    * would OOM the driver where a plain shuffle join succeeds, so above
+    * the gate the hint is dropped and AQE still broadcasts when the
+    * runtime size fits. The kept set is identical on both sides of the
+    * gate (FiltersSpec pins it).
     */
   def tokenBudgetMix(df: DataFrame, idCol: String, tokenCol: String,
       sourceCol: String, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue, salt: String = "graft",
-      prefixBuckets: Int = 256): DataFrame = {
+      prefixBuckets: Int = 256, maxBroadcastOffsets: Long = 4000000L): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "token budgets must be >= 0")
     require(prefixBuckets >= 1 && (prefixBuckets & (prefixBuckets - 1)) == 0 &&
@@ -281,10 +282,18 @@ object Sampling {
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(prefixBuckets)
     import org.apache.spark.sql.expressions.Window
     val slim = df
-      .where(assert_true(col(tokenCol).isNull || col(tokenCol).cast(LongType) >= 0,
-        lit(s"tokenBudgetMix: negative token count in column $tokenCol — " +
-          "the greedy-prefix budget semantics require non-negative token " +
-          "counts; clean or clamp them upstream")).isNull)
+      // the cast-failure branch is explicit: a non-numeric token value
+      // try_casts to NULL (a plain cast would either throw Spark's
+      // generic ANSI error or, pre-ANSI, turn assert_true(NULL) into
+      // the misleading "negative" message) — the isNotNull conjunct
+      // makes the condition FALSE there, with a message covering both
+      .where(assert_true(col(tokenCol).isNull ||
+          (col(tokenCol).try_cast(LongType).isNotNull &&
+            col(tokenCol).try_cast(LongType) >= 0),
+        lit(s"tokenBudgetMix: negative or non-numeric token count in " +
+          s"column $tokenCol — the greedy-prefix budget semantics require " +
+          "non-negative numeric token counts; clean or clamp them " +
+          "upstream")).isNull)
       .select(col(sourceCol).as("__src"), col(idCol).as("__id"),
         col(tokenCol).cast(LongType).as("__tok"))
       .withColumn("__h", hashLong(col("__id"), salt))
@@ -306,15 +315,22 @@ object Sampling {
     // null-safe on the source key: a null-source group budgets under
     // defaultBudget like any other (the serial window partitioned nulls
     // together; a plain equi-join would silently drop them)
-    val withOff = slim.join(
-        broadcast(offs.withColumnRenamed("__src", "__osrc")
-          .withColumnRenamed("__b", "__ob")),
+    // materialize the offsets once (candidate-bounded frame, the
+    // localCheckpoint convention) — the row count gates the broadcast
+    // hint and the join reuses the same blocks instead of re-running
+    // the aggregation as the build side
+    val offsCk = offs
+      .withColumnRenamed("__src", "__osrc").withColumnRenamed("__b", "__ob")
+      .localCheckpoint(false)
+    val offsSide =
+      if (offsCk.count() <= maxBroadcastOffsets) broadcast(offsCk) else offsCk
+    val withOff = slim.join(offsSide,
         col("__src") <=> col("__osrc") && col("__b") === col("__ob"))
       .drop("__osrc", "__ob")
       .withColumn("__cum",
         when(col("__offc") + count(col("__tok")).over(cumW) > 0,
           col("__off") + coalesce(sum(col("__tok")).over(cumW), lit(0L))))
-    val (framed, budget) = lookupLong(withOff, "__src", budgets, defaultBudget)
+    val (framed, budget) = lookup(withOff, "__src", budgets, defaultBudget)
     val keep = framed
       .where(col("__cum") <= budget)
       .select(col("__id").as(idCol))
@@ -341,10 +357,12 @@ object Sampling {
     // negative token counts corrupt the per-source totals (hence every
     // fraction) silently — raise, like the exact form
     val checked = df.where(assert_true(
-      col(tokenCol).isNull || col(tokenCol).cast(LongType) >= 0,
-      lit(s"tokenBudgetMixApprox: negative token count in column $tokenCol " +
-        "— totals and keep fractions would be silently wrong; clean or " +
-        "clamp them upstream")).isNull)
+      col(tokenCol).isNull ||
+        (col(tokenCol).try_cast(LongType).isNotNull &&
+          col(tokenCol).try_cast(LongType) >= 0),
+      lit(s"tokenBudgetMixApprox: negative or non-numeric token count in " +
+        s"column $tokenCol — totals and keep fractions would be silently " +
+        "wrong; clean or clamp them upstream")).isNull)
     val totalsDf = checked
       .where(col(sourceCol).isNotNull)
       .groupBy(col(sourceCol).cast(StringType).as("__k"))
@@ -366,7 +384,7 @@ object Sampling {
       // Unlike temperatureMix there is no cross-path ulp concern at all:
       // each fraction is ONE IEEE division of two exact longs followed
       // by min — bit-identical wherever it's computed.
-      val (withBudget, budget) = lookupLong(totalsDf, "__k", budgets, defaultBudget)
+      val (withBudget, budget) = lookup(totalsDf, "__k", budgets, defaultBudget)
       val fracs = withBudget.select(col("__k"),
         when(col("__t") <= 0, lit(1.0))
           .otherwise(least(lit(1.0),

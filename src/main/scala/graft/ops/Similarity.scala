@@ -565,6 +565,17 @@ object Similarity {
     * query side of [[lshTopKProbed]], identical candidates and scores
     * (the one-shot form delegates here; the parquet round-trip is
     * pinned by spec).
+    *
+    * ASSUMES a DETERMINISTIC query lineage: the probe-bucket IN
+    * pushdown collects the probe set from a separate execution of the
+    * `queries` plan, so a non-deterministic frame (rand-derived,
+    * sampled with Spark's split-dependent `sample`, a re-read mutable
+    * source) can yield a collected set that diverges from the
+    * join-side buckets and silently prunes true candidates.
+    * `cache()`/`localCheckpoint()` such a frame first (every operator
+    * in this library is hash-deterministic, so this only arises with
+    * caller-supplied randomness). The same assumption applies to
+    * [[semanticDedupIncrement]]'s `pruneCells` collect.
     */
   def lshSearchIndexed(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nBits: Int = 16,
@@ -1088,9 +1099,15 @@ object Similarity {
     * probed-cell union (bounded by nlist rows) and pushes it as a
     * `cell IN (...)` predicate — on a cell-partitioned standing index
     * the corpus reads only those partitions. It costs one extra
-    * cell-assignment pass over the batch; disable it when the batch
-    * dwarfs the index. Ids must be distinct across frames, as in the
-    * LSH form; batch-internal duplicates are out of scope.
+    * cell-assignment pass over the batch — and, like
+    * [[lshSearchIndexed]]'s probe pushdown, ASSUMES the batch's
+    * lineage is deterministic (the cell set is collected from a
+    * separate execution of the `incoming` plan; cache or
+    * localCheckpoint a rand-derived/sampled/mutable-source batch first
+    * or the pruned scan can silently miss true matches). Disable it
+    * when the batch dwarfs the index. Ids must be distinct across
+    * frames, as in the LSH form; batch-internal duplicates are out of
+    * scope.
     */
   def semanticDedupIncrement(index: DataFrame, centroids: Array[Array[Float]],
       incoming: DataFrame, idCol: String, vecCol: String,

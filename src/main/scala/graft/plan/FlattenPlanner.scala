@@ -77,9 +77,20 @@ object FlattenPlanner {
     */
   def flattenVariant(input: DataFrame, variantCol: String,
       opts: FlattenOptions = FlattenOptions()): ListMap[String, DataFrame] = {
-    val raw = input
+    val rawRow = input
       .select(schema_of_variant_agg(col(quoted(variantCol))).as("s"))
-      .collect()(0).getString(0)
+      .collect()(0)
+    // schema_of_variant_agg over zero rows / an all-null column yields
+    // the VOID schema (or NULL on some engines) — name that case
+    // instead of NPEing on getString / falling into the misleading
+    // "wrap scalar payloads in an object" branch below
+    def emptyLandingZone(): Nothing =
+      throw new IllegalArgumentException(
+        s"flattenVariant: column $variantCol has no non-null variant " +
+          "documents to infer a schema from (empty or all-null landing " +
+          "zone) — nothing to flatten")
+    if (rawRow.isNullAt(0)) emptyLandingZone()
+    val raw = rawRow.getString(0)
     // the variant schema string spells structs OBJECT<...>; the DDL
     // parser wants STRUCT<...> (a plain token swap — OBJECT< cannot
     // occur inside a field name without backticks, which variant schema
@@ -93,6 +104,7 @@ object FlattenPlanner {
           .select(col(quoted(variantCol)).cast(st).as("__graft_doc"))
           .select(col("__graft_doc.*"))
         flatten(shredded, opts)
+      case NullType => emptyLandingZone()
       case other => throw new IllegalArgumentException(
         s"flattenVariant: column $variantCol holds $other documents, not " +
           "objects — flatten needs object-typed documents (wrap scalar/" +

@@ -367,11 +367,20 @@ class FiltersSpec extends AnyFunSuite {
     val e1 = intercept[Exception] {
       Sampling.tokenBudgetMix(bad, "id", "toks", "src", Map("s0" -> 100L)).collect()
     }
-    assert(chain(e1).contains("negative token count"), chain(e1))
+    assert(chain(e1).contains("negative or non-numeric token count"), chain(e1))
     val e2 = intercept[Exception] {
       Sampling.tokenBudgetMixApprox(bad, "id", "toks", "src", Map("s0" -> 100L)).collect()
     }
-    assert(chain(e2).contains("negative token count"), chain(e2))
+    assert(chain(e2).contains("negative or non-numeric token count"), chain(e2))
+    // a non-numeric token VALUE must raise the same actionable error,
+    // not a misleading one (the cast yields NULL; assert_true on a NULL
+    // condition used to throw with the 'negative' message)
+    val malformed = Seq((1L, "s0", "5"), (2L, "s0", "abc"))
+      .toDF("id", "src", "toks")
+    val e3 = intercept[Exception] {
+      Sampling.tokenBudgetMix(malformed, "id", "toks", "src", Map("s0" -> 100L)).collect()
+    }
+    assert(chain(e3).contains("negative or non-numeric token count"), chain(e3))
   }
 
   test("mixture samplers survive 100k-group cardinality (broadcast-join path)") {
@@ -415,6 +424,14 @@ class FiltersSpec extends AnyFunSuite {
     val exG = ex.select("g").distinct().collect().map(_.getString(0)).toSet
     assert(!exG.exists(g => g.drop(1).toLong < 500) && exG.size == 100000 - 500,
       "tokenBudgetMix join-path budgets misapplied")
+    // the offsets-broadcast size gate: past the bound the hint drops
+    // (plain shuffle join — the driver never builds the frame) and the
+    // kept set must be IDENTICAL on both sides of the gate
+    val exIds = ex.select("id").as[Long].collect().toSet
+    val gatedIds = Sampling.tokenBudgetMix(big, "id", "toks", "g", budgets,
+        maxBroadcastOffsets = 1)
+      .select("id").as[Long].collect().toSet
+    assert(gatedIds == exIds, "size-gated (non-broadcast) path diverged")
     big.unpersist()
   }
 

@@ -72,6 +72,28 @@ class FlattenGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("flattenVariant names an empty/all-null landing zone instead of NPEing") {
+    // schema_of_variant_agg aggregates to NULL over zero rows or an
+    // all-null column — the error must say what's wrong, not NPE
+    import org.apache.spark.sql.functions.{lit, parse_json, struct, to_variant_object, when}
+    import spark.implicits._
+    val typed = Seq((1L, "a")).toDF("id", "name")
+    val docs = typed.select(
+      to_variant_object(struct(typed.columns.map(col): _*)).as("doc"))
+    val empty = intercept[IllegalArgumentException] {
+      FlattenPlanner.flattenVariant(docs.where(lit(false)), "doc")
+    }
+    assert(empty.getMessage.contains("no non-null variant"), empty.getMessage)
+    // an all-null VARIANT column aggregates to the VOID schema — same
+    // named error, never an NPE or the misleading "wrap scalars" branch
+    val allNull = intercept[IllegalArgumentException] {
+      FlattenPlanner.flattenVariant(
+        Seq("x").toDF("s").select(
+          parse_json(when(lit(false), $"s")).as("doc")), "doc")
+    }
+    assert(allNull.getMessage.contains("no non-null variant"), allNull.getMessage)
+  }
+
   test("basic.jl (pretty-printed JSON stream, S4) matches goldens — ingest-form invariance") {
     val input = JsonInput.jsonStream(spark, s"$fixtures/basic.jl")
     val out = Files.createTempDirectory("graft_jl").toString

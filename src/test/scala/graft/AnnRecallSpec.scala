@@ -68,6 +68,42 @@ class AnnRecallSpec extends AnyFunSuite {
     df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
   }
 
+  /** BROAD-cluster fixture for the IVFADC tests: 32 well-separated
+    * centers with LARGE within-cluster spread (noise 0.4) — the regime
+    * residual coding exists for. Shared by the residual-vs-raw test and
+    * the production-geometry dial rows (the corpus is the expensive
+    * part; the dials reuse its exact ground truth).
+    */
+  private val SpreadClusters = 32
+  private def bvec(id: Long): Array[Float] = {
+    val c = (id % SpreadClusters).toInt
+    Array.tabulate(Dims)(j =>
+      (h(c.toLong * 131 + j, 3L) + 0.4 * h((id << 18) | j.toLong, 5L)).toFloat)
+  }
+  private lazy val (spreadCorpus, spreadQueries, spreadTruth1, spreadTruth10) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      Similarity.l2Normalize(df, "embedding")
+        .select(col("vec_id"), col("normalized").as("embedding"))
+    val n = SpreadClusters * 100
+    val nc = norm((0L until n.toLong).map(i => i -> bvec(i))
+      .toDF("vec_id", "embedding")).cache()
+    val nq = norm((0 until 60).map { i =>
+      val b = bvec(i.toLong)
+      ((200000 + i).toLong, Array.tabulate(Dims)(j =>
+        b(j) + 0.05f * h((i.toLong << 22) | j.toLong, 6L).toFloat))
+    }.toDF("vec_id", "embedding")).cache()
+    nc.count(); nq.count()
+    val t1 = topSet(Similarity.bruteForceTopK(nc, nq, "vec_id", "embedding", k = 1))
+    val t10 = topSet(Similarity.bruteForceTopK(nc, nq, "vec_id", "embedding", k = K))
+    (nc, nq, t1, t10)
+  }
+
+  private def spreadRecall(df: org.apache.spark.sql.DataFrame,
+      t: Set[(Long, Long)]): Double =
+    topSet(df).intersect(t).size.toDouble / t.size
+
   private lazy val truth: Set[(Long, Long)] =
     topSet(Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = K))
 
@@ -211,38 +247,16 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("IVFADC residual coding: measurably better recall than raw codes on a spread corpus") {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.col
-    // BROAD-cluster corpus — 32 well-separated centers with LARGE
-    // within-cluster spread (noise 0.4, nothing like the tie-capped
-    // 0.997-cosine geometry above). Raw-vector codes must spend their
-    // m=8 × ksub=64 budget covering the whole space — they mostly
-    // resolve WHICH cluster, which the coarse cell already knew;
-    // residual coding (x − centroid, Jégou et al. §IV-A) removes the
-    // cell mean so the same budget resolves WITHIN-cluster structure.
-    // (A fully isotropic corpus shows no gain by construction — cell
-    // centroids are near zero there, so residual ≈ raw; structure with
-    // spread is precisely the regime the recipe exists for.)
-    val nClusters = 32
-    val perCluster = 100
-    def bvec(id: Long): Array[Float] = {
-      val c = (id % nClusters).toInt
-      Array.tabulate(Dims)(j =>
-        (h(c.toLong * 131 + j, 3L) + 0.4 * h((id << 18) | j.toLong, 5L)).toFloat)
-    }
-    val n = nClusters * perCluster
-    def norm(df: org.apache.spark.sql.DataFrame) =
-      Similarity.l2Normalize(df, "embedding")
-        .select(col("vec_id"), col("normalized").as("embedding"))
-    val nc = norm((0L until n.toLong).map(i => i -> bvec(i))
-      .toDF("vec_id", "embedding")).cache()
-    val nq = norm((0 until 60).map { i =>
-      val b = bvec(i.toLong)
-      ((200000 + i).toLong, Array.tabulate(Dims)(j =>
-        b(j) + 0.05f * h((i.toLong << 22) | j.toLong, 6L).toFloat))
-    }.toDF("vec_id", "embedding")).cache()
-    nc.count(); nq.count()
-    // the sharp measurement is recall@1: the query's true nearest
+    // Raw-vector codes must spend their m × ksub budget covering the
+    // whole space — they mostly resolve WHICH cluster, which the coarse
+    // cell already knew; residual coding (x − centroid, Jégou et al.
+    // §IV-A) removes the cell mean so the same budget resolves
+    // WITHIN-cluster structure. (A fully isotropic corpus shows no gain
+    // by construction — cell centroids are near zero there, so residual
+    // ≈ raw; the [[spreadCorpus]] geometry is precisely the regime the
+    // recipe exists for.)
+    //
+    // The sharp measurement is recall@1: the query's true nearest
     // neighbor is its (well-separated) base row, and finding IT within
     // the probed cell is pure code resolution — raw codes collapse
     // same-cluster members onto the few codebook entries that cluster
@@ -251,10 +265,9 @@ class AnnRecallSpec extends AnyFunSuite {
     // the within-cell spread. recall@10 is reported too (a diluted
     // version of the same signal — the lower 9 are near-ties even for
     // exact scoring).
-    val truth1 = topSet(Similarity.bruteForceTopK(nc, nq, "vec_id", "embedding", k = 1))
-    val truth10 = topSet(Similarity.bruteForceTopK(nc, nq, "vec_id", "embedding", k = K))
-    def rec(df: org.apache.spark.sql.DataFrame, t: Set[(Long, Long)]): Double =
-      topSet(df).intersect(t).size.toDouble / t.size
+    val (nc, nq) = (spreadCorpus, spreadQueries)
+    val (truth1, truth10) = (spreadTruth1, spreadTruth10)
+    val rec = spreadRecall _
     val cents = Similarity.ivfTrain(nc, "vec_id", "embedding", nlist = 32, lloydPasses = 1)
     val cbRaw = Similarity.pqTrain(nc, "vec_id", "embedding", m = 16, ksub = 64)
     val cbRes = Similarity.pqTrainResidual(nc, "vec_id", "embedding", cents,
@@ -289,7 +302,44 @@ class AnnRecallSpec extends AnyFunSuite {
     // pre-column legacy frames pass through unchecked (searched raw)
     Similarity.ivfPqSearch(idxRaw.drop("residual"), cents, cbRaw, nq,
       "vec_id", "embedding", k = K, nprobe = 8).collect()
-    idxRaw.unpersist(); idxRes.unpersist(); nc.unpersist(); nq.unpersist()
+    idxRaw.unpersist(); idxRes.unpersist()
+  }
+
+  test("residual IVFADC production-geometry dials: m=32 and ksub=256 rows (SCALE.md dial table)") {
+    // the m=16/ksub=64 residual row above measures 0.783 @1 / 0.393 @10
+    // — honest but low in absolute terms. These rows measure the two
+    // cheap dials at the same corpus/truth: m=32 halves each subvector
+    // (2 dims at 64-dim — finer spatial slicing, 2× code bytes), and
+    // ksub=256 quadruples the entries per subspace (full byte codes,
+    // same code WIDTH in bytes-per-code terms as published ADC setups).
+    // Both refine quantization, so neither may LOSE recall vs the
+    // baseline; the measured values go to SCALE.md §ivfadc-dials so the
+    // 100 TB recipe names which dial buys what.
+    val (nc, nq) = (spreadCorpus, spreadQueries)
+    val cents = Similarity.ivfTrain(nc, "vec_id", "embedding", nlist = 32, lloydPasses = 1)
+    def measure(m: Int, ksub: Int): (Double, Double) = {
+      val cb = Similarity.pqTrainResidual(nc, "vec_id", "embedding", cents,
+        m = m, ksub = ksub)
+      val idx = Similarity.ivfPqIndex(nc, "vec_id", "embedding", cents, cb,
+        residual = true).cache()
+      idx.count()
+      def search(k: Int) = Similarity.ivfPqSearch(idx, cents, cb, nq,
+        "vec_id", "embedding", k = k, nprobe = 8, residual = true)
+      val r = (spreadRecall(search(1), spreadTruth1),
+        spreadRecall(search(K), spreadTruth10))
+      idx.unpersist()
+      r
+    }
+    val (base1, base10) = measure(16, 64)
+    val (m321, m3210) = measure(32, 64)
+    val (k2561, k25610) = measure(16, 256)
+    info(f"ivfPqSearch residual m=16 ksub=64  (baseline) recall@1 = $base1%.3f  recall@10 = $base10%.3f")
+    info(f"ivfPqSearch residual m=32 ksub=64             recall@1 = $m321%.3f  recall@10 = $m3210%.3f")
+    info(f"ivfPqSearch residual m=16 ksub=256            recall@1 = $k2561%.3f  recall@10 = $k25610%.3f")
+    assert(m321 >= base1 && m3210 >= base10,
+      f"m=32 lost recall vs baseline: @1 $m321%.3f vs $base1%.3f, @10 $m3210%.3f vs $base10%.3f")
+    assert(k2561 >= base1 && k25610 >= base10,
+      f"ksub=256 lost recall vs baseline: @1 $k2561%.3f vs $base1%.3f, @10 $k25610%.3f vs $base10%.3f")
   }
 
   test("IVF recall@10 (nlist=64): nprobe=8 >= 0.9 and monotone in nprobe") {

@@ -1891,13 +1891,47 @@ object SparkEntry {
         |        FROM documents) d) s
         |ORDER BY doc_id""".stripMargin,
 
+    // the jaccard-1.0 pair set is COMPUTED (identical normalized token
+    // sequences over originals ∪ planted copies), not assumed to be the
+    // planted pairs alone: at sf0.1 the documents table contains natural
+    // duplicate texts, and each such (a, b) adds the four extra 1.0
+    // pairs {a–b, a–b', a'–b, a'–b'} beyond the planted a–a'/b–b'. The
+    // equality join is the exact truth at threshold 0.99 as long as no
+    // NON-identical pair reaches 0.99 (one differing token on these doc
+    // lengths caps shingle jaccard ≈ 0.9 — the x16 comment's argument).
     "x16_minhash_planted" ->
-      """SELECT doc_id AS id_a, doc_id + 100000000 AS id_b, 1.0 AS jac_r
-        |FROM documents ORDER BY id_a""".stripMargin,
+      """WITH u AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), t -> len(t) > 0), chr(31)) AS k
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000 AS id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), t -> len(t) > 0), chr(31)) AS k
+        |  FROM documents
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b, 1.0 AS jac_r
+        |FROM u a JOIN u b ON a.k = b.k AND a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
 
+    // same computed-truth form as x16 (ngram shingle sets are identical
+    // iff the token sequences are, on these doc lengths)
     "x17_ngram_planted" ->
-      """SELECT doc_id AS id_a, doc_id + 100000000 AS id_b, 1.0 AS jac_r
-        |FROM documents ORDER BY id_a""".stripMargin,
+      """WITH u AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), t -> len(t) > 0), chr(31)) AS k
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000 AS id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), t -> len(t) > 0), chr(31)) AS k
+        |  FROM documents
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b, 1.0 AS jac_r
+        |FROM u a JOIN u b ON a.k = b.k AND a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "x9_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -163,13 +163,15 @@ object Dedup {
     * and readable off the SparkContext after the action) — a non-zero
     * value means some incoming docs' only collisions may have lived in a
     * degenerate bucket and passed as fresh; raise `maxBucket` or
-    * pre-scrub boilerplate if that matters for the corpus. The sizes
-    * come from a window count over the band keys — one exchange of
-    * fixed-width (id, band, hash) rows and an in-partition sort; a
-    * degenerate bucket does land in one task, but the work there is a
-    * linear count over small rows, and the alternative (groupBy-count +
-    * anti-join of oversized keys) would run the minhash kernel — the
-    * dominant cost — over the corpus twice.
+    * pre-scrub boilerplate if that matters for the corpus. Since r15 the
+    * count covers the buckets THIS BATCH PROBES (the batch's bandHash
+    * set prunes the corpus band frame before the cap window — see
+    * [[nearDupVerify]]): exactly the buckets whose loss can affect this
+    * batch's answer, and the window sorts only the probed slice instead
+    * of every corpus band row. A degenerate probed bucket still lands in
+    * one task, but the work there is a linear count over small rows, and
+    * the alternative (groupBy-count + anti-join of oversized keys) would
+    * run the minhash kernel — the dominant cost — over the corpus twice.
     *
     * Within-batch near-dups are NOT collapsed (compose
     * [[minhashDedupPairs]] + [[dedupByPairs]] on the batch for that);
@@ -276,10 +278,45 @@ object Dedup {
       shingleSize, maxBucket)
   }
 
+  /** The probe-set pushdown cap shared by the two pruning collects
+    * below: bounded driver memory via limit-collect, pruning skipped
+    * above it ([[graft.ops.Similarity.lshSearchIndexed]]'s pattern). */
+  private val NearDupMaxProbeFilter = 65536
+
   /** The shared candidate + exact-verify tail of the incremental
     * near-dup family: `corpusBands` is (id, band, bandHash) — computed
     * per call by [[nearDupIncrement]], read from a standing table by
-    * [[nearDupIncrementIndexed]]. */
+    * [[nearDupIncrementIndexed]].
+    *
+    * Two probe-set pushdowns keep the per-batch corpus-side cost tied
+    * to the PROBED slice, not the corpus (measured in ScaleCurve
+    * §standing-band — without them the maxBucket window sorted the
+    * whole band frame and verification scanned every corpus text, both
+    * corpus-linear per batch):
+    *
+    *   1. the corpus band frame is restricted to the batch's probed
+    *      (band, bandHash) groups BEFORE the window — per-key counts
+    *      are unchanged for every surviving group (a group has one key,
+    *      so groups are kept or dropped whole), and dropped groups
+    *      cannot equi-join the batch anyway. Small probe sets (≤
+    *      [[NearDupMaxProbeFilter]] distinct hashes) push a literal
+    *      `bandHash IN (...)` — on a [[writeBandTable]] store the
+    *      sorted-within-bucket layout turns that into row-group
+    *      skipping; larger batches fall back to a LEFT SEMI join on the
+    *      band keys, which needs no driver-side list and stays
+    *      corpus-side exchange-free on the bucketed table. Either way
+    *      the cap window sorts only the probed slice, and the drop
+    *      accumulator counts oversized PROBED buckets — exactly the
+    *      ones whose loss can affect this batch.
+    *   2. the candidate old-id set filters `existing` before the
+    *      verification semi-join, so the text scan can skip row groups
+    *      on an id-sorted corpus instead of reading every document
+    *      (capped the same way; above the cap the plain semi-join
+    *      already ships only candidate ids).
+    *
+    * The collects ride the localCheckpointed frames (deterministic by
+    * construction).
+    */
   private def nearDupVerify(corpusBands: DataFrame, existing: DataFrame,
       incoming: DataFrame, textCol: String, idCol: String,
       threshold: Double, numHashes: Int, bands: Int, shingleSize: Int,
@@ -296,12 +333,24 @@ object Dedup {
       if (!keep) acc.add(1L)
       keep
     }.asNondeterministic()
-    val ex = corpusBands
+    val in = bandFrame(incoming, textCol, idCol, numHashes, bands, shingleSize)
+      .select(col("id").as("new_id"), col("band"), col("bandHash"))
+      .localCheckpoint(false)
+    val probeHashes: Option[Array[Long]] = {
+      val got = in.select(col("bandHash")).where(col("bandHash").isNotNull)
+        .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.getLong(0))
+      if (got.length > NearDupMaxProbeFilter) None else Some(got)
+    }
+    val cbPruned = probeHashes match {
+      case Some(hs) => corpusBands.where(col("bandHash").isin(hs.map(Long.box): _*))
+      case None => corpusBands.join(
+        in.select(col("band"), col("bandHash")).distinct(),
+        Seq("band", "bandHash"), "left_semi")
+    }
+    val ex = cbPruned
       .withColumn("__n", count(lit(1)).over(w))
       .where(keepMark(col("__n") <= maxBucket))
       .select(col("id").as("old_id"), col("band"), col("bandHash"))
-    val in = bandFrame(incoming, textCol, idCol, numHashes, bands, shingleSize)
-      .select(col("id").as("new_id"), col("band"), col("bandHash"))
     val cands = in.join(ex, Seq("band", "bandHash"))
       .select(col("new_id"), col("old_id")).distinct()
       .localCheckpoint(false)
@@ -315,7 +364,12 @@ object Dedup {
         array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
       .localCheckpoint(false)
     val shNew = sh(incoming, cands.select(col("new_id").as("id")).distinct())
-    val shOld = sh(existing, cands.select(col("old_id").as("id")).distinct())
+    val oldKeys = cands.select(col("old_id")).where(col("old_id").isNotNull)
+      .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.get(0))
+    val exVerify =
+      if (oldKeys.length > NearDupMaxProbeFilter) existing
+      else existing.where(col(idCol).isin(oldKeys: _*))
+    val shOld = sh(exVerify, cands.select(col("old_id").as("id")).distinct())
     val dupIds = cands
       .join(shNew.withColumnsRenamed(Map("id" -> "new_id", "sh" -> "sh_a")), Seq("new_id"))
       .join(shOld.withColumnsRenamed(Map("id" -> "old_id", "sh" -> "sh_b")), Seq("old_id"))

@@ -579,7 +579,7 @@ object Similarity {
     */
   def lshSearchIndexed(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int = 10, nBits: Int = 16,
-      probeDepth: Int = 2, maxProbeFilter: Int = 4096): DataFrame = {
+      probeDepth: Int = 2, maxProbeFilter: Int = 65536): DataFrame = {
     require(probeDepth >= 0 && probeDepth <= 2,
       s"probeDepth must be 0, 1, or 2, got $probeDepth")
     val sig = hyperplaneFast(index.schema(vecCol).dataType, nBits)(col(vecCol))
@@ -624,9 +624,13 @@ object Similarity {
     // bucket-partitioned standing index ([[lshIndexWrite]]) reads only
     // the probed partitions and even an unpartitioned scan short-circuits
     // rows before the join. Skipped when the probe set exceeds
-    // `maxProbeFilter` (a huge query batch at depth 2 — an IN list that
-    // big would cost more than the scan it prunes; capped via
-    // limit-collect so the driver never materializes an unbounded set).
+    // `maxProbeFilter` (capped via limit-collect so the driver never
+    // materializes an unbounded set). The default covers the full
+    // 16-bit bucket space (65,536 longs ≈ 512 KB driver-side; Catalyst
+    // turns the IN into an O(1)-lookup InSet) — the r15 depth-2 default
+    // probes 137 buckets per query, so a 4096 cap would have silently
+    // disabled pruning past ~30 queries; when the probe union saturates
+    // the bucket space anyway, pruning is a no-op either way.
     val probeSet: Option[Array[Long]] = {
       // null buckets (null query vectors) never equi-join — exclude them
       // from the IN list instead of tripping the primitive getter
@@ -1078,7 +1082,7 @@ object Similarity {
   def cosineDedupIncrement(index: DataFrame, incoming: DataFrame,
       idCol: String, vecCol: String, threshold: Double = 0.95,
       nBits: Int = 16, probeDepth: Int = 2,
-      maxProbeFilter: Int = 4096): DataFrame = {
+      maxProbeFilter: Int = 65536): DataFrame = {
     val hits = lshSearchIndexed(index, incoming, idCol, vecCol, k = 1,
         nBits, probeDepth, maxProbeFilter)
       .where(col("score") >= threshold)

@@ -124,6 +124,15 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(r >= 0.9, f"recall@10 at defaults = $r%.3f")
   }
 
+  test("lshTopKProbed OUT-OF-THE-BOX defaults (no dials) clear 0.95 recall@10") {
+    // the r15 default flip to the 16-bit depth-2 scale recipe must hold
+    // for a user passing NO dials at all — whatever the defaults are
+    val r = recall(Similarity.lshTopKProbed(corpus, queries,
+      "vec_id", "embedding", k = K))
+    info(f"lshTopKProbed DEFAULT config recall@10 = $r%.3f")
+    assert(r >= 0.95, f"default-config recall@10 = $r%.3f")
+  }
+
   test("LSH recall@10 table: nBits 8/12 x probe on/off, documented orderings hold") {
     val r8p = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
       k = K, nBits = 8, probe1 = true))

@@ -194,7 +194,7 @@ object StreamingFlatten {
     */
   def streamingCosineDedup(docs: DataFrame, vecCol: String, idCol: String,
       corpusDir: String, checkpointDir: String, threshold: Double = 0.95,
-      nBits: Int = 12, probeDepth: Int = 1): StreamingQuery =
+      nBits: Int = 16, probeDepth: Int = 2): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -164,6 +164,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids().sorted == Seq(1L, 2L, 13L))
   }
 
+  test("streaming dedup stores written BEFORE the signature layout still dedup (legacy re-sign path)") {
+    import spark.implicits._
+    // vector twin: batch 0 landed by an older build — (vec_id, embedding)
+    // only, no bucket/nbits columns. A new-build batch must still drop
+    // its near-dups (the legacy half re-signs; nothing silently passes)
+    val vwork = java.nio.file.Files.createTempDirectory("scdl").toString
+    val vcorpus = s"$vwork/corpus"
+    val v1 = Array.tabulate(16)(j => ((j * 37 + 5) % 13 - 6).toFloat)
+    val v2 = Array.tabulate(16)(j => ((j * 11 + 2) % 7 - 3).toFloat)
+    Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+      .write.parquet(s"$vcorpus/batch=0")
+    StreamingFlatten.cosineDedupBatch(
+      Seq((11L, v1.map(_ * 1.001f)), (13L, v2.map(x => -x)))
+        .toDF("vec_id", "embedding"),
+      1L, "embedding", "vec_id", vcorpus, 0.95, 8, 1)
+    val vids = spark.read.parquet(vcorpus).select("vec_id").as[Long].collect().toSeq
+    assert(vids.sorted == Seq(1L, 2L, 13L), s"legacy vector store: $vids")
+    // text twin: batch 0 without the bh/band-config columns
+    val twork = java.nio.file.Files.createTempDirectory("sndl").toString
+    val tcorpus = s"$twork/corpus"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    Seq((1L, base), (2L, "completely different words here nothing shared at all"))
+      .toDF("doc_id", "text").write.parquet(s"$tcorpus/batch=0")
+    StreamingFlatten.nearDupBatch(
+      Seq((11L, base), (13L, "fresh unrelated daily report with novel vocabulary"))
+        .toDF("doc_id", "text"),
+      1L, "text", "doc_id", tcorpus, 0.7, 32, 8, 3, 10000)
+    val tids = spark.read.parquet(tcorpus).select("doc_id").as[Long].collect().toSeq
+    assert(tids.sorted == Seq(1L, 2L, 13L), s"legacy text store: $tids")
+  }
+
   test("stateless QC family runs unchanged on a stream: per-batch output equals the batch run") {
     // the pipeline claim beyond the stateful dedup ops: quality scoring,
     // charset QC, PII redaction, and standing-model LM scoring are all

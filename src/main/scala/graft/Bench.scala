@@ -33,6 +33,11 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // b14's standing band table gets a fresh warehouse per run — a
+      // leftover managed-table directory from a previous JVM would fail
+      // saveAsTable with LOCATION_ALREADY_EXISTS (Verify does the same)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -350,6 +355,33 @@ object Bench {
         budgets)
         .write.format("noop").mode("overwrite").save()
 
+    // b14: the r15 standing band table — a daily batch (1% dupes + 1%
+    // near-fresh, the b4 shape) near-dup-probed against a 600k-doc
+    // corpus whose MinHash band frame was persisted ONCE (untimed, the
+    // b9/b10 standing-index convention). Timed region: batch signatures
+    // + probed band slice + candidate verification. The per-call form
+    // re-signatures the corpus every batch (ScaleCurve band family:
+    // per-call ratio 1.75 at 10x corpus vs 1.04 here). NOTE the ~40-char
+    // bench docs make the corpus kernel this table eliminates almost
+    // free, so at THIS corpus the two forms cost about the same — on
+    // real-length documents the kernel dominates and the table wins at
+    // 1x too; this row tracks the probe-side cost (collect-bounded
+    // pushdowns + bucketed probe join + verification), ScaleCurve
+    // tracks the scaling.
+    def b14Batch(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      docs.where(col("doc_id") % 100 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+        .unionAll(docs.where(col("doc_id") % 100 === 50)
+          .select((col("doc_id") + 20000000L).as("doc_id"),
+            concat(col("text"), lit(" appended")).as("text")))
+    }
+    def runB14(docs: org.apache.spark.sql.DataFrame, table: String): Unit =
+      graft.ops.Dedup.nearDupIncrementIndexed(spark.table(table), docs,
+          b14Batch(docs), "text", "doc_id", threshold = 0.9,
+          numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000)
+        .write.format("noop").mode("overwrite").save()
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
@@ -360,8 +392,20 @@ object Bench {
       val warmDocs = bCorpus("/root/testdata/sf0.001").localCheckpoint(true)
       runB11(warmDocs); runB12(warmDocs)
       runB13(warmDocs, b13Budgets)
+      graft.ops.Dedup.writeBandTable(warmDocs, "text", "doc_id",
+        "graft_bench_bands_warm", numHashes = 32, bands = 8,
+        shingleSize = 3, numBuckets = 8)
+      runB14(warmDocs, "graft_bench_bands_warm")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup b11/b12/b13 FAILED: $e") }
+    // b14's standing table at the benched SF, built untimed (the
+    // b9/b10 standing-index convention: index construction is the
+    // once-per-corpus cost, the bench times the per-batch probe)
+    try graft.ops.Dedup.writeBandTable(lmDocs, "text", "doc_id",
+      "graft_bench_bands", numHashes = 32, bands = 8, shingleSize = 3,
+      numBuckets = 32)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] b14 standing table FAILED: $e") }
     try {
       runB8(b8Vecs(2000L))
       val wv = b8Vecs(2000L).localCheckpoint(true)
@@ -393,7 +437,9 @@ object Bench {
           b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))),
       "b11_lm_model_600k" -> runTimes("b11")(runB11(lmDocs)),
       "b12_lm_score_600k" -> runTimes("b12")(runB12(lmDocs)),
-      "b13_token_budget_600k" -> runTimes("b13")(runB13(lmDocs, b13Budgets)))
+      "b13_token_budget_600k" -> runTimes("b13")(runB13(lmDocs, b13Budgets)),
+      "b14_neardup_indexed_600k" -> runTimes("b14")(
+        runB14(lmDocs, "graft_bench_bands")))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

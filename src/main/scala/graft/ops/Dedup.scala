@@ -230,11 +230,31 @@ object Dedup {
   def writeBandTable(df: DataFrame, textCol: String, idCol: String,
       table: String, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, numBuckets: Int = 256,
-      append: Boolean = false): Unit =
+      append: Boolean = false): Unit = {
+    // appending under a DIFFERENT band config would poison the table
+    // silently (the probe-side guard reads ONE row, so mixed-config
+    // rows beyond it would simply never collide) — check the standing
+    // config eagerly before the append
+    if (append && df.sparkSession.catalog.tableExists(table)) {
+      val one = df.sparkSession.table(table)
+        .select(col("numhashes"), col("bands"), col("shinglesize"))
+        .where(col("numhashes").isNotNull).limit(1).collect()
+      if (one.nonEmpty) {
+        val (nh, bd, ss) = (one(0).getInt(0), one(0).getInt(1), one(0).getInt(2))
+        if (nh != numHashes || bd != bands || ss != shingleSize)
+          throw new IllegalArgumentException(
+            s"writeBandTable: appending with (numHashes = $numHashes, " +
+              s"bands = $bands, shingleSize = $shingleSize) to a band " +
+              s"table written with (numHashes = $nh, bands = $bd, " +
+              s"shingleSize = $ss) — mixed configs would silently stop " +
+              "colliding; rebuild the table or match its config")
+      }
+    }
     graft.sinks.Sinks.parquetBucketed(
       bandIndex(df, textCol, idCol, numHashes, bands, shingleSize),
       table, Seq("band", "bandHash"), numBuckets,
       mode = if (append) "append" else "overwrite")
+  }
 
   /** [[nearDupIncrement]] against a standing [[writeBandTable]] /
     * [[bandIndex]] frame — same semantics, same output, but the corpus

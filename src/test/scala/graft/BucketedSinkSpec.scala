@@ -131,6 +131,15 @@ class BucketedSinkSpec extends AnyFunSuite {
           threshold = 0.7, numHashes = 64, bands = 16, shingleSize = 3)
       }
       assert(ex.getMessage.contains("band table"), ex.getMessage)
+      // ...and so does APPENDING under a different config (a mixed-config
+      // table would pass the one-row probe guard yet never collide on
+      // the mismatched rows — poisoned silently)
+      val exApp = intercept[IllegalArgumentException] {
+        graft.ops.Dedup.writeBandTable(incoming, "text", "doc_id",
+          "graft_bkt_bands", numHashes = 64, bands = 16, shingleSize = 3,
+          numBuckets = 8, append = true)
+      }
+      assert(exApp.getMessage.contains("mixed configs"), exApp.getMessage)
       // fold the kept batch in via append: a re-run of the same batch
       // against the grown table (and corpus) now drops everything
       val kept = incoming.join(indexed.select($"doc_id"), Seq("doc_id"), "left_semi")

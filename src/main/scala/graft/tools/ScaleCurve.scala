@@ -158,6 +158,43 @@ object ScaleCurve {
         "vec_id", "embedding", k = 10, nBits = 12, probe1 = true)
         .write.format("noop").mode("overwrite").save()
 
+    /** The r15 DEFAULT search config (nBits=16, depth 2), one-shot. */
+    def sa2b(path: String, q1: String): Unit =
+      graft.ops.Similarity.lshTopKProbed(vecs(path), queries(q1),
+        "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+
+    /** Standing prefix-partitioned 16-bit LSH store, built untimed.
+      * maxDirs right-sized for the curve corpora per StoreDirProbe
+      * (SCALE.md §lsh-store-dirs): search overhead is ~linear in dir
+      * count, so a 600k–6M store wants ~1k dirs, not the 100 TB
+      * default's 4096. */
+    def sa2Index(path: String, out: String): Unit =
+      graft.ops.Similarity.lshIndexWrite(vecs(path), "vec_id", "embedding",
+        out, nBits = 16, maxDirs = 1024)
+
+    /** Default-config search over the standing store — probe prefixes
+      * prune partitions, bucket IN skips row groups. */
+    def sa2c(idx: String, q1: String): Unit =
+      graft.ops.Similarity.lshSearchIndexed(spark.read.parquet(idx),
+        queries(q1), "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+
+    /** The standing store's ACTUAL use case — a handful of probes
+      * against a big corpus (100 queries × 137 depth-2 masks covers
+      * ~85% of the 4096 prefixes, so pruning can't help the 100-query
+      * rows above; 5 queries probe ≤ 685 buckets). */
+    def queries5(path1: String): DataFrame =
+      vecs(path1).where(col("vec_id") < 5)
+    def sa2d(path: String, q1: String): Unit =
+      graft.ops.Similarity.lshTopKProbed(vecs(path), queries5(q1),
+        "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+    def sa2e(idx: String, q1: String): Unit =
+      graft.ops.Similarity.lshSearchIndexed(spark.read.parquet(idx),
+        queries5(q1), "vec_id", "embedding", k = 10)
+        .write.format("noop").mode("overwrite").save()
+
     def sa3(path: String, q1: String): Unit = {
       val c = vecs(path)
       val cents = graft.ops.Similarity.ivfTrain(c, "vec_id", "embedding",
@@ -276,6 +313,8 @@ object ScaleCurve {
       val warmV = s"$work/warmv"
       buildVecs(2000, warmV)
       sa1(warmV, warmV); sa2(warmV, warmV); sa3(warmV, warmV)
+      sa2b(warmV, warmV)
+      sa2Index(warmV, s"$work/warmv-lsh"); sa2c(s"$work/warmv-lsh", warmV)
       val wCents = sa3Index(warmV, s"$work/warmv-ivfidx")
       val wCb = sa5Index(warmV, s"$work/warmv-pq")
       sa5(s"$work/warmv-pq", wCb, warmV)
@@ -290,7 +329,9 @@ object ScaleCurve {
       if (rows1 == 0) { rows1 = vRows; rowsN = vRows * mult }
       System.err.println(s"[scale] vector corpora ready: $vRows at 1x, ${vRows * mult} at ${mult}x")
 
-      val names = Seq("ann_bruteforce", "ann_lsh", "ann_ivf", "ann_ivf_search",
+      val names = Seq("ann_bruteforce", "ann_lsh", "ann_lsh16_default",
+        "ann_lsh16_store", "ann_lsh16_probe5_oneshot", "ann_lsh16_probe5_store",
+        "ann_ivf", "ann_ivf_search",
         "ann_pq_search", "ann_ivfpq_search")
       def runAll(path: String, tag: String): Seq[(String, Double)] = {
         val idx = s"$work/ivfidx-$tag"
@@ -299,7 +340,11 @@ object ScaleCurve {
         val cb = sa5Index(path, pqIdx) // standing code frame: built untimed
         val ipqIdx = s"$work/ivfpqidx-$tag"
         sa6Index(path, ipqIdx, cents, cb) // standing IVFADC frame: untimed
-        names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)), time(sa3(path, v1)),
+        val lshIdx = s"$work/lshidx-$tag"
+        sa2Index(path, lshIdx) // standing prefix-partitioned store: untimed
+        names.zip(Seq(time(sa1(path, v1)), time(sa2(path, v1)),
+          time(sa2b(path, v1)), time(sa2c(lshIdx, v1)),
+          time(sa2d(path, v1)), time(sa2e(lshIdx, v1)), time(sa3(path, v1)),
           time(sa4(idx, cents, v1)), time(sa5(pqIdx, cb, v1)),
           time(sa6(ipqIdx, cents, cb, v1))))
       }

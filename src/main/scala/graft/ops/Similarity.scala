@@ -837,10 +837,10 @@ object Similarity {
   }
 
   /** Assign every corpus vector its IVF cell — the persistable index
-    * frame (id, vector, cell). Write it to parquet (optionally
-    * partitioned or bucketed by `cell` so a probe scans only its cells)
-    * and search it repeatedly with [[ivfSearchIndexed]]; the corpus is
-    * scanned once here instead of once per query batch.
+    * frame (id, vector, cell). Write it with [[ivfIndexWrite]] (or by
+    * hand, partitioned/bucketed by `cell`, so a probe scans only its
+    * cells) and search it repeatedly with [[ivfSearchIndexed]]; the
+    * corpus is scanned once here instead of once per query batch.
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Float]]): DataFrame = {
@@ -849,6 +849,27 @@ object Similarity {
       col(vecCol).cast(ArrayType(FloatType)).as(vecCol))
       .withColumn("cell", element_at(nearCellsUdf(bc)(col(vecCol), lit(1)), 1))
   }
+
+  /** One sorted file per cell directory — repartitioning on the
+    * partition column first is what keeps a partitioned store usable:
+    * a plain `partitionBy` write emits one file per input-task ×
+    * directory, and a search then pays file listing/open overhead
+    * instead of scanning (SCALE.md §lsh-store-dirs: 116 s → 2 s on the
+    * LSH store). Directory count = |cells| ≤ nlist, bounded by the
+    * quantizer by construction.
+    */
+  private def writeCellPartitioned(idx: DataFrame, path: String): Unit =
+    idx.repartition(col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Persist [[ivfIndex]] cell-partitioned with one sorted file per
+    * cell directory — the layout under which [[ivfSearchIndexed]] /
+    * [[semanticDedupIncrement]]'s probe-union predicate becomes
+    * source-level partition pruning (PartitionPruneSpec). */
+  def ivfIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]], path: String): Unit =
+    writeCellPartitioned(ivfIndex(corpus, idCol, vecCol, centroids), path)
 
   /** ANN search over a prebuilt [[ivfIndex]] frame: queries probe their
     * `nprobe` nearest cells, score only those cells' members, and rank
@@ -1900,6 +1921,16 @@ object Similarity {
           col("__a._2").as("codes"), lit(true).as("residual"))
     }
   }
+
+  /** Persist [[ivfPqIndex]] cell-partitioned with one sorted file per
+    * cell directory, like [[ivfIndexWrite]] — the IVFADC standing-store
+    * layout whose probe predicate prunes at the source. */
+  def ivfPqIndexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], path: String,
+      residual: Boolean = false): Unit =
+    writeCellPartitioned(
+      ivfPqIndex(corpus, idCol, vecCol, centroids, codebooks, residual), path)
 
   /** ADC top-k over a prebuilt [[ivfPqIndex]] frame: queries probe their
     * `nprobe` nearest cells exactly like [[ivfSearchIndexed]] (probe

@@ -65,7 +65,14 @@ class PartitionPruneSpec extends AnyFunSuite {
       m = 4, ksub = 16, lloydPasses = 1)
     val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding", cents, cb)
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/idx"
-    idx.write.partitionBy("cell").parquet(dir)
+    Similarity.ivfPqIndexWrite(corpus, "vec_id", "embedding", cents, cb, dir)
+    // one sorted file per cell directory (the write helper's contract —
+    // a plain partitionBy write would emit one per task × directory)
+    val cellDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.forall(
+      _.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "expected exactly one parquet file per cell directory")
     val stored = spark.read.parquet(dir)
     val queries = Seq(5000L -> mkVec(3), 5001L -> mkVec(7))
       .toDF("vec_id", "embedding")
@@ -86,7 +93,7 @@ class PartitionPruneSpec extends AnyFunSuite {
     // same contract on the float-vector IVF index
     val vIdx = Similarity.ivfIndex(corpus, "vec_id", "embedding", cents)
     val vDir = java.nio.file.Files.createTempDirectory("graft_prune_v").toString + "/idx"
-    vIdx.write.partitionBy("cell").parquet(vDir)
+    Similarity.ivfIndexWrite(corpus, "vec_id", "embedding", cents, vDir)
     val vRes = Similarity.ivfSearchIndexed(spark.read.parquet(vDir), cents, queries,
       "vec_id", "embedding", k = 5, nprobe = 2)
     val vRead = scanRows(vRes)

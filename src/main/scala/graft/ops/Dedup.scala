@@ -377,12 +377,14 @@ object Dedup {
     // exact-Jaccard verification across the two frames, candidates only —
     // LSH recall misses and even band-hash collisions cannot change the
     // output band: verification is exact, candidates are a superset filter
+    // no checkpoint here: unlike `cands` (4 consumers) each shingle
+    // frame feeds exactly ONE join, so the kernel runs once either way
+    // and the materialization barrier was pure per-batch latency
     def sh(df: DataFrame, ids: DataFrame): DataFrame = df
       .select(col(idCol).as("id"), col(textCol))
       .join(ids, Seq("id"), "left_semi")
       .select(col("id"),
         array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
-      .localCheckpoint(false)
     val shNew = sh(incoming, cands.select(col("new_id").as("id")).distinct())
     val oldKeys = cands.select(col("old_id")).where(col("old_id").isNotNull)
       .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.get(0))

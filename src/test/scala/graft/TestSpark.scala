@@ -12,6 +12,12 @@ object TestSpark {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // catalog-table tests (standing band/fingerprint tables, x71) get
+      // a fresh warehouse per JVM: a leftover managed-table directory
+      // from a previous test run fails saveAsTable with
+      // LOCATION_ALREADY_EXISTS even under overwrite mode
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_test_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

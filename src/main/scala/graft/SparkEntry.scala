@@ -548,6 +548,28 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x72_ann_lsh_store" -> ((s, dir) => {
+      // x10's planted-twin contract through the PERSISTED standing index
+      // at the r15 defaults (lshIndexWrite → read → lshSearchIndexed,
+      // 16-bit prefix-partitioned layout): identical-direction twins
+      // share signatures at any width, so the store search must return
+      // each original at rank 1 / cosine 1.0 — and the answer rides the
+      // exact scale path (prefix partition pruning + bucket IN + eager
+      // width guard) the 100 TB recipe prescribes.
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+      val store = java.nio.file.Files.createTempDirectory("x72").toString + "/idx"
+      Similarity.lshIndexWrite(corpus, "vec_id", "embedding", store)
+      Similarity.lshSearchIndexed(s.read.parquet(store), planted,
+          "vec_id", "embedding", k = 1)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score_r"))
+        .orderBy(col("query_id"))
+    }),
+
     "x18_ann_ivf" -> ((s, dir) => {
       // IVF path on the same planted-twin contract as x10: a scaled twin
       // shares its original's direction, hence its coarse cell, and the
@@ -2502,6 +2524,12 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "x10_ann_lsh" ->
+      """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
+        |  1.0 AS score_r
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // same planted contract as x10 through the persisted standing index
+    "x72_ann_lsh_store" ->
       """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
         |  1.0 AS score_r
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

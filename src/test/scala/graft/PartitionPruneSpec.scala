@@ -181,4 +181,52 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nBits"), ex.getMessage)
     corpus.unpersist()
   }
+
+  test("lshIndexWrite layout edges: every (nBits, maxDirs) shape round-trips identically") {
+    import spark.implicits._
+    val n = 400
+    val corpus = (0L until n.toLong).map(i => i -> mkVec(i)).toDF("vec_id", "embedding")
+      .cache()
+    corpus.count()
+    val queries = Seq(5000L -> mkVec(3), 5001L -> mkVec(7))
+      .toDF("vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      d.select($"query_id", $"rank", $"neighbor_id", $"score")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    // (nBits, maxDirs) → expected partition-column prefix: shift > 0
+    // gives the prefix layout, shift == 0 the legacy bucket layout —
+    // including maxDirs ABOVE 2^nBits (clamps to legacy) and a shift
+    // of exactly nBits-1 (two-bucket prefixes)
+    for (((bits, dirs), wantPrefix) <- Seq(
+        (14, 4096) -> true,   // shift 2
+        (16, 1024) -> true,   // shift 6
+        (15, 16384) -> true,  // shift 1: two buckets per dir
+        (10, 256) -> true,    // shift 2 below the 12-bit line
+        (8, 4096) -> false,   // maxDirs above 2^nBits: legacy, <=256 dirs
+        (12, 4096) -> false)) { // the historical 12-bit layout
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_edge_${bits}_$dirs").toString + "/idx"
+      Similarity.lshIndexWrite(corpus, "vec_id", "embedding", dir,
+        nBits = bits, maxDirs = dirs)
+      val names = new java.io.File(dir).listFiles().map(_.getName)
+      val pfx = names.count(_.startsWith("bucket_pfx="))
+      val plain = names.count(_.startsWith("bucket="))
+      if (wantPrefix)
+        assert(pfx > 0 && plain == 0 && pfx <= dirs,
+          s"nBits=$bits maxDirs=$dirs: expected prefix layout, got $pfx pfx / $plain plain")
+      else
+        assert(plain > 0 && pfx == 0,
+          s"nBits=$bits maxDirs=$dirs: expected legacy layout, got $pfx pfx / $plain plain")
+      val viaStore = rows(Similarity.lshSearchIndexed(
+        spark.read.parquet(dir), queries, "vec_id", "embedding",
+        k = 5, nBits = bits, probeDepth = 2))
+      val viaMem = rows(Similarity.lshSearchIndexed(
+        Similarity.lshIndex(corpus, "vec_id", "embedding", bits), queries,
+        "vec_id", "embedding", k = 5, nBits = bits, probeDepth = 2))
+      assert(viaStore == viaMem,
+        s"nBits=$bits maxDirs=$dirs: store diverged from in-memory index")
+      assert(viaStore.nonEmpty)
+    }
+    corpus.unpersist()
+  }
 }

@@ -586,6 +586,29 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x73_ann_ivf_store" -> ((s, dir) => {
+      // x18's planted contract through the PERSISTED cell-partitioned
+      // standing index (ivfIndexWrite → reload → ivfSearchIndexed):
+      // the twin shares its original's cell, the probe set contains the
+      // query's own cell, and the answer rides the cell-pruned store
+      // scan — one sorted file per cell directory (the write-helper
+      // layout the 100 TB recipe prescribes).
+      val emb = rd(s, dir, "embeddings")
+      val planted = emb.where(col("vec_id") < 5)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"), v => v * lit(1.001f)).as("embedding"))
+      val corpus = emb.select("vec_id", "embedding").unionAll(planted)
+      val cents = Similarity.ivfTrain(corpus, "vec_id", "embedding",
+        nlist = 16, lloydPasses = 1)
+      val store = java.nio.file.Files.createTempDirectory("x73").toString + "/idx"
+      Similarity.ivfIndexWrite(corpus, "vec_id", "embedding", cents, store)
+      Similarity.ivfSearchIndexed(s.read.parquet(store), cents, planted,
+          "vec_id", "embedding", k = 1, nprobe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round(col("score"), 4).as("score_r"))
+        .orderBy(col("query_id"))
+    }),
+
     "x59_pq_ann" -> ((s, dir) => {
       // Product-quantization/ADC path on the planted-twin contract: the
       // scaled twin shares its original's direction, so after
@@ -2530,6 +2553,12 @@ object SparkEntry {
 
     // same planted contract as x10 through the persisted standing index
     "x72_ann_lsh_store" ->
+      """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
+        |  1.0 AS score_r
+        |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,
+
+    // x18's planted contract through the persisted cell-partitioned store
+    "x73_ann_ivf_store" ->
       """SELECT vec_id + 100000000 AS query_id, 1 AS rank, vec_id AS neighbor_id,
         |  1.0 AS score_r
         |FROM embeddings WHERE vec_id < 5 ORDER BY query_id""".stripMargin,

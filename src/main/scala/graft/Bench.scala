@@ -382,6 +382,26 @@ object Bench {
           numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000)
         .write.format("noop").mode("overwrite").save()
 
+    // b15: deterministic epoch shuffle at fact scale — seeded-hash range
+    // repartition + per-shard sort of 600k docs into 32 shards. Timed
+    // region: key evaluation, the range-bound sampling pass, one
+    // full-width shuffle, per-shard sorts.
+    def runB15(docs: org.apache.spark.sql.DataFrame): Unit =
+      graft.ops.Sampling.deterministicShuffle(docs, "doc_id", seed = 1,
+          numShards = 32)
+        .write.format("noop").mode("overwrite").save()
+
+    // b16: exact per-group vocabulary stats — explode to ~4.2M tokens,
+    // one Expand-fused distinct+count aggregate over 16 groups (the
+    // oracle-checked exact path; the HLL path is strictly cheaper).
+    def runB16(docs: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      graft.ops.TextAnalysis.vocabStats(
+          docs.withColumn("src", concat(lit("s"), col("doc_id") % 16)),
+          "text", "src")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
@@ -392,6 +412,7 @@ object Bench {
       val warmDocs = bCorpus("/root/testdata/sf0.001").localCheckpoint(true)
       runB11(warmDocs); runB12(warmDocs)
       runB13(warmDocs, b13Budgets)
+      runB15(warmDocs); runB16(warmDocs)
       graft.ops.Dedup.writeBandTable(warmDocs, "text", "doc_id",
         "graft_bench_bands_warm", numHashes = 32, bands = 8,
         shingleSize = 3, numBuckets = 8)
@@ -439,7 +460,9 @@ object Bench {
       "b12_lm_score_600k" -> runTimes("b12")(runB12(lmDocs)),
       "b13_token_budget_600k" -> runTimes("b13")(runB13(lmDocs, b13Budgets)),
       "b14_neardup_indexed_600k" -> runTimes("b14")(
-        runB14(lmDocs, "graft_bench_bands")))
+        runB14(lmDocs, "graft_bench_bands")),
+      "b15_shuffle_600k" -> runTimes("b15")(runB15(lmDocs)),
+      "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)))
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

@@ -609,6 +609,28 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    "x74_shuffle" -> ((s, dir) => {
+      // deterministic epoch shuffle: the op totally orders the corpus by
+      // a seeded uniform hash (range repartition + local sort — no
+      // single-task sort). The driver's compare sorts rows, so row ORDER
+      // itself is invisible to the oracle; the query materializes the
+      // sort KEY so the permutation both engines would read back is the
+      // checked value (SamplingSpec pins the physical ordering and the
+      // seed-independence of the permutations).
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("source"))
+      Sampling.deterministicShuffle(d, "doc_id", seed = 7, numShards = 8)
+        .withColumn("shuffle_key", Sampling.hashLong(col("doc_id"), "shuffle:7"))
+    }),
+
+    "x75_vocab_stats" -> ((s, dir) => {
+      // per-language vocabulary size / token mass / type-token ratio —
+      // exact path (the oracle-checked one; the HLL path is specced
+      // against it at rsd tolerance in FiltersSpec)
+      val d = rd(s, dir, "documents").select(col("lang"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+      TextAnalysis.vocabStats(d, "text", "lang").orderBy(col("lang"))
+    }),
+
     "x59_pq_ann" -> ((s, dir) => {
       // Product-quantization/ADC path on the planted-twin contract: the
       // scaled twin shares its original's direction, so after
@@ -2187,6 +2209,21 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN CAST(1.0 AS DOUBLE) WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
         |       WHEN 'src2' THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.1 AS DOUBLE) END
         |ORDER BY doc_id""".stripMargin,
+
+    "x74_shuffle" ->
+      """SELECT doc_id, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle:7'), 1, 15))::UBIGINT::BIGINT
+        |    AS shuffle_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x75_vocab_stats" ->
+      s"""SELECT lang,
+        |  count(DISTINCT tok) AS vocab_size,
+        |  count(*) AS n_tokens,
+        |  count(DISTINCT tok)::DOUBLE / count(*) AS type_token_ratio
+        |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '$TokWs')) AS tok
+        |      FROM documents WHERE len(trim(text)) > 0) t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "x29_asof_join" ->
       """WITH clicks AS (

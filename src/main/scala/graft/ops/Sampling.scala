@@ -228,6 +228,38 @@ object Sampling {
       salt: String = "graft"): DataFrame =
     df.orderBy(hashLong(col(idCol), salt), col(idCol)).limit(n)
 
+  /** Deterministic pseudo-random corpus shuffle — the "shuffle before
+    * sharding" step of a training-data pipeline (reading a corpus in
+    * storage order trains on its source/time clustering; a global
+    * random permutation is the published fix): a total order by the
+    * seeded [[hashLong]] of the id, hash ties broken by the id itself
+    * so the permutation is total and replayable. A different `seed` is
+    * an independent permutation — a fresh data order per epoch without
+    * rewriting anything.
+    *
+    * Scale shape: a RANGE repartition on the hash key + per-partition
+    * sort (what `orderBy` plans, with explicit shard control): Spark
+    * samples the key distribution, hands each of `numShards` tasks a
+    * contiguous key range, and each task sorts locally — one pass +
+    * one shuffle, no single-task total sort, no driver involvement.
+    * The keys are uniform on [0, 2^60) by construction, so the range
+    * bounds are balanced regardless of id skew. Parquet/text writers
+    * preserve row order per file and number files by partition, so
+    * writing the result IS the sharded shuffled corpus.
+    *
+    * `numShards` ≤ 0 leaves the partition count to
+    * `spark.sql.shuffle.partitions`; at 100 TB set it so a shard fits
+    * a downstream reader (e.g. total_tokens / tokens_per_shard).
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 0L,
+      numShards: Int = 0): DataFrame = {
+    val key = hashLong(col(idCol), s"shuffle:$seed")
+    val ranged =
+      if (numShards > 0) df.repartitionByRange(numShards, key, col(idCol))
+      else df.repartitionByRange(key, col(idCol))
+    ranged.sortWithinPartitions(key, col(idCol))
+  }
+
   /** Per-source TOKEN-budget selection — the mixture-building step that
     * caps each source by token mass, not row count ([[domainCap]]'s
     * sibling; published mixture recipes specify sources in tokens):

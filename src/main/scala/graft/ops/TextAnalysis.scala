@@ -76,6 +76,41 @@ object TextAnalysis {
         total)
   }
 
+  /** Per-group vocabulary statistics over whitespace tokens
+    * ([[TokenWsJava]], the engine-portable boundary): distinct-token
+    * count (vocabulary size), total token count, and their quotient
+    * (type-token ratio — the classic lexical-diversity signal:
+    * near-0 means templated/boilerplate text, near-1 means no token
+    * reuse). Whitespace-only documents contribute nothing.
+    *
+    * Exact path (`approx = false`): one codegen'd explode + a single
+    * two-phase aggregate — Catalyst plans `countDistinct` alongside
+    * `count` as one Expand + partial/final pair, so tokens shuffle
+    * once on (group, token). With `approx = true`,
+    * `approx_count_distinct` (HyperLogLog++, `rsd` relative standard
+    * error) replaces the exact distinct: a plain partial aggregate
+    * whose shuffle moves only fixed-width HLL sketches per group —
+    * the path for corpus-scale vocabularies where shuffling every
+    * distinct token string is the bottleneck. The approx path is
+    * spec-verified against the exact one at `rsd`-consistent
+    * tolerance; the exact path is the oracle-checked one (HLL
+    * estimates are engine-specific).
+    */
+  def vocabStats(df: DataFrame, textCol: String, groupCol: String,
+      approx: Boolean = false, rsd: Double = 0.05): DataFrame = {
+    require(!df.columns.contains("__tok"), "column name __tok is reserved")
+    val toks = df.where(length(trim(col(textCol))) > 0)
+      .select(col(groupCol),
+        explode(split(trim(col(textCol)), TokenWsJava)).as("__tok"))
+    val distinctAgg =
+      if (approx) approx_count_distinct(col("__tok"), rsd)
+      else countDistinct(col("__tok"))
+    toks.groupBy(col(groupCol))
+      .agg(distinctAgg.as("vocab_size"), count(lit(1)).as("n_tokens"))
+      .withColumn("type_token_ratio",
+        col("vocab_size").cast(DoubleType) / col("n_tokens"))
+  }
+
   /** Split documents into overlapping fixed-size token windows — the
     * standard pre-tokenization chunking step of a training pipeline
     * (long documents become `maxTokens`-token chunks that overlap by

@@ -277,6 +277,46 @@ class FiltersSpec extends AnyFunSuite {
     assert(d30.size == 30 && d30.subsetOf(d100)) // prefix property of the hash order
   }
 
+  test("deterministicShuffle: physically hash-ordered permutation, replayable, seed-dependent") {
+    val df = spark.range(0, 3000).toDF("id")
+    def run(seed: Long): Seq[Long] =
+      Sampling.deterministicShuffle(df, "id", seed, numShards = 8)
+        .select("id").as[Long].collect().toSeq
+    val s1 = run(1)
+    assert(s1.toSet == (0L until 3000L).toSet) // a permutation, nothing lost
+    // collect preserves partition order and range partitions are in key
+    // order, so the collected sequence IS the claimed total hash order
+    val expected = df.select($"id", Sampling.hashLong($"id", "shuffle:1").as("h"))
+      .as[(Long, Long)].collect().sortBy { case (i, h) => (h, i) }.map(_._1).toSeq
+    assert(s1 == expected, "rows not in seeded-hash total order")
+    assert(run(1) == s1, "same seed must replay the same permutation")
+    val s2 = run(2)
+    assert(s2.toSet == s1.toSet && s2 != s1, "different seed must permute differently")
+    assert(Sampling.deterministicShuffle(df, "id", 1, numShards = 8)
+      .rdd.getNumPartitions == 8)
+  }
+
+  test("vocabStats: exact counts match hand truth; HLL path within tolerance; blank docs drop") {
+    import graft.ops.TextAnalysis
+    val docs = Seq((1L, "en", "a b a c"), (2L, "en", "a d"),
+      (3L, "fr", "x  y x"), (4L, "fr", "   "), (5L, "de", ""))
+      .toDF("id", "lang", "text")
+    val got = TextAnalysis.vocabStats(docs, "text", "lang")
+      .orderBy("lang").as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("en", 4L, 6L, 4.0 / 6), ("fr", 2L, 3L, 2.0 / 3)),
+      s"exact vocabStats mismatch: $got")
+    val big = spark.range(0, 20000).select(lit("g").as("lang"),
+      concat_ws(" ", (col("id") % 1000).cast("string"),
+        ((col("id") * 7) % 500).cast("string")).as("text"))
+    val ex = TextAnalysis.vocabStats(big, "text", "lang")
+      .select("vocab_size").as[Long].head()
+    val ap = TextAnalysis.vocabStats(big, "text", "lang", approx = true, rsd = 0.02)
+      .select("vocab_size").as[Long].head()
+    assert(ex == 1000L)
+    assert(math.abs(ap - ex).toDouble / ex < 0.1,
+      s"HLL estimate $ap too far from exact $ex")
+  }
+
   test("tokenBudgetMix: greedy hash-order prefix per source; approx form budgets in expectation") {
     val docs = (1 to 300).map(i => (i.toLong, s"s${i % 3}", 10L + (i % 7)))
       .toDF("id", "src", "toks")

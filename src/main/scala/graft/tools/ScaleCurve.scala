@@ -274,8 +274,9 @@ object ScaleCurve {
     val runAnn = family == "all" || family == "ann"
     val runMix = family == "all" || family == "mix"
     val runBand = family == "all" || family == "band"
-    require(runDedup || runAnn || runMix || runBand,
-      s"unknown family '$family' (all | dedup | ann | mix | band)")
+    val runVStream = family == "all" || family == "vstream"
+    require(runDedup || runAnn || runMix || runBand || runVStream,
+      s"unknown family '$family' (all | dedup | ann | mix | band | vstream)")
 
     var rows1 = 0L
     var rowsN = 0L
@@ -452,6 +453,54 @@ object ScaleCurve {
           time(indexed(s"graft_scale_band$mult", pN))))
       Seq("graft_scale_bandw", "graft_scale_band1", s"graft_scale_band$mult")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+
+    if (runVStream) {
+      // the VECTOR twin (streamingCosineDedup's micro-batch) against an
+      // accumulated store whose batch=0 partition carries stored LSH
+      // signatures, vs a legacy store without them, vs the store at the
+      // PRESCRIBED dial. Unlike the text band hashes (an effectively
+      // unbounded hash space — a batch probes a vanishing corpus
+      // fraction at any scale), the vector bucket space is 2^nBits, so
+      // at a FIXED dial bucket occupancy — and with it the per-batch
+      // candidate-verification volume, the dominant term — grows
+      // linearly with the corpus: storing signatures removes only the
+      // corpus-wide resign kernel (cheap on 64-dim embeddings). The
+      // scale recipe (SCALE.md: RAISE nBits with the corpus so
+      // occupancy stays constant) is what flattens per-batch cost; the
+      // third row measures the 10x store at nBits 16+log2(10)≈20. The
+      // timed batch overwrites its own batch=1 partition each run
+      // (replay-idempotent, so repeated timings are legal).
+      def buildVecStore(n: Long, out: String, withSig: Boolean,
+          bits: Int = 16): Unit = {
+        val v = SyntheticVectors.df(spark, n, partitions = cpus.toInt)
+        val part =
+          if (withSig) graft.ops.Similarity.lshIndex(v, "vec_id", "embedding", bits)
+          else v
+        part.write.mode("overwrite").parquet(s"$out/batch=0")
+      }
+      val vb = SyntheticVectors.df(spark, 12000L, partitions = cpus.toInt)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint(true)
+      def streamBatch(store: String, bits: Int = 16): Unit =
+        graft.streaming.StreamingFlatten.cosineDedupBatch(vb, 1L,
+          "embedding", "vec_id", store, 0.95, bits, 2)
+      val s1 = s"$work/vstore1"; val sN = s"$work/vstore$mult"
+      val l1 = s"$work/vlegacy1"; val lN = s"$work/vlegacy$mult"
+      val sD = s"$work/vstoreD"
+      val dialedBits = 16 + (math.log(mult) / math.log(2)).round.toInt
+      buildVecStore(600000L, s1, withSig = true)
+      buildVecStore(600000L * mult, sN, withSig = true)
+      buildVecStore(600000L, l1, withSig = false)
+      buildVecStore(600000L * mult, lN, withSig = false)
+      buildVecStore(600000L * mult, sD, withSig = true, bits = dialedBits)
+      val wS = s"$work/vwarm"
+      buildVecStore(2000L, wS, withSig = true); streamBatch(wS)
+      results ++= Seq(
+        ("cosine_stream_stored", time(streamBatch(s1)), time(streamBatch(sN))),
+        ("cosine_stream_resign", time(streamBatch(l1)), time(streamBatch(lN))),
+        ("cosine_stream_dialed", time(streamBatch(s1)),
+          time(streamBatch(sD, dialedBits))))
     }
 
     val items = results.map { case (n, a, b) =>

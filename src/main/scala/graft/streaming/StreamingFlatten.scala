@@ -141,7 +141,8 @@ object StreamingFlatten {
         // every accumulated document. Only legacy rows (store written
         // before this layout / null `bh` in a schema-merged mixed
         // store) pay the kernel again; the config columns ride along so
-        // a stream restarted with different band parameters fails fast.
+        // a stream restarted with different band parameters fails fast
+        // ([[rebandStore]] migrates the store to a new config).
         val bandIdx =
           if (existing.columns.contains("bh") &&
               existing.columns.contains("numhashes")) {
@@ -190,7 +191,9 @@ object StreamingFlatten {
     * those rows pay the kernel — and a stream restarted with a
     * DIFFERENT `nBits` than the store was written with fails fast on
     * the index's `nbits` guard instead of silently probing the wrong
-    * bucket space.
+    * bucket space — [[resignCosineStore]] migrates the store to the new
+    * width (the occupancy dial SCALE.md §vstream measures: raise nBits
+    * as the store grows to keep per-batch cost flat).
     */
   def streamingCosineDedup(docs: DataFrame, vecCol: String, idCol: String,
       corpusDir: String, checkpointDir: String, threshold: Double = 0.95,
@@ -244,6 +247,76 @@ object StreamingFlatten {
     graft.ops.Similarity.lshIndex(
         fresh.select(col(idCol), col(vecCol)), idCol, vecCol, nBits)
       .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+  }
+
+  /** Offline signature compaction for a [[streamingCosineDedup]] store:
+    * rewrite every `batch=<id>` partition with fresh LSH signatures at
+    * `nBits`. This is the dial maintenance the measured scale curve
+    * prescribes (SCALE.md §vstream): per-batch dedup cost tracks bucket
+    * occupancy (store rows / 2^nBits), so a store that has outgrown its
+    * write-time width should be re-signed at the forecast width — one
+    * kernel pass over the store, run offline between micro-batches.
+    * With doubling-style raises the total resign work over a stream's
+    * life is bounded by ~2× one full pass. It is also the migration
+    * path for legacy stores (rows without stored signatures) and the
+    * remedy behind the width-mismatch fail-fast: a stream restarted at
+    * a new `nBits` raises until the store is re-signed.
+    *
+    * Each partition is materialized (`localCheckpoint`) before its
+    * directory is overwritten — Spark cannot stream a write over its
+    * own input. NOT safe concurrently with an active stream on the same
+    * store (stop the query first); a crash mid-compaction leaves whole
+    * partitions either old- or new-width, and a re-run (or the batch
+    * path's legacy re-sign fallback for null-signature rows) completes
+    * the migration. Returns the number of partitions rewritten.
+    */
+  def resignCosineStore(spark: SparkSession, corpusDir: String,
+      vecCol: String, idCol: String, nBits: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+    parts.foreach { p =>
+      val fresh = graft.ops.Similarity.lshIndex(
+          spark.read.parquet(p.toString).select(col(idCol), col(vecCol)),
+          idCol, vecCol, nBits)
+        .localCheckpoint(true)
+      fresh.write.mode("overwrite").parquet(p.toString)
+    }
+    parts.length
+  }
+
+  /** The text twin of [[resignCosineStore]]: rewrite every `batch=<id>`
+    * partition of a [[streamingNearDup]] store with fresh MinHash band
+    * arrays under a NEW band configuration. Text band hashes live in an
+    * unbounded keyspace, so there is no occupancy dial to chase — this
+    * is the recall-migration path: a stream restarted with different
+    * `(numHashes, bands, shingleSize)` fails fast on the store's config
+    * columns until the store is re-banded. Same concurrency and
+    * crash-recovery contract as the vector form. Returns the number of
+    * partitions rewritten.
+    */
+  def rebandStore(spark: SparkSession, corpusDir: String,
+      textCol: String, idCol: String, numHashes: Int, bands: Int,
+      shingleSize: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val parts = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+    parts.foreach { p =>
+      val fresh = spark.read.parquet(p.toString)
+        .select(col(idCol), col(textCol))
+        .withColumn("bh", graft.functions.TextHash
+          .minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)))
+        .withColumn("numhashes", lit(numHashes))
+        .withColumn("bands", lit(bands))
+        .withColumn("shinglesize", lit(shingleSize))
+        .localCheckpoint(true)
+      fresh.write.mode("overwrite").parquet(p.toString)
+    }
+    parts.length
   }
 
   /** Event-time windowed aggregation with watermark — the standard

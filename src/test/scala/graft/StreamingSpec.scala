@@ -195,6 +195,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(tids.sorted == Seq(1L, 2L, 13L), s"legacy text store: $tids")
   }
 
+  test("store compaction: resignCosineStore / rebandStore migrate a store to a new dial; a mismatched restart fails fast until then") {
+    import spark.implicits._
+    // vector store written at 8 bits; a stream restarted at 12 must
+    // fail fast (wrong bucket space), succeed after compaction, and
+    // still drop the planted near-dup
+    val vwork = java.nio.file.Files.createTempDirectory("scrs").toString
+    val vcorpus = s"$vwork/corpus"
+    val v1 = Array.tabulate(16)(j => ((j * 37 + 5) % 13 - 6).toFloat)
+    val v2 = Array.tabulate(16)(j => ((j * 11 + 2) % 7 - 3).toFloat)
+    def vbatch(rows: Seq[(Long, Array[Float])], id: Long, bits: Int): Unit =
+      StreamingFlatten.cosineDedupBatch(rows.toDF("vec_id", "embedding"), id,
+        "embedding", "vec_id", vcorpus, 0.95, bits, 1)
+    vbatch(Seq((1L, v1), (2L, v2)), 0, 8)
+    val ve = intercept[Exception] {
+      vbatch(Seq((11L, v1.map(_ * 1.001f))), 1, 12)
+    }
+    assert(ve.getMessage != null && ve.getMessage.contains("nBits"),
+      s"expected the width guard, got: $ve")
+    assert(StreamingFlatten.resignCosineStore(spark, vcorpus,
+      "embedding", "vec_id", 12) == 1)
+    vbatch(Seq((11L, v1.map(_ * 1.001f)), (13L, v2.map(x => -x))), 1, 12)
+    val vids = spark.read.parquet(vcorpus).select("vec_id").as[Long].collect().toSeq
+    assert(vids.sorted == Seq(1L, 2L, 13L), s"post-compaction store: $vids")
+    val widths = spark.read.parquet(vcorpus).select("nbits")
+      .distinct().as[Int].collect().toSeq
+    assert(widths == Seq(12), s"store widths after compaction: $widths")
+
+    // text store banded at (32, 8, 3); a restart at (64, 16, 3) must
+    // fail fast, then dedup correctly after re-banding
+    val twork = java.nio.file.Files.createTempDirectory("srbs").toString
+    val tcorpus = s"$twork/corpus"
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def tbatch(rows: Seq[(Long, String)], id: Long, nh: Int, bd: Int): Unit =
+      StreamingFlatten.nearDupBatch(rows.toDF("doc_id", "text"), id,
+        "text", "doc_id", tcorpus, 0.7, nh, bd, 3, 10000)
+    tbatch(Seq((1L, base),
+      (2L, "completely different words here nothing shared at all")), 0, 32, 8)
+    val te = intercept[Exception] { tbatch(Seq((11L, base)), 1, 64, 16) }
+    assert(te.getMessage != null && te.getMessage.contains("band table"),
+      s"expected the band-config guard, got: $te")
+    assert(StreamingFlatten.rebandStore(spark, tcorpus,
+      "text", "doc_id", 64, 16, 3) == 1)
+    tbatch(Seq((11L, base),
+      (13L, "fresh unrelated daily report with novel vocabulary")), 1, 64, 16)
+    val tids = spark.read.parquet(tcorpus).select("doc_id").as[Long].collect().toSeq
+    assert(tids.sorted == Seq(1L, 2L, 13L), s"post-reband store: $tids")
+    val cfgs = spark.read.parquet(tcorpus)
+      .select("numhashes", "bands").distinct().as[(Int, Int)].collect().toSeq
+    assert(cfgs == Seq((64, 16)), s"store configs after reband: $cfgs")
+  }
+
   test("stateless QC family runs unchanged on a stream: per-batch output equals the batch run") {
     // the pipeline claim beyond the stateful dedup ops: quality scoring,
     // charset QC, PII redaction, and standing-model LM scoring are all

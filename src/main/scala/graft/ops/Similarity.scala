@@ -508,6 +508,28 @@ object Similarity {
       lit(nBits).as("nbits"))
   }
 
+  /** The LSH width the measured scale recipe prescribes for a corpus of
+    * `rows` vectors: the smallest `nBits` whose expected bucket
+    * occupancy (rows / 2^nBits) is at or under `targetOccupancy`.
+    * Per-batch dedup/search cost tracks occupancy (SCALE.md §vstream:
+    * a FIXED width grows corpus-linearly at 10×, the forecast width
+    * stays flat at ratio 1.04), so size the width from the corpus
+    * forecast instead of hard-coding a constant — and re-sign a store
+    * that has outgrown its width
+    * ([[graft.streaming.StreamingFlatten.resignCosineStore]]).
+    * Floored at 12 (the recall tables' smallest measured dial) and
+    * capped at 30 (keeps bucket longs and [[lshIndexWrite]]'s
+    * prefix-partitioned directory counts sane). The default occupancy
+    * of 16 preserves the recall/cost tables' 600k → 16-bit anchor.
+    */
+  def nBitsFor(rows: Long, targetOccupancy: Int = 16): Int = {
+    require(rows >= 0 && targetOccupancy >= 1,
+      s"need rows >= 0 and targetOccupancy >= 1, got $rows / $targetOccupancy")
+    val needed = math.ceil(
+      math.log(math.max(1.0, rows.toDouble / targetOccupancy)) / math.log(2)).toInt
+    math.min(30, math.max(12, needed))
+  }
+
   /** Write [[lshIndex]]'s frame laid out so [[lshSearchIndexed]]'s
     * probe-union predicate becomes SOURCE-level partition pruning: a
     * query batch reads only its probe buckets' partitions

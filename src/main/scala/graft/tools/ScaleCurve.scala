@@ -275,8 +275,9 @@ object ScaleCurve {
     val runMix = family == "all" || family == "mix"
     val runBand = family == "all" || family == "band"
     val runVStream = family == "all" || family == "vstream"
-    require(runDedup || runAnn || runMix || runBand || runVStream,
-      s"unknown family '$family' (all | dedup | ann | mix | band | vstream)")
+    val runShuffle = family == "all" || family == "shuffle"
+    require(runDedup || runAnn || runMix || runBand || runVStream || runShuffle,
+      s"unknown family '$family' (all | dedup | ann | mix | band | vstream | shuffle)")
 
     var rows1 = 0L
     var rowsN = 0L
@@ -501,6 +502,33 @@ object ScaleCurve {
         ("cosine_stream_resign", time(streamBatch(l1)), time(streamBatch(lN))),
         ("cosine_stream_dialed", time(streamBatch(s1)),
           time(streamBatch(sD, dialedBits))))
+    }
+
+    if (runShuffle) {
+      // the two r15 corpus-stat/permutation ops are single-pass over the
+      // corpus, so the pass bar here is LINEAR (ratio ≈ mult), not flat:
+      // a driver-side sort, a single-reducer range, or a skewed shard
+      // would all surface as a superlinear wall ratio at 10×.
+      val warmPath = s"$work/shwarm"
+      buildCorpus("/root/testdata/sf0.001", 1, warmPath)
+      val p1 = s"$work/sh1"
+      val pN = s"$work/sh$mult"
+      val r1 = buildCorpus(sfDir, 1, p1)
+      val rN = buildCorpus(sfDir, mult, pN)
+      if (rows1 == 0) { rows1 = r1; rowsN = rN }
+      def sh(path: String): Unit =
+        graft.ops.Sampling.deterministicShuffle(corpus(path), "doc_id",
+            seed = 1, numShards = cpus.toInt * 2)
+          .write.format("noop").mode("overwrite").save()
+      def vo(path: String): Unit =
+        graft.ops.TextAnalysis.vocabStats(
+            corpus(path).withColumn("src", concat(lit("s"), col("doc_id") % 16)),
+            "text", "src")
+          .write.format("noop").mode("overwrite").save()
+      sh(warmPath); vo(warmPath)
+      results ++= Seq(
+        ("shuffle_epoch", time(sh(p1)), time(sh(pN))),
+        ("vocab_stats", time(vo(p1)), time(vo(pN))))
     }
 
     val items = results.map { case (n, a, b) =>

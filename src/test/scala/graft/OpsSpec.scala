@@ -1037,6 +1037,23 @@ class OpsSpec extends AnyFunSuite {
     assert(oneShot.nonEmpty)
   }
 
+  test("nBitsFor: smallest width meeting the occupancy target, floored and capped, monotone") {
+    import graft.ops.Similarity.nBitsFor
+    assert(nBitsFor(600000L) == 16)   // the recall/cost tables' anchor
+    assert(nBitsFor(6000000L) == 19)  // the 10x dial the vstream curve validates (±1 of 16+log2(10))
+    assert(nBitsFor(0L) == 12 && nBitsFor(1L) == 12) // floor
+    assert(nBitsFor(Long.MaxValue / 4) == 30)        // cap
+    // smallest-satisfying: one fewer bit would overshoot the target
+    val b = nBitsFor(600000L)
+    assert(600000.0 / (1L << b) <= 16 && 600000.0 / (1L << (b - 1)) > 16)
+    // monotone in rows, antitone in target occupancy
+    assert((1 to 12).map(i => nBitsFor(1L << (i + 10))).sliding(2)
+      .forall(p => p.head <= p.last))
+    assert(nBitsFor(600000L, 4) >= nBitsFor(600000L, 64))
+    intercept[IllegalArgumentException] { nBitsFor(-1L) }
+    intercept[IllegalArgumentException] { nBitsFor(10L, 0) }
+  }
+
   test("LSH width guard: mismatched nBits fails fast, legacy/null frames pass unchecked") {
     import spark.implicits._
     def chain(t: Throwable): String =

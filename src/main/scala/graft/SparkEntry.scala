@@ -1436,7 +1436,7 @@ object SparkEntry {
       // (f1): same oracle.
       val docs = nestedOrders(s, dir)
       val v = docs
-        .select(parse_json(to_json(struct(docs.columns.map(col): _*))).as("doc"))
+        .select(parse_json(to_json(struct(docs.columns.toIndexedSeq.map(col): _*))).as("doc"))
       FlattenPlanner.flattenVariant(v, "doc", flattenOpts)("main")
         // variant shreds JSON decimal literals to DECIMAL (exact) where
         // the parquet schema had DOUBLE — cast at the end, both engines

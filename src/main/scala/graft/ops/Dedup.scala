@@ -362,7 +362,7 @@ object Dedup {
       if (got.length > NearDupMaxProbeFilter) None else Some(got)
     }
     val cbPruned = probeHashes match {
-      case Some(hs) => corpusBands.where(col("bandHash").isin(hs.map(Long.box): _*))
+      case Some(hs) => corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
       case None => corpusBands.join(
         in.select(col("band"), col("bandHash")).distinct(),
         Seq("band", "bandHash"), "left_semi")
@@ -390,7 +390,7 @@ object Dedup {
       .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.get(0))
     val exVerify =
       if (oldKeys.length > NearDupMaxProbeFilter) existing
-      else existing.where(col(idCol).isin(oldKeys: _*))
+      else existing.where(col(idCol).isin(oldKeys.toIndexedSeq: _*))
     val shOld = sh(exVerify, cands.select(col("old_id").as("id")).distinct())
     val dupIds = cands
       .join(shNew.withColumnsRenamed(Map("id" -> "new_id", "sh" -> "sh_a")), Seq("new_id"))

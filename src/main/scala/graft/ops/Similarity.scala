@@ -706,11 +706,11 @@ object Similarity {
           if (hasPfx && one.nonEmpty && !one(0).isNullAt(1))
             shift = Some(one(0).getInt(1))
         }
-        val byBucket = checked.where(col("bucket").isin(bs.map(Long.box): _*))
+        val byBucket = checked.where(col("bucket").isin(bs.toIndexedSeq.map(Long.box): _*))
         project(shift match {
           case Some(s) =>
             val pfxs = bs.map(_ >>> s).distinct
-            byBucket.where(col("bucket_pfx").isin(pfxs.map(Long.box): _*))
+            byBucket.where(col("bucket_pfx").isin(pfxs.toIndexedSeq.map(Long.box): _*))
           case None => byBucket
         })
       case None => project(checked)
@@ -1194,7 +1194,7 @@ object Similarity {
       if (!pruneCells) c0
       else {
         val probed = q.select(col("cell")).distinct().collect().map(_.getInt(0))
-        c0.where(col("cell").isin(probed.map(Int.box): _*))
+        c0.where(col("cell").isin(probed.toIndexedSeq.map(Int.box): _*))
       }
     val hits = q.join(c, Seq("cell"))
       .where(col("__qid") =!= col("__nid"))

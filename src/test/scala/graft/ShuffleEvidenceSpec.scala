@@ -42,6 +42,42 @@ class ShuffleEvidenceSpec extends AnyFunSuite {
     sum(df.queryExecution.executedPlan)
   }
 
+  test("the stateless QC pipeline fuses into a single exchange-free scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Redact, TextAnalysis, TextFilters}
+    // the whole per-document QC family composed the way a real pipeline
+    // stacks it — rule filter, PII redaction, C4 line scrub, lang-ID,
+    // quality, token counts, repetition, fingerprint, charset QC — must
+    // plan as ONE scan + projections/filters: zero exchanges, zero
+    // bytes shuffled. At 100 TB this whole stage is a pass over the
+    // data; any op that smuggled in a groupBy/window would show here.
+    val dir = java.nio.file.Files.createTempDirectory("qcfuse").toString
+    (1 to 500).map(i =>
+      (i.toLong, s"the quick brown fox $i jumps over the lazy dog " +
+        "with vigor and purpose and then naps quietly all afternoon"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val piped = TextFilters(spark.read.parquet(dir), "text")
+      .withColumn("clean", Redact.redact(col("text")))
+      .withColumn("scrubbed", TextFilters.scrubLines(col("text")))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("n_tokens", TextAnalysis.tokenCountWs(col("text")))
+      .withColumn("dup3", TextAnalysis.dupNgramRatio(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("chars", TextAnalysis.charClassCounts(col("text")))
+    assert(shuffleBytesWritten(piped) == 0L,
+      "stateless QC pipeline must not shuffle")
+    def hasExchange(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec => hasExchange(a.executedPlan)
+      case q: QueryStageExec => hasExchange(q.plan)
+      case other => other.children.exists(hasExchange)
+    }
+    assert(!hasExchange(piped.queryExecution.executedPlan),
+      s"found an exchange in:\n${piped.queryExecution.executedPlan}")
+  }
+
   test("sharedWindowFlags shuffles window keys, not text: 10x longer tokens, flat shuffle") {
     import spark.implicits._
     // same token STRUCTURE (2000 docs x 60 tokens), token length 4 vs 40

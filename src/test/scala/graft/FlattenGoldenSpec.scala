@@ -60,7 +60,7 @@ class FlattenGoldenSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions.{struct, to_variant_object}
     val typed = JsonInput.jsonArray(spark, s"$fixtures/basic.json")
     val docs = typed.select(
-      to_variant_object(struct(typed.columns.map(col): _*)).as("doc"))
+      to_variant_object(struct(typed.columns.toIndexedSeq.map(col): _*)).as("doc"))
     val tables = FlattenPlanner.flattenVariant(docs, "doc",
       FlattenOptions(fields = basicFieldOrder))
     val out = Files.createTempDirectory("graft_variant").toString
@@ -79,7 +79,7 @@ class FlattenGoldenSpec extends AnyFunSuite {
     import spark.implicits._
     val typed = Seq((1L, "a")).toDF("id", "name")
     val docs = typed.select(
-      to_variant_object(struct(typed.columns.map(col): _*)).as("doc"))
+      to_variant_object(struct(typed.columns.toIndexedSeq.map(col): _*)).as("doc"))
     val empty = intercept[IllegalArgumentException] {
       FlattenPlanner.flattenVariant(docs.where(lit(false)), "doc")
     }

@@ -631,6 +631,29 @@ object SparkEntry {
       TextAnalysis.vocabStats(d, "text", "lang").orderBy(col("lang"))
     }),
 
+    "x76_pca_model" -> ((s, dir) => {
+      import s.implicits._
+      // 2-d integer-feature PCA with a closed-form SQL oracle: integer
+      // moments are EXACT in IEEE doubles (sums < 2^53), so both
+      // engines build bit-identical covariance matrices; the oracle
+      // then solves the 2x2 eigenproblem in closed form (+,-,*,/,sqrt
+      // only — all correctly-rounded IEEE ops) while the engine uses
+      // the general symmetric solver — they agree to ~1e-13, compared
+      // at 6dp (unit components) / 2dp (variance). The output is the
+      // MODEL (4 scalars), not per-row projections: 60k projected
+      // values would each roll dice against a rounding boundary; the
+      // model cannot. Projection round-trips are PcaPropertySpec's job.
+      val d = rd(s, dir, "documents")
+        .select(array(col("n_chars").cast("double"),
+          (col("doc_id") % 97).cast("double")).as("vec"))
+      val m = graft.ops.Pca.pcaTrain(d, "vec", k = 1)
+      val n = rd(s, dir, "documents").count()
+      Seq((n, m.components(0)(0), m.components(0)(1), m.explainedVariance(0)))
+        .toDF("n", "c0", "c1", "var1")
+        .select(col("n"), round(col("c0"), 6).as("c0_r"),
+          round(col("c1"), 6).as("c1_r"), round(col("var1"), 2).as("var1_r"))
+    }),
+
     "x59_pq_ann" -> ((s, dir) => {
       // Product-quantization/ADC path on the planted-twin contract: the
       // scaled twin shares its original's direction, so after
@@ -2224,6 +2247,38 @@ object SparkEntry {
         |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '$TokWs')) AS tok
         |      FROM documents WHERE len(trim(text)) > 0) t
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // closed-form 2x2 symmetric eigenproblem: largest eigenvalue
+    // lam = (cxx+cyy+sqrt((cxx-cyy)^2+4cxy^2))/2, eigenvector
+    // (cxy, lam-cxx) normalized, sign fixed like the engine (the
+    // larger-|coordinate| entry made positive, ties to the first)
+    "x76_pca_model" ->
+      """WITH f AS (
+        |  SELECT CAST(n_chars AS DOUBLE) AS x, CAST(doc_id % 97 AS DOUBLE) AS y
+        |  FROM documents
+        |), m AS (
+        |  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+        |         avg(x*x) AS sxx, avg(y*y) AS syy, avg(x*y) AS sxy
+        |  FROM f
+        |), c AS (
+        |  SELECT n, sxx - mx*mx AS cxx, syy - my*my AS cyy, sxy - mx*my AS cxy FROM m
+        |), e AS (
+        |  SELECT n, cxx, cxy,
+        |    (cxx + cyy + sqrt((cxx - cyy)*(cxx - cyy) + 4*cxy*cxy)) / 2 AS lam
+        |  FROM c
+        |), nv AS (
+        |  SELECT n, lam,
+        |    cxy / sqrt(cxy*cxy + (lam - cxx)*(lam - cxx)) AS c0,
+        |    (lam - cxx) / sqrt(cxy*cxy + (lam - cxx)*(lam - cxx)) AS c1
+        |  FROM e
+        |)
+        |SELECT n,
+        |  round(CASE WHEN (CASE WHEN abs(c0) >= abs(c1) THEN c0 ELSE c1 END) < 0
+        |             THEN -c0 ELSE c0 END, 6) AS c0_r,
+        |  round(CASE WHEN (CASE WHEN abs(c0) >= abs(c1) THEN c0 ELSE c1 END) < 0
+        |             THEN -c1 ELSE c1 END, 6) AS c1_r,
+        |  round(lam, 2) AS var1_r
+        |FROM nv""".stripMargin,
 
     "x29_asof_join" ->
       """WITH clicks AS (

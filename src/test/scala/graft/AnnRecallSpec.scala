@@ -117,6 +117,58 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(truth.forall { case (qid, nid) => (qid - 100000) == nid / Members })
   }
 
+  test("PCA-reduced ANN: rank-16 structure searches at full recall in 16 dims; isotropic data documents the loss") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Pca
+    // Low-rank fixture — the regime dimensionality reduction is FOR:
+    // cluster centers are linear combinations of 16 fixed directions in
+    // R^64 (a rank-16 subspace), members add small isotropic noise.
+    // Real embedding corpora are approximately low-rank like this; the
+    // isotropic `corpus` fixture below is the adversarial contrast.
+    val latent = 16
+    def dir(l: Int): Array[Double] = Array.tabulate(Dims)(j => h(l * 997L + j, 11L))
+    val dirs = Array.tabulate(latent)(dir)
+    def lvec(center: Int, member: Int): Array[Float] = {
+      val out = new Array[Double](Dims)
+      var l = 0
+      while (l < latent) {
+        val coord = h(center.toLong * 31 + l, 12L)
+        var j = 0
+        while (j < Dims) { out(j) += coord * dirs(l)(j); j += 1 }
+        l += 1
+      }
+      Array.tabulate(Dims)(j =>
+        (out(j) + 0.05 * h((center.toLong << 20) | (member.toLong << 10) | j.toLong, 13L)).toFloat)
+    }
+    val lc = (0 until 300).flatMap(c => (0 until 8).map(m =>
+      ((c * 8 + m).toLong, lvec(c, m)))).toDF("vec_id", "embedding").cache()
+    val lq = (0 until 60).map(c => ((300000 + c).toLong, lvec(c, 999)))
+      .toDF("vec_id", "embedding").cache()
+    val lowTruth = topSet(Similarity.bruteForceTopK(lc, lq, "vec_id", "embedding", k = K))
+    def reducedRecall(c: org.apache.spark.sql.DataFrame,
+        q: org.apache.spark.sql.DataFrame, t: Set[(Long, Long)], k: Int): Double = {
+      val m = Pca.pcaTrain(c, "embedding", k)
+      def proj(df: org.apache.spark.sql.DataFrame) =
+        Pca.pcaProject(df, "embedding", m)
+          .select(col("vec_id"), col("pca").as("embedding"))
+      topSet(Similarity.bruteForceTopK(proj(c), proj(q), "vec_id", "embedding", k = K))
+        .intersect(t).size.toDouble / t.size
+    }
+    val r16 = reducedRecall(lc, lq, lowTruth, 16)
+    val r8 = reducedRecall(lc, lq, lowTruth, 8)
+    info(f"rank-16 corpus: recall@10 in 16 dims (4x reduction) = $r16%.3f, in 8 dims = $r8%.3f")
+    assert(r16 >= 0.95, f"rank-16 corpus must search near-losslessly at k=16, got $r16%.3f")
+    assert(r8 <= r16 + 1e-9, "dropping below the true rank cannot improve recall")
+    // isotropic contrast: the 500-center fixture spreads variance over
+    // all 64 dims — 16 retained components lose most of the geometry.
+    // The assertion is the ORDERING (documented caution), not a floor.
+    val isoRecall = reducedRecall(corpus, queries, truth, 16)
+    info(f"isotropic corpus: recall@10 in 16 dims = $isoRecall%.3f")
+    assert(isoRecall < r16,
+      f"isotropic reduction should lose recall ($isoRecall%.3f) vs low-rank ($r16%.3f)")
+  }
+
   test("LSH recall@10 at defaults (nBits=12, multi-probe) >= 0.9") {
     val r = recall(Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
       k = K, nBits = 12, probe1 = true))

@@ -526,9 +526,27 @@ object ScaleCurve {
             "text", "src")
           .write.format("noop").mode("overwrite").save()
       sh(warmPath); vo(warmPath)
+      // pcaTrain is the third single-pass r15 op: one typed-Aggregator
+      // scan folding (n, Σx, upper-tri Σx⊗x) — ~2144 doubles of state
+      // at d=64 — plus a driver-side 64×64 eigensolve that is
+      // scale-invariant. Same LINEAR pass bar.
+      val v1 = s"$work/pv1"
+      val vN = s"$work/pv$mult"
+      SyntheticVectors.df(spark, 600000L, partitions = cpus.toInt)
+        .write.mode("overwrite").parquet(v1)
+      SyntheticVectors.df(spark, 600000L * mult, partitions = cpus.toInt)
+        .write.mode("overwrite").parquet(vN)
+      def pt(path: String): Unit = {
+        graft.ops.Pca.pcaTrain(spark.read.parquet(path), "embedding", 16); ()
+      }
+      val vw = s"$work/pvw"
+      SyntheticVectors.df(spark, 2000L, partitions = cpus.toInt)
+        .write.mode("overwrite").parquet(vw)
+      pt(vw)
       results ++= Seq(
         ("shuffle_epoch", time(sh(p1)), time(sh(pN))),
-        ("vocab_stats", time(vo(p1)), time(vo(pN))))
+        ("vocab_stats", time(vo(p1)), time(vo(pN))),
+        ("pca_train", time(pt(v1)), time(pt(vN))))
     }
 
     val items = results.map { case (n, a, b) =>

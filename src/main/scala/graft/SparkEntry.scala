@@ -631,6 +631,20 @@ object SparkEntry {
       TextAnalysis.vocabStats(d, "text", "lang").orderBy(col("lang"))
     }),
 
+    "x77_interleave" -> ((s, dir) => {
+      // weighted deterministic interleave: positions are rank/weight
+      // with exactly-representable binary weights, so the doubles are
+      // bit-identical across engines and the oracle replays the whole
+      // ordering as data (pos IS the order; FiltersSpec pins the
+      // physical sort and the every-prefix mixing-rate property)
+      Sampling.interleaveSources(
+          rd(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0),
+          defaultWeight = 0.5)
+        .orderBy(col("pos"), col("doc_id"))
+    }),
+
     "x76_pca_model" -> ((s, dir) => {
       import s.implicits._
       // 2-d integer-feature PCA with a closed-form SQL oracle: integer
@@ -2247,6 +2261,22 @@ object SparkEntry {
         |FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '$TokWs')) AS tok
         |      FROM documents WHERE len(trim(text)) > 0) t
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x77_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft'), 1, 15))::UBIGINT::BIGINT AS hk
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, hk,
+        |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+        |  FROM h
+        |)
+        |SELECT doc_id, source,
+        |  CAST(rk AS DOUBLE) / (CASE source
+        |    WHEN 'src0' THEN CAST(4.0 AS DOUBLE) WHEN 'src1' THEN CAST(2.0 AS DOUBLE)
+        |    WHEN 'src2' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END) AS pos
+        |FROM r ORDER BY pos, doc_id""".stripMargin,
 
     // closed-form 2x2 symmetric eigenproblem: largest eigenvalue
     // lam = (cxx+cyy+sqrt((cxx-cyy)^2+4cxy^2))/2, eigenvector

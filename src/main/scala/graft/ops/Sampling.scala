@@ -369,6 +369,75 @@ object Sampling {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Weighted deterministic interleave — the ORDERING member of the
+    * mixing family ([[stratifiedMix]] drops, [[temperatureMix]]
+    * samples, [[tokenBudgetMix]] caps; this one reorders WITHOUT
+    * dropping): each source's rows are ranked in their deterministic
+    * [[hashLong]] order, given position rank / weight, and the corpus
+    * is sorted by position — so a weight-2 source surfaces twice as
+    * often as a weight-1 source in EVERY prefix of the output, not
+    * just on average. That is the steady-mixing-rate property mixture
+    * recipes want at read time: a training loop consuming the output
+    * sequentially sees the target mix in every window, instead of the
+    * source/time clustering of storage order. Compose with
+    * [[deterministicShuffle]]'s sharded write for the materialized
+    * form.
+    *
+    * Output = the input columns + `posCol` (rank / weight — keep for
+    * diagnostics or drop). Unlisted sources get `defaultWeight`; a
+    * null source groups under the default like any other group; ties
+    * in position (exact rational collisions across sources) break by
+    * (hash, id), so the order is total and replayable.
+    *
+    * Scale shape — the [[tokenBudgetMix]] two-pass prefix trick
+    * applied to pure RANK: a serial `row_number` per source would
+    * serialize a giant source onto one task, so rank = per-(source,
+    * keyspace-bucket) count offsets (a tiny aggregate + a window over
+    * |sources| × `prefixBuckets` rows) plus a within-bucket
+    * `row_number` at bucket-way parallelism — byte-identical to the
+    * serial spelling because the bucket id is a monotone prefix of
+    * the hash. The final sort is a range partition on (pos, hash,
+    * id); uniform hash keys make within-source spacing uniform, so
+    * the range bounds stay balanced. The offsets broadcast is
+    * size-gated exactly like [[tokenBudgetMix]]'s.
+    */
+  def interleaveSources(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0,
+      salt: String = "graft", posCol: String = "pos",
+      prefixBuckets: Int = 256, maxBroadcastOffsets: Long = 4000000L): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      "interleave weights must be positive")
+    require(prefixBuckets >= 1 && (prefixBuckets & (prefixBuckets - 1)) == 0 &&
+      prefixBuckets <= (1 << 20),
+      s"prefixBuckets must be a power of two in [1, 2^20], got $prefixBuckets")
+    require(!df.columns.contains(posCol),
+      s"interleaveSources: output column $posCol already exists on the input")
+    val shift = 60 - java.lang.Integer.numberOfTrailingZeros(prefixBuckets)
+    import org.apache.spark.sql.expressions.Window
+    val slim = df.select(col(sourceCol).as("__src"), col(idCol).as("__id"))
+      .withColumn("__h", hashLong(col("__id"), salt))
+      .withColumn("__b", shiftright(col("__h"), shift))
+    val offs = slim.groupBy("__src", "__b").agg(count(lit(1)).as("__sc"))
+      .select(col("__src").as("__osrc"), col("__b").as("__ob"),
+        coalesce(sum(col("__sc")).over(
+          Window.partitionBy("__src").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+      .localCheckpoint(false)
+    val offsSide =
+      if (offs.count() <= maxBroadcastOffsets) broadcast(offs) else offs
+    val rkW = Window.partitionBy("__src", "__b").orderBy(col("__h"), col("__id"))
+    val ranked = slim.join(offsSide,
+        col("__src") <=> col("__osrc") && col("__b") === col("__ob"))
+      .drop("__osrc", "__ob")
+      .withColumn("__rk", col("__off") + row_number().over(rkW))
+    val (framed, w) = lookup(ranked, "__src", weights, defaultWeight)
+    val posFrame = framed.select(col("__id").as(idCol),
+      (col("__rk").cast(DoubleType) / w).as(posCol), col("__h"))
+    df.join(posFrame, Seq(idCol))
+      .orderBy(col(posCol), col("__h"), col(idCol))
+      .drop("__h")
+  }
+
   /** The scale form of [[tokenBudgetMix]]: instead of an exact
     * sequential cumsum, each source keeps the hash-fraction
     * `min(1, budget / total_tokens(source))` of its rows — in

@@ -296,6 +296,44 @@ class FiltersSpec extends AnyFunSuite {
       .rdd.getNumPartitions == 8)
   }
 
+  test("interleaveSources: equals the serial window at any bucketing; every prefix carries the weight mix") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 3000).map(i => (i.toLong, s"s${i % 3}")).toDF("id", "src")
+    val weights = Map("s0" -> 2.0, "s1" -> 1.0)
+    // independent serial reference: one window per source
+    val serial = df
+      .withColumn("__h", Sampling.hashLong($"id", "graft"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy($"src").orderBy($"__h", $"id")))
+      .withColumn("pos", $"__rk".cast("double") /
+        when($"src" === "s0", 2.0).when($"src" === "s1", 1.0).otherwise(0.5))
+      .orderBy($"pos", $"__h", $"id")
+      .select($"id", $"src", $"pos")
+      .as[(Long, String, Double)].collect().toSeq
+    for (buckets <- Seq(1, 4, 256)) {
+      val got = Sampling.interleaveSources(df.repartition(7), "id", "src",
+          weights, defaultWeight = 0.5, prefixBuckets = buckets)
+        .select($"id", $"src", $"pos")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(got == serial, s"bucketed rank diverged at prefixBuckets=$buckets")
+    }
+    // steady mixing: s0 (weight 2, 1000 rows) appears ~2x as often as
+    // s1 (weight 1, 1000 rows) in every sizeable prefix until s0 runs
+    // dry. Check the first 600 positions: ~400 s0 vs ~200 s1.
+    val head = serial.take(600)
+    val c0 = head.count(_._2 == "s0").toDouble
+    val c1 = head.count(_._2 == "s1").toDouble
+    assert(c0 / c1 > 1.8 && c0 / c1 < 2.2, s"prefix mix ratio ${c0 / c1}")
+    // nothing dropped, pos column refused if present
+    assert(serial.map(_._1).toSet == (1L to 3000L).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveSources(df.withColumn("pos", lit(1)), "id", "src", weights)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.interleaveSources(df, "id", "src", Map("s0" -> 0.0))
+    }
+  }
+
   test("vocabStats: exact counts match hand truth; HLL path within tolerance; blank docs drop") {
     import graft.ops.TextAnalysis
     val docs = Seq((1L, "en", "a b a c"), (2L, "en", "a d"),

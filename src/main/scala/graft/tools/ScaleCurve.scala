@@ -543,10 +543,25 @@ object ScaleCurve {
       SyntheticVectors.df(spark, 2000L, partitions = cpus.toInt)
         .write.mode("overwrite").parquet(vw)
       pt(vw)
+      // interleaveSources on ONE GIANT SOURCE — the case its bucketed
+      // rank exists for: prefixBuckets=1 IS the serial single-window
+      // spelling (one task owns the whole source's row_number), 256
+      // buckets runs the same rank at keyspace parallelism with a
+      // byte-identical result (FiltersSpec). The serial row should go
+      // corpus-linear at 10×; the bucketed row should track the other
+      // single-pass ops.
+      def il(path: String, buckets: Int): Unit =
+        graft.ops.Sampling.interleaveSources(
+            corpus(path).withColumn("src", lit("s0")), "doc_id", "src",
+            Map("s0" -> 1.0), prefixBuckets = buckets)
+          .write.format("noop").mode("overwrite").save()
+      il(warmPath, 1); il(warmPath, 256)
       results ++= Seq(
         ("shuffle_epoch", time(sh(p1)), time(sh(pN))),
         ("vocab_stats", time(vo(p1)), time(vo(pN))),
-        ("pca_train", time(pt(v1)), time(pt(vN))))
+        ("pca_train", time(pt(v1)), time(pt(vN))),
+        ("interleave_1src_serial", time(il(p1, 1)), time(il(pN, 1))),
+        ("interleave_1src_bucketed", time(il(p1, 256)), time(il(pN, 256))))
     }
 
     val items = results.map { case (n, a, b) =>

@@ -565,6 +565,153 @@ object TextAnalysis {
       .drop("__lmsc")
   }
 
+  // ================= Relevance scoring (TF-IDF / BM25) =================
+
+  /** Per-document top-`k` terms by TF-IDF over the [[tokens]] stream —
+    * the standard keyword-extraction / relevance-feature pass (Spärck
+    * Jones 1972). Output: one row per kept (doc, term) with `rank`
+    * 1..k, the term's in-doc count `tf`, its document frequency
+    * `df_docs`, and `score`.
+    *
+    * Two idf shapes, selected by `logIdf`:
+    *   - `true` (default, the classic): score = tf · ln(N / df) —
+    *     involves libm `ln`, whose last ulp differs across engines, so
+    *     this mode is pinned by TextOpsPropertySpec against naive
+    *     reference math (the x60 precedent), not by a SQL oracle;
+    *   - `false` (linear idf): score = (tf · N) / df computed as one
+    *     exact long product (< 2^53) and ONE correctly-rounded double
+    *     division — bit-identical in any IEEE engine, which is what
+    *     lets the x78 oracle replay ranking AND score exactly. Rank
+    *     order ties break by term text ascending either way.
+    *
+    * Scale shape: explode → (doc, term) count [one shuffle of
+    * map-side-combined pairs] → per-term doc frequency [one shuffle of
+    * (term, count)] → join back on term → per-doc top-k window [one
+    * shuffle on doc id]. `broadcastCounts = true` broadcasts the
+    * document-frequency frame (bounded by vocabulary size) and removes
+    * the join shuffle — the [[rareTokenRatio]] dial, same trade-off.
+    * Documents with no tokens produce no rows.
+    */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10, logIdf: Boolean = true,
+      broadcastCounts: Boolean = false): DataFrame = {
+    require(k > 0, s"tfidfTopTerms: k must be positive, got $k")
+    val reserved = Seq("term", "tf", "df_docs", "score", "rank")
+    require(!reserved.contains(idCol),
+      s"tfidfTopTerms: id column '$idCol' clashes with an output column")
+    // one bounded driver action: the corpus document count N
+    val nDocs = df.count()
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq0 = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val dfreq = if (broadcastCounts) broadcast(dfreq0) else dfreq0
+    val score =
+      if (logIdf) col("tf") * log(lit(nDocs.toDouble) / col("df_docs"))
+      else (col("tf") * nDocs).cast(DoubleType) / col("df_docs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"),
+        col("df_docs"), col("score"))
+  }
+
+  /** The engine-portable BM25 core: for each query `term`, every
+    * document containing it, with the exact integer evidence (`tf`
+    * in-doc count, `dl` document token length, `df_docs` document
+    * frequency) and the saturated length-normalized term frequency
+    *
+    *   tf_norm = tf·(k1+1) / (tf + k1·(1 − b + b·(dl / avgdl)))
+    *
+    * (Robertson & Walker 1994). Every input to `tf_norm` is an exact
+    * integer or an exact binary literal (the k1 = 1.5 / b = 0.75
+    * defaults), `avgdl` is one exact-integer division, and the
+    * expression is evaluated in this spelled order — each step is a
+    * single correctly-rounded IEEE op, so the double is bit-identical
+    * in any engine that mirrors the expression (the x79 oracle
+    * replays score AND per-term ranking exactly; the libm-dependent
+    * idf lives in [[bm25]], pinned by spec instead — the x60 split).
+    *
+    * Scale shape: the exploded token stream is filtered to the query
+    * terms BEFORE any shuffle (an `isin` over a literal set — pushed
+    * into the scan projection), so the per-term frame is tiny; doc
+    * lengths aggregate per-doc from a codegen'd projection (no second
+    * explode); the (term, df) frame is bounded by |terms| and
+    * broadcast. One shuffle of (doc, term) count pairs, one of (doc,
+    * length) pairs, one broadcast join.
+    */
+  def bm25Components(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Components: terms must be non-empty")
+    require(terms.size <= 256,
+      s"bm25Components: ${terms.size} query terms — cap is 256 " +
+        "(scores are per-term columns in bm25's fixed-order sum)")
+    require(terms.distinct.size == terms.size,
+      "bm25Components: duplicate query terms")
+    val reserved = Seq("term", "tf", "dl", "df_docs", "tf_norm")
+    require(!reserved.contains(idCol),
+      s"bm25Components: id column '$idCol' clashes with an output column")
+    // one bounded driver action: N docs and total token count → avgdl
+    val g = df.agg(count(lit(1)), sum(size(tokens(col(textCol))))).head()
+    val nDocs = g.getLong(0)
+    val totalTokens = if (g.isNullAt(1)) 0L else g.getLong(1)
+    require(nDocs > 0 && totalTokens > 0,
+      "bm25Components: empty corpus (no documents or no tokens)")
+    val avgdl = totalTokens.toDouble / nDocs // exact ints, one division
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = df.select(col(idCol), size(tokens(col(textCol))).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val tfd = col("tf").cast(DoubleType)
+    val dld = col("dl").cast(DoubleType)
+    // spelled to match the oracle SQL operation-for-operation
+    val tfNorm = tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * (dld / lit(avgdl))))
+    tf.join(dl, Seq(idCol))
+      .join(broadcast(dfreq), Seq("term"))
+      .select(col("term"), col(idCol), col("tf"), col("dl"),
+        col("df_docs"), tfNorm.as("tf_norm"))
+  }
+
+  /** Full BM25 ranked retrieval: top-`topK` documents for the query
+    * `terms`, score = Σ_t idf(t) · tf_norm(t, doc) with the
+    * always-positive idf = ln(1 + (N − df + 0.5) / (df + 0.5)).
+    * Built on [[bm25Components]]; the per-doc sum is a FIXED-ORDER
+    * addition chain (one `sum(when(term = t, …))` aggregate column per
+    * query term — each aggregates at most ONE row per doc, so there is
+    * no FP reassociation anywhere), making the score deterministic
+    * run-to-run and plan-independent even though idf's libm `ln` keeps
+    * it out of SQL-oracle scope (TextOpsPropertySpec pins it against
+    * naive reference math). Ties rank by doc id ascending.
+    */
+  def bm25(df: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.5, b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    require(topK > 0, s"bm25: topK must be positive, got $topK")
+    val nDocs = df.count()
+    val comp = bm25Components(df, textCol, idCol, terms, k1, b)
+      .withColumn("__contrib",
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df_docs") + lit(0.5)) /
+          (col("df_docs") + lit(0.5))) * col("tf_norm"))
+    val sorted = terms.sorted
+    val perTerm = sorted.map(t =>
+      sum(when(col("term") === t, col("__contrib"))).as(s"__c_$t"))
+    val score = sorted.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+      .reduce(_ + _)
+    comp.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("score"))
+  }
+
   val EnglishStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "at", "by", "from", "this", "be", "are")

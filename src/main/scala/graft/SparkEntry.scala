@@ -615,7 +615,7 @@ object SparkEntry {
       // single-task sort). The driver's compare sorts rows, so row ORDER
       // itself is invisible to the oracle; the query materializes the
       // sort KEY so the permutation both engines would read back is the
-      // checked value (SamplingSpec pins the physical ordering and the
+      // checked value (FiltersSpec pins the physical ordering and the
       // seed-independence of the permutations).
       val d = rd(s, dir, "documents").select(col("doc_id"), col("source"))
       Sampling.deterministicShuffle(d, "doc_id", seed = 7, numShards = 8)
@@ -666,6 +666,30 @@ object SparkEntry {
         .toDF("n", "c0", "c1", "var1")
         .select(col("n"), round(col("c0"), 6).as("c0_r"),
           round(col("c1"), 6).as("c1_r"), round(col("var1"), 2).as("var1_r"))
+    }),
+
+    "x78_tfidf" -> ((s, dir) => {
+      // TF-IDF top terms in the linear-idf mode built for oracle replay:
+      // score = (tf · N) / df is one exact long product and ONE
+      // correctly-rounded double division, so rank, tf, df_docs AND the
+      // double score are bit-identical in any IEEE engine. The libm-ln
+      // classic mode (logIdf = true) is pinned by TextOpsPropertySpec
+      // instead — the x60 split.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.tfidfTopTerms(d, "text", "doc_id", k = 5, logIdf = false)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    "x79_bm25" -> ((s, dir) => {
+      // the engine-portable BM25 core: exact integer evidence (tf, dl,
+      // df_docs) plus tf_norm evaluated in the Scaladoc's spelled
+      // operation order — every input exact, every step one
+      // correctly-rounded IEEE op, so the double replays exactly. The
+      // libm-ln idf (full bm25 ranking) is TextOpsPropertySpec's pin.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.bm25Components(d, "text", "doc_id",
+          Seq("spark", "window", "vector"))
+        .orderBy(col("term"), col("doc_id"))
     }),
 
     "x59_pq_ann" -> ((s, dir) => {
@@ -2309,6 +2333,55 @@ object SparkEntry {
         |             THEN -c1 ELSE c1 END, 6) AS c1_r,
         |  round(lam, 2) AS var1_r
         |FROM nv""".stripMargin,
+
+    "x78_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfq AS (
+        |  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS nd FROM documents
+        |), s AS (
+        |  SELECT doc_id, term, tf, df_docs,
+        |    CAST(tf * nd AS DOUBLE) / df_docs AS score
+        |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT doc_id, term, tf, df_docs, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+        |  FROM s
+        |)
+        |SELECT doc_id, rank, term, tf, df_docs, score
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    "x79_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0)) AS term
+        |  FROM documents
+        |), g AS (
+        |  SELECT (SELECT count(*) FROM documents) AS nd,
+        |         (SELECT count(*) FROM tok) AS total
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'window', 'vector') GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), dfq AS (
+        |  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+        |)
+        |SELECT term, doc_id, tf, dl, df_docs,
+        |  CAST(tf AS DOUBLE) * 2.5 /
+        |    (CAST(tf AS DOUBLE) + 1.5 *
+        |      (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total AS DOUBLE) / nd))))
+        |    AS tf_norm
+        |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN g
+        |ORDER BY term, doc_id""".stripMargin,
 
     "x29_asof_join" ->
       """WITH clicks AS (

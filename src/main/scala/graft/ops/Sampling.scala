@@ -244,8 +244,19 @@ object Sampling {
     * one shuffle, no single-task total sort, no driver involvement.
     * The keys are uniform on [0, 2^60) by construction, so the range
     * bounds are balanced regardless of id skew. Parquet/text writers
-    * preserve row order per file and number files by partition, so
-    * writing the result IS the sharded shuffled corpus.
+    * preserve row order per file and number files by partition, so a
+    * write of the result is a sharded shuffled corpus whose
+    * CONCATENATED (file-number-order) row sequence is the deterministic
+    * global permutation. The per-shard SPLIT POINTS are not themselves
+    * replayable: `repartitionByRange` samples the key distribution with
+    * a seed derived from the underlying RDD id, so which boundary rows
+    * land in shard k vs k+1 can differ across sessions — only the
+    * concatenated order is contract. Pipelines that need bit-stable
+    * shard CONTENTS (e.g. resumable per-shard checkpointing) should
+    * derive the shard explicitly from the uniform key space — a
+    * power-of-two shard count makes it `shiftright(hashLong(id, salt),
+    * 60 - log2(n))`, a pure function of the row — and group by that
+    * column instead of relying on sampled range bounds.
     *
     * `numShards` ≤ 0 leaves the partition count to
     * `spark.sql.shuffle.partitions`; at 100 TB set it so a shard fits
@@ -412,6 +423,12 @@ object Sampling {
       s"prefixBuckets must be a power of two in [1, 2^20], got $prefixBuckets")
     require(!df.columns.contains(posCol),
       s"interleaveSources: output column $posCol already exists on the input")
+    // the final join brings __h back onto the outer frame (and lookup's
+    // fallback join would bring __lk/__kv) — reserve them like
+    // tokenBudgetMix does, instead of failing later with an
+    // ambiguous-reference error
+    Seq("__h", "__lk", "__kv").foreach(c => require(!df.columns.contains(c),
+      s"interleaveSources: column name $c is reserved"))
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(prefixBuckets)
     import org.apache.spark.sql.expressions.Window
     val slim = df.select(col(sourceCol).as("__src"), col(idCol).as("__id"))

@@ -697,10 +697,12 @@ object TextAnalysis {
       .withColumn("__contrib",
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df_docs") + lit(0.5)) /
           (col("df_docs") + lit(0.5))) * col("tf_norm"))
+    // per-term columns are named by index, not term text — a term
+    // containing '.' or '`' would make col() parse a field path
     val sorted = terms.sorted
-    val perTerm = sorted.map(t =>
-      sum(when(col("term") === t, col("__contrib"))).as(s"__c_$t"))
-    val score = sorted.map(t => coalesce(col(s"__c_$t"), lit(0.0)))
+    val perTerm = sorted.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("__contrib"))).as(s"__c_$i") }
+    val score = sorted.indices.map(i => coalesce(col(s"__c_$i"), lit(0.0)))
       .reduce(_ + _)
     comp.groupBy(col(idCol)).agg(perTerm.head, perTerm.tail: _*)
       .select(col(idCol), score.as("score"))

@@ -333,4 +333,117 @@ class TextOpsPropertySpec extends AnyFunSuite {
       assert(viaBloom == want)
     }
   }
+
+  // ---- tfidfTopTerms (logIdf = true, the libm-ln mode) ---------------------
+
+  test("fuzz: tfidfTopTerms classic-idf mode equals naive reference math bit-for-bit") {
+    import spark.implicits._
+    // the operator's `tokens()`: lowercase, split on [^a-z0-9]+, drop empties
+    def alnumToks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+", -1).toSeq.filter(_.nonEmpty)
+
+    val paramGen = for {
+      k    <- Gen.choose(1, 8)
+      docs <- corpusGen
+    } yield (k, docs)
+
+    forAllSeeded(paramGen, 8) { case (k, docs) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = k)
+        .as[(Long, Int, String, Long, Long, Double)].collect().toSeq.sorted
+
+      // naive reference replaying the engine's exact FP spelling:
+      // score = tf.toDouble * ln(N.toDouble / df.toDouble) — Spark's
+      // `log` expression computes java.lang.StrictMath.log (fdlibm, a
+      // platform-stable 1 ulp from the Math.log intrinsic), so the
+      // doubles must be IDENTICAL, not merely close (the x60 precedent)
+      val nDocs = docs.length.toLong
+      val tf: Map[(Long, String), Long] = docs.zipWithIndex
+        .flatMap { case (t, i) => alnumToks(t).map(tok => (i.toLong, tok)) }
+        .groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      val dfDocs: Map[String, Long] = tf.keys.toSeq.map(_._2)
+        .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val want = tf.toSeq
+        .map { case ((id, term), c) =>
+          (id, term, c, dfDocs(term),
+            c.toDouble * StrictMath.log(nDocs.toDouble / dfDocs(term).toDouble))
+        }
+        .groupBy(_._1).toSeq
+        .flatMap { case (_, rows) =>
+          rows.sortWith((a, b) => a._5 > b._5 || (a._5 == b._5 && a._2 < b._2))
+            .take(k).zipWithIndex
+            .map { case ((id, term, c, dfd, sc), r) => (id, r + 1, term, c, dfd, sc) }
+        }.sorted
+      assert(got == want, s"k=$k")
+
+      // the broadcast dial must not change a single bit of the output
+      val viaBroadcast = TextAnalysis
+        .tfidfTopTerms(df, "text", "doc_id", k = k, broadcastCounts = true)
+        .as[(Long, Int, String, Long, Long, Double)].collect().toSeq.sorted
+      assert(viaBroadcast == want, s"k=$k broadcast")
+    }
+  }
+
+  // ---- bm25 (the libm-ln idf path) ----------------------------------------
+
+  test("fuzz: bm25 ranked retrieval equals naive reference math bit-for-bit") {
+    import spark.implicits._
+    def alnumToks(t: String): Seq[String] =
+      t.toLowerCase.split("[^a-z0-9]+", -1).toSeq.filter(_.nonEmpty)
+
+    val paramGen = for {
+      topK <- Gen.choose(1, 8)
+      docs <- corpusGen
+    } yield (topK, docs)
+
+    forAllSeeded(paramGen, 8) { case (topK, docs0) =>
+      // guarantee a non-empty corpus and at least one hit for the terms
+      val docs = docs0 :+ "the anchor document mentions go and the again"
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val vocab = docs.flatMap(alnumToks)
+      // real terms plus one absent term (exercises the coalesce-0.0 leg)
+      val terms = (vocab.distinct.take(3) :+ "qqqabsentterm").distinct
+
+      val got = TextAnalysis.bm25(df, "text", "doc_id", terms, topK = topK)
+        .as[(Long, Int, Double)].collect().toSeq.sortBy(_._2)
+
+      // naive reference with the engine's exact FP spelling: k1 = 1.5,
+      // b = 0.75 → the literals 2.5 / 0.25 / 0.75 are exact; avgdl and
+      // each tf_norm step is one correctly-rounded op; idf uses
+      // StrictMath.log (what Spark's `log` expression computes); the
+      // per-doc sum is the same sorted-term left fold with 0.0 for
+      // absent terms
+      val nD = docs.length.toDouble
+      val dls = docs.map(t => alnumToks(t).length.toLong)
+      val avgdl = dls.sum.toDouble / docs.length
+      val tf: Map[(Long, String), Long] = docs.zipWithIndex
+        .flatMap { case (t, i) =>
+          alnumToks(t).filter(terms.contains).map(tok => (i.toLong, tok)) }
+        .groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+      val dfDocs: Map[String, Long] = tf.keys.toSeq.map(_._2)
+        .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val sorted = terms.sorted
+      val scores = docs.indices.map(_.toLong)
+        .filter(id => sorted.exists(t => tf.contains((id, t))))
+        .map { id =>
+          val s = sorted.map { t =>
+            tf.get((id, t)) match {
+              case None => 0.0
+              case Some(c) =>
+                val tfd = c.toDouble
+                val dld = dls(id.toInt).toDouble
+                val tfNorm = tfd * 2.5 / (tfd + 1.5 * (0.25 + 0.75 * (dld / avgdl)))
+                val dfd = dfDocs(t).toDouble
+                StrictMath.log(1.0 + (nD - dfd + 0.5) / (dfd + 0.5)) * tfNorm
+            }
+          }.reduce(_ + _)
+          (id, s)
+        }
+      val want = scores
+        .sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+        .take(topK).zipWithIndex
+        .map { case ((id, s), r) => (id, r + 1, s) }
+      assert(got == want, s"topK=$topK terms=$terms")
+    }
+  }
 }

@@ -57,6 +57,49 @@ object TextHash {
     x ^ (x >>> 31)
   }
 
+  /** Exact Jaccard similarity over the DISTINCT values of two hash
+    * arrays — the compiled per-PAIR verify kernel (project rule: join
+    * scoring never runs as an expression tree; `array_intersect` /
+    * `array_union` build a hash set per ROW with boxed elements, and
+    * this runs once per candidate pair — measured 5.1 s → ~2 s on the
+    * b14 verify tail). Inputs need not be sorted or deduplicated: each
+    * is copy-sorted (bounded by shingle count) and the merge counts the
+    * intersection over unique values.
+    *
+    * FP contract: the result is `intersect.toDouble / union.toDouble` —
+    * two exact int-to-double conversions and ONE correctly-rounded IEEE
+    * division, bit-identical to the
+    * `size(array_intersect(a,b)).cast(double) / size(array_union(a,b))`
+    * spelling it replaces (sizes are exact ints; the oracles replay the
+    * same division). Both-empty inputs return NaN, like 0.0/0 did —
+    * NaN >= threshold is false in both engines.
+    */
+  def jaccardDistinct(a: Array[Long], b: Array[Long]): Double = {
+    val sa = java.util.Arrays.copyOf(a, a.length)
+    val sb = java.util.Arrays.copyOf(b, b.length)
+    java.util.Arrays.sort(sa)
+    java.util.Arrays.sort(sb)
+    var i = 0; var j = 0; var inter = 0; var na = 0; var nb = 0
+    while (i < sa.length && j < sb.length) {
+      // step past duplicates so counts are over the distinct sets
+      while (i + 1 < sa.length && sa(i + 1) == sa(i)) i += 1
+      while (j + 1 < sb.length && sb(j + 1) == sb(j)) j += 1
+      if (sa(i) == sb(j)) { inter += 1; na += 1; nb += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) { na += 1; i += 1 }
+      else { nb += 1; j += 1 }
+    }
+    while (i < sa.length) {
+      while (i + 1 < sa.length && sa(i + 1) == sa(i)) i += 1
+      na += 1; i += 1
+    }
+    while (j < sb.length) {
+      while (j + 1 < sb.length && sb(j + 1) == sb(j)) j += 1
+      nb += 1; j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) Double.NaN else inter.toDouble / union.toDouble
+  }
+
   /** 64-bit hash per n-token shingle (whole text if shorter than n).
     * Shingle hash = mixed combination of the token hashes — no shingle
     * string is ever materialized (each token hashed exactly once).
@@ -177,5 +220,14 @@ object TextHash {
   }
   val simhashUdf: Column => Column = {
     val f = udf((t: String) => simhash(t)); c => f(c)
+  }
+  /** [[jaccardDistinct]] as a two-column UDF. Spark hands array<bigint>
+    * UDF args as primitive-backed ArraySeq — `toArray` is one flat copy
+    * (never index a UDF Seq directly: a linked List makes loops
+    * quadratic, the project's standing gotcha).
+    */
+  val jaccardDistinctUdf: (Column, Column) => Column = {
+    val f = udf((a: Seq[Long], b: Seq[Long]) => jaccardDistinct(a.toArray, b.toArray))
+    (a, b) => f(a, b)
   }
 }

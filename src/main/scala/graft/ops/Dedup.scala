@@ -303,6 +303,19 @@ object Dedup {
     * above it ([[graft.ops.Similarity.lshSearchIndexed]]'s pattern). */
   private val NearDupMaxProbeFilter = 65536
 
+  /** Cap on LITERAL `isin` pushdowns: building and optimizing an `In`
+    * with N literal children costs the DRIVER ~0.13 ms per literal
+    * (measured on the b14 probe: a 26k-key isin added 3.5 s of pure
+    * planning time to a 1.5 s verify tail — tools/B14Probe), and the
+    * parquet reader degrades any In above
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (default 10) to a
+    * min/max range anyway. So literal point sets stay small; mid-size
+    * sets get the equivalent min/max RANGE prefilter (two literals, the
+    * same row-group skipping on a sorted store) and exactness always
+    * rides the semi-join.
+    */
+  private val NearDupMaxInLiterals = 2048
+
   /** The shared candidate + exact-verify tail of the incremental
     * near-dup family: `corpusBands` is (id, band, bandHash) — computed
     * per call by [[nearDupIncrement]], read from a standing table by
@@ -358,8 +371,8 @@ object Dedup {
       .localCheckpoint(false)
     val probeHashes: Option[Array[Long]] = {
       val got = in.select(col("bandHash")).where(col("bandHash").isNotNull)
-        .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.getLong(0))
-      if (got.length > NearDupMaxProbeFilter) None else Some(got)
+        .distinct().limit(NearDupMaxInLiterals + 1).collect().map(_.getLong(0))
+      if (got.length > NearDupMaxInLiterals) None else Some(got)
     }
     val cbPruned = probeHashes match {
       case Some(hs) => corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
@@ -380,23 +393,40 @@ object Dedup {
     // no checkpoint here: unlike `cands` (4 consumers) each shingle
     // frame feeds exactly ONE join, so the kernel runs once either way
     // and the materialization barrier was pure per-batch latency
+    // raw shingle arrays — the jaccardDistinct kernel dedups internally,
+    // so no array_distinct expression pass is needed
     def sh(df: DataFrame, ids: DataFrame): DataFrame = df
       .select(col(idCol).as("id"), col(textCol))
       .join(ids, Seq("id"), "left_semi")
       .select(col("id"),
-        array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
+        TextHash.shingleHashesUdf(shingleSize)(col(textCol)).as("sh"))
     val shNew = sh(incoming, cands.select(col("new_id").as("id")).distinct())
     val oldKeys = cands.select(col("old_id")).where(col("old_id").isNotNull)
       .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.get(0))
+    // prefilter ladder (see [[NearDupMaxInLiterals]]): tiny sets push
+    // literal points; mid-size ORDERABLE sets push their min/max range
+    // (two literals — the same parquet row-group skipping a big In
+    // degrades to, without the multi-second driver planning stall);
+    // everything else relies on the semi-join inside `sh` alone, which
+    // is what guarantees exactness in every branch.
     val exVerify =
-      if (oldKeys.length > NearDupMaxProbeFilter) existing
-      else existing.where(col(idCol).isin(oldKeys.toIndexedSeq: _*))
+      if (oldKeys.isEmpty || oldKeys.length > NearDupMaxProbeFilter) existing
+      else if (oldKeys.length <= NearDupMaxInLiterals)
+        existing.where(col(idCol).isin(oldKeys.toIndexedSeq: _*))
+      else oldKeys.head match {
+        case _: Long | _: Int | _: Short | _: Byte =>
+          val ls = oldKeys.map(_.asInstanceOf[Number].longValue)
+          existing.where(col(idCol) >= ls.min && col(idCol) <= ls.max)
+        case _: String =>
+          val ss = oldKeys.map(_.asInstanceOf[String])
+          existing.where(col(idCol) >= ss.min && col(idCol) <= ss.max)
+        case _ => existing
+      }
     val shOld = sh(exVerify, cands.select(col("old_id").as("id")).distinct())
     val dupIds = cands
       .join(shNew.withColumnsRenamed(Map("id" -> "new_id", "sh" -> "sh_a")), Seq("new_id"))
       .join(shOld.withColumnsRenamed(Map("id" -> "old_id", "sh" -> "sh_b")), Seq("old_id"))
-      .where(size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-        size(array_union(col("sh_a"), col("sh_b"))) >= threshold)
+      .where(TextHash.jaccardDistinctUdf(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("new_id").as(idCol)).distinct()
     incoming.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -605,17 +635,19 @@ object Dedup {
     val candsM = cands.localCheckpoint(false)
     val candIds = candsM
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // raw shingle arrays; the compiled jaccardDistinct kernel dedups
+    // internally and produces the same double as the old
+    // size(array_intersect)/size(array_union) spelling (one exact
+    // int/int division — see the kernel's FP contract)
     val sh = df.select(col(idCol).as("id"), col(textCol))
       .join(candIds, Seq("id"), "left_semi")
       .select(col("id"),
-        array_distinct(TextHash.shingleHashesUdf(shingleSize)(col(textCol))).as("sh"))
+        TextHash.shingleHashesUdf(shingleSize)(col(textCol)).as("sh"))
       .localCheckpoint(false)
     candsM
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), Seq("id_a"))
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", TextHash.jaccardDistinctUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -403,14 +403,26 @@ object Dedup {
     val shNew = sh(incoming, cands.select(col("new_id").as("id")).distinct())
     val oldKeys = cands.select(col("old_id")).where(col("old_id").isNotNull)
       .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.get(0))
+    // No candidate pairs at all → the verify tail is provably empty
+    // (null old_ids can never equi-join back), so skip it entirely
+    // instead of building a full-corpus frame the join then empties.
+    if (oldKeys.isEmpty) return incoming
     // prefilter ladder (see [[NearDupMaxInLiterals]]): tiny sets push
     // literal points; mid-size ORDERABLE sets push their min/max range
     // (two literals — the same parquet row-group skipping a big In
     // degrades to, without the multi-second driver planning stall);
     // everything else relies on the semi-join inside `sh` alone, which
-    // is what guarantees exactness in every branch.
+    // is what guarantees exactness in every branch. RANGE BOUNDS MUST
+    // COME FROM THE ENGINE'S OWN ORDERING: numeric orderings agree
+    // between the driver and Spark, but Scala's String min/max compares
+    // UTF-16 code units while Spark compares UTF8String bytes
+    // (code-point order) — they disagree when supplementary-plane chars
+    // meet BMP [U+E000, U+FFFF], and a driver-computed [min,max] can be
+    // an EMPTY range to the engine (silent under-dedup). So the String
+    // rung takes its bounds from a Spark agg over the checkpointed
+    // candidate frame — one tiny job, same collation as the filter.
     val exVerify =
-      if (oldKeys.isEmpty || oldKeys.length > NearDupMaxProbeFilter) existing
+      if (oldKeys.length > NearDupMaxProbeFilter) existing
       else if (oldKeys.length <= NearDupMaxInLiterals)
         existing.where(col(idCol).isin(oldKeys.toIndexedSeq: _*))
       else oldKeys.head match {
@@ -418,8 +430,9 @@ object Dedup {
           val ls = oldKeys.map(_.asInstanceOf[Number].longValue)
           existing.where(col(idCol) >= ls.min && col(idCol) <= ls.max)
         case _: String =>
-          val ss = oldKeys.map(_.asInstanceOf[String])
-          existing.where(col(idCol) >= ss.min && col(idCol) <= ss.max)
+          val r = cands.agg(min(col("old_id")).as("mn"),
+            max(col("old_id")).as("mx")).head()
+          existing.where(col(idCol) >= r.get(0) && col(idCol) <= r.get(1))
         case _ => existing
       }
     val shOld = sh(exVerify, cands.select(col("old_id").as("id")).distinct())

@@ -1251,4 +1251,29 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.count() == 6)
     assert(!ivf.select("neighbor_id").as[Long].collect().contains(99L))
   }
+
+  test("nearDupIncrement String range prefilter survives astral ids straddling U+FFFF") {
+    // The mid-size (>2048 distinct old ids) rung of the verify prefilter
+    // pushes a [min,max] range on the corpus id column. Java orders
+    // Strings by UTF-16 code units while Spark compares UTF8String bytes
+    // (code-point order): "𐀀" (U+10000, UTF-8 F0 90 80 80)
+    // sorts BELOW "�…" (EF BF BD) for Java but ABOVE it for Spark,
+    // so driver-computed bounds over this id set form an EMPTY range to
+    // the engine and every genuine candidate silently escapes the verify
+    // scan. The bounds must come from a Spark agg (engine collation).
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val astralId = "𐀀zz"                        // U+10000 'zz'
+    val ids = astralId +: (1 to 2099).map(i => f"�$i%04d")
+    assert(ids.length == 2100 && ids.distinct.length == 2100)
+    val existing = ids.map(id => (id, text)).toDF("doc_id", "text")
+    val incoming = Seq(("new1", text)).toDF("doc_id", "text")
+    // identical text → every existing doc band-collides with the batch →
+    // 2100 distinct old ids → the String range rung; Jaccard 1.0 ≥ 0.7 →
+    // the incoming doc must be recognized as a duplicate and dropped
+    val kept = Dedup.nearDupIncrement(existing, incoming, "text", "doc_id",
+      threshold = 0.7)
+    assert(kept.count() == 0L,
+      "astral-id corpus: incoming near-dup escaped the verify prefilter")
+  }
 }

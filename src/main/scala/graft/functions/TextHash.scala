@@ -224,10 +224,113 @@ object TextHash {
   /** [[jaccardDistinct]] as a two-column UDF. Spark hands array<bigint>
     * UDF args as primitive-backed ArraySeq — `toArray` is one flat copy
     * (never index a UDF Seq directly: a linked List makes loops
-    * quadratic, the project's standing gotcha).
+    * quadratic, the project's standing gotcha). A null array on either
+    * side yields SQL NULL — the same semantics as the
+    * `size(array_intersect)/size(array_union)` spelling this kernel
+    * replaced (null ≥ threshold filters false, the row drops).
     */
   val jaccardDistinctUdf: (Column, Column) => Column = {
-    val f = udf((a: Seq[Long], b: Seq[Long]) => jaccardDistinct(a.toArray, b.toArray))
+    val f = udf((a: Seq[Long], b: Seq[Long]) =>
+      if (a == null || b == null) None
+      else Some(jaccardDistinct(a.toArray, b.toArray)))
     (a, b) => f(a, b)
+  }
+
+  /** The integer stats behind the Gopher quality rules
+    * ([[graft.ops.TextFilters]]), in one compiled pass — the per-row
+    * imperative-kernel exception again: the expression spelling walks
+    * seven interpreted higher-order functions over the split arrays per
+    * document (measured ~75 µs/doc — the most expensive stage of the
+    * b17 pipeline bench by far), this kernel is one scan.
+    *
+    * PARITY BY CONSTRUCTION with the expression spelling (pinned by
+    * GopherParitySpec fuzz + the x25 oracle): character counts use
+    * Spark's own code-point semantics (`codePointCount`, matching
+    * `length()`), line trim and lowercasing go through Spark's
+    * `UTF8String` (whatever `trim()`/`lower()` do, this does), and the
+    * rlike patterns run as the same java.util.regex `find()` Spark's
+    * RLike executes — including `$`-before-final-line-terminator
+    * subtleties a hand-rolled endsWith would miss. Only the integer
+    * stats live here; the ratio divisions and threshold comparisons
+    * stay in identical Column expressions, so the rule booleans are
+    * bit-for-bit the old ones.
+    */
+  final case class GopherStats(nWords: Int, sumWordLen: Long, nSymbols: Int,
+      nLines: Int, nBulletLines: Int, nEllipsisLines: Int, nAlphaWords: Int,
+      stopHits: Int)
+
+  private val GopherWs = java.util.regex.Pattern.compile(
+    graft.ops.TextAnalysis.FingerprintWsJava)
+  private val GopherEllipsis = java.util.regex.Pattern.compile("\\.\\.\\.|…")
+  private val GopherBulletLine = java.util.regex.Pattern.compile("^[-*•‣◦]")
+  private val GopherEllipsisLine = java.util.regex.Pattern.compile("(\\.\\.\\.|…)$")
+  private val GopherTok = java.util.regex.Pattern.compile("[^a-z0-9]+")
+  private val GopherStopwords: Array[String] =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherStats(text: String): GopherStats = {
+    val words = GopherWs.split(text, -1)
+    var nWords = 0; var sumLen = 0L; var nAlpha = 0
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.length > 0) {
+        nWords += 1
+        sumLen += w.codePointCount(0, w.length)
+        var j = 0; var alpha = false
+        while (!alpha && j < w.length) {
+          val c = w.charAt(j)
+          if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) alpha = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+      }
+      wi += 1
+    }
+    var nSymbols = 0
+    var si = 0
+    while (si < text.length) {
+      if (text.charAt(si) == '#') nSymbols += 1
+      si += 1
+    }
+    val em = GopherEllipsis.matcher(text)
+    while (em.find()) nSymbols += 1
+    var nLines = 0; var nBullet = 0; var nEll = 0
+    val rawLines = text.split("\n", -1)
+    var li = 0
+    while (li < rawLines.length) {
+      val l = org.apache.spark.unsafe.types.UTF8String
+        .fromString(rawLines(li)).trim().toString
+      if (l.length > 0) {
+        nLines += 1
+        if (GopherBulletLine.matcher(l).find()) nBullet += 1
+        if (GopherEllipsisLine.matcher(l).find()) nEll += 1
+      }
+      li += 1
+    }
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString
+    val toks = GopherTok.split(lowered, -1)
+    val tokSet = new java.util.HashSet[String](Math.max(16, toks.length * 2))
+    var ti = 0
+    while (ti < toks.length) {
+      if (toks(ti).length > 0) tokSet.add(toks(ti))
+      ti += 1
+    }
+    var stopHits = 0
+    var sw = 0
+    while (sw < GopherStopwords.length) {
+      if (tokSet.contains(GopherStopwords(sw))) stopHits += 1
+      sw += 1
+    }
+    GopherStats(nWords, sumLen, nSymbols, nLines, nBullet, nEll, nAlpha, stopHits)
+  }
+
+  /** [[gopherStats]] as a struct column; null text yields a null struct,
+    * so every derived rule boolean is NULL — exactly the expression
+    * spelling's null propagation. */
+  val gopherStatsUdf: Column => Column = {
+    val f = udf((t: String) => Option(t).map(gopherStats))
+    c => f(c)
   }
 }

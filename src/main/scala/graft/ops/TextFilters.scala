@@ -67,18 +67,67 @@ object TextFilters {
       "stopword_hits"  -> (stopHits >= rules.minStopwordHits))
   }
 
+  /** The same per-rule booleans derived from the compiled
+    * [[graft.functions.TextHash.gopherStats]] kernel's integer stats:
+    * the ratio divisions and threshold comparisons are the IDENTICAL
+    * Column expressions as [[ruleChecks]] (int/long casts, one double
+    * division each), so with identical stats the booleans are
+    * bit-for-bit the expression spelling's — GopherParitySpec fuzzes
+    * that equality and the x25 oracle replays every rule in SQL.
+    */
+  private def ruleChecksStats(st: Column, rules: Rules): Seq[(String, Column)] = {
+    val nWords = st.getField("nWords")
+    val nLines = st.getField("nLines")
+    val meanLen = when(nWords === 0, 0.0)
+      .otherwise(st.getField("sumWordLen").cast(DoubleType) / nWords)
+    val bulletRatio = when(nLines === 0, 0.0)
+      .otherwise(st.getField("nBulletLines").cast(DoubleType) / nLines)
+    val ellipsisRatio = when(nLines === 0, 0.0)
+      .otherwise(st.getField("nEllipsisLines").cast(DoubleType) / nLines)
+    val alphaRatio = when(nWords === 0, 0.0)
+      .otherwise(st.getField("nAlphaWords").cast(DoubleType) / nWords)
+    Seq(
+      "word_count"     -> nWords.between(rules.minWords, rules.maxWords),
+      "mean_word_len"  -> meanLen.between(rules.minMeanWordLen, rules.maxMeanWordLen),
+      "symbol_ratio"   -> (when(nWords === 0, 0.0)
+        .otherwise(st.getField("nSymbols").cast(DoubleType) / nWords) <= rules.maxSymbolWordRatio),
+      "bullet_lines"   -> (bulletRatio <= rules.maxBulletLineRatio),
+      "ellipsis_lines" -> (ellipsisRatio <= rules.maxEllipsisLineRatio),
+      "alpha_words"    -> (alphaRatio >= rules.minAlphaWordRatio),
+      // null text: the expression spelling yields FALSE here, not NULL —
+      // `filter(stopwords, s => array_contains(null, s))` drops every
+      // element on a null predicate, so size()=0 and 0 >= min is false.
+      // coalesce replicates that (the one rule whose null-text value
+      // differs from the rest; GopherParitySpec pins it)
+      "stopword_hits"  -> (coalesce(st.getField("stopHits"), lit(0)) >=
+        rules.minStopwordHits))
+  }
+
   /** Annotate `df` with one boolean per rule (`ok_<rule>`), an overall
     * `keep`, and a comma-joined `drop_reasons` string (empty when kept).
+    *
+    * Evaluation rides the compiled kernel (one scan per document)
+    * instead of the [[ruleChecks]] expression trees — seven interpreted
+    * higher-order functions per document made the quality stage the
+    * most expensive step of the b17 pipeline bench (~75 µs/doc) for
+    * booleans the kernel reproduces bit-for-bit (see
+    * [[ruleChecksStats]]). [[ruleChecks]] remains the cross-engine
+    * reference spelling (and the fuzz baseline).
     */
   def annotate(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame = {
-    val checks = ruleChecks(col(textCol), rules)
-    val withFlags = checks.foldLeft(df) { case (d, (name, ok)) =>
+    require(!df.columns.contains("__gstats"),
+      "TextFilters.annotate: column name __gstats is reserved")
+    val withStats = df.withColumn("__gstats",
+      graft.functions.TextHash.gopherStatsUdf(col(textCol)))
+    val checks = ruleChecksStats(col("__gstats"), rules)
+    val withFlags = checks.foldLeft(withStats) { case (d, (name, ok)) =>
       d.withColumn(s"ok_$name", ok)
     }
     val keep = checks.map { case (n, _) => col(s"ok_$n") }.reduce(_ && _)
     val reasons = concat_ws(",",
       checks.map { case (n, _) => when(!col(s"ok_$n"), n) }: _*)
     withFlags.withColumn("keep", keep).withColumn("drop_reasons", reasons)
+      .drop("__gstats")
   }
 
   /** Filter to kept documents only — the pipeline form. */

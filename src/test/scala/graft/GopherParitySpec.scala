@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TextFilters
+
+/** Bit-for-bit parity of the compiled Gopher-stats kernel
+  * ([[graft.functions.TextHash.gopherStats]], what
+  * [[TextFilters.annotate]] now evaluates) against the
+  * [[TextFilters.ruleChecks]] expression spelling — the cross-engine
+  * reference the x25 oracle replays in SQL. The fuzz corpus leans on
+  * every seam the kernel had to replicate by construction: Unicode
+  * whitespace classes (U+000B, NBSP, U+2028...), code-point vs
+  * UTF-16-unit lengths (astral chars), `trim()`/`lower()` via Spark's
+  * own UTF8String, and java.util.regex `find()` line-anchor subtleties
+  * (`$` before a final \r).
+  */
+class GopherParitySpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.spark
+
+  /** The pre-kernel annotate, verbatim: rule booleans as expression trees. */
+  private def exprAnnotate(df: DataFrame, rules: TextFilters.Rules): DataFrame = {
+    val checks = TextFilters.ruleChecks(col("text"), rules)
+    val withFlags = checks.foldLeft(df) { case (d, (name, ok)) =>
+      d.withColumn(s"ok_$name", ok)
+    }
+    val keep = checks.map { case (n, _) => col(s"ok_$n") }.reduce(_ && _)
+    val reasons = concat_ws(",",
+      checks.map { case (n, _) => when(!col(s"ok_$n"), n) }: _*)
+    withFlags.withColumn("keep", keep).withColumn("drop_reasons", reasons)
+  }
+
+  private val outCols = Seq("doc_id", "ok_word_count", "ok_mean_word_len",
+    "ok_symbol_ratio", "ok_bullet_lines", "ok_ellipsis_lines",
+    "ok_alpha_words", "ok_stopword_hits", "keep", "drop_reasons")
+
+  private def check(texts: Seq[String], rules: TextFilters.Rules): Unit = {
+    import spark.implicits._
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val kernel = TextFilters.annotate(df, "text", rules)
+      .select(outCols.map(col): _*).orderBy("doc_id").collect()
+    val expr = exprAnnotate(df, rules)
+      .select(outCols.map(col): _*).orderBy("doc_id").collect()
+    kernel.zip(expr).foreach { case (k, e) =>
+      assert(k == e,
+        s"kernel/expression mismatch for doc ${k.get(0)}: " +
+          s"text=${texts(k.getLong(0).toInt)}\n kernel=$k\n expr  =$e")
+    }
+  }
+
+  private val edgeTexts: Seq[String] = Seq(
+    null, "", " ", "\n", "\n\n", "\t\t", "", " word ",
+    "the be to of and that have with",
+    "THE BE TO OF AND THAT HAVE WITH",
+    "17.00 21168.23 0.04 1551 25",
+    "# # # lots of symbols # # #",
+    "... … ...… mixed ellipses ... runs .....",
+    "- bullet line\n* another\n• third\n‣ fourth\n◦ fifth\nplain line",
+    "ends with dots...\nends with unicode…\nplain",
+    "trailing cr line...\r\nnext line",
+    "abc...\r",
+    "𐀀 astral 𝔘𝔫𝔦𝔠𝔬𝔡𝔢 words 🙂 here",
+    "\u2028separator\u2029paragraph \u1680ogham\u3000ideographic end",
+    "word\u00A0nbsp\u000Bvtab\u2009thin\u2002en\u205Fmath words",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+    "supercalifragilisticexpialidocious antidisestablishmentarianism",
+    "The quick brown fox jumps over the lazy dog with plenty of " +
+      "ordinary prose that have been written to pass most of the " +
+      "published gopher rules and be long enough for the word count",
+    "ße İstanbul ÅNGSTRÖM Σίσυφος МОСКВА",
+    "mixed 123abc456 tokens-with-dashes and_underscores")
+
+  private def fuzzTexts(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val pieces = Array("the", "be", "to", "of", "and", "that", "have",
+      "with", "lorem", "ipsum", "42", "3.14", "#", "...", "…", "•", "‣",
+      "-", "*", "𐀀", "🙂", "É", "ß", " ", "", " ",
+      " ", " ", "\t", "\r", "\n", "\n\n", " ", "  ",
+      "word...", "...word", "#tag", "x", "supercalifragilistic")
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(40)
+      val sb = new StringBuilder
+      (0 until len).foreach { _ =>
+        sb.append(pieces(rnd.nextInt(pieces.length)))
+        if (rnd.nextBoolean()) sb.append(' ')
+      }
+      sb.toString
+    }
+  }
+
+  test("kernel annotate equals expression spelling on edge corpus (default rules)") {
+    check(edgeTexts, TextFilters.Rules())
+  }
+
+  test("kernel annotate equals expression spelling on edge corpus (tuned rules)") {
+    // the b17 pipeline's tuned thresholds: exercises the comparisons at
+    // different cut points (incl. mean-word-len bounds that edge texts
+    // straddle)
+    check(edgeTexts, TextFilters.Rules(minWords = 10, maxWords = 1000,
+      minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minAlphaWordRatio = 0.4,
+      minStopwordHits = 2))
+  }
+
+  test("kernel annotate equals expression spelling on 400 fuzzed documents") {
+    check(fuzzTexts(400, seed = 0xb17L), TextFilters.Rules())
+    check(fuzzTexts(400, seed = 0x5eedL), TextFilters.Rules(minWords = 3,
+      maxWords = 30, minMeanWordLen = 2.0, maxMeanWordLen = 8.0,
+      maxSymbolWordRatio = 0.2, maxBulletLineRatio = 0.5,
+      maxEllipsisLineRatio = 0.1, minAlphaWordRatio = 0.6,
+      minStopwordHits = 1))
+  }
+}

@@ -319,6 +319,61 @@ object StreamingFlatten {
     parts.length
   }
 
+  /** GRADUATE a [[streamingNearDup]] store to the bucketed catalog band
+    * table [[graft.ops.Dedup.writeBandTable]] maintains — the
+    * "long-lived pipeline" migration the batch path's Scaladoc promises:
+    * the per-batch store and the catalog table are the SAME standing
+    * band representation in two layouts (per-`batch=` parquet partitions
+    * probed via a posexplode of stored `bh` arrays vs a (band, bandHash)
+    * bucketed table probed corpus-side exchange-free), and this writes
+    * the latter FROM the former. Stored band arrays are reused verbatim
+    * — no MinHash pass over the corpus text; only null-`bh` legacy rows
+    * (the schema-merged mixed-store case) pay the kernel once, under the
+    * config read from the store's own columns. A store with NO signature
+    * layout records no config at all — run [[rebandStore]] to the target
+    * config first. A mixed-config store (possible only by hand-editing
+    * partitions; the batch path fail-fasts before creating one) is
+    * refused rather than silently written as a table that never
+    * collides.
+    *
+    * After graduation the ingest loop becomes the batch-side recipe:
+    * probe `spark.table(table)` with
+    * [[graft.ops.Dedup.nearDupIncrementIndexed]] (the store stays the
+    * corpus TEXT side) and fold each kept batch in with
+    * `writeBandTable(append = true)`. Returns the `(numHashes, bands,
+    * shingleSize)` config the table was written under, for those
+    * subsequent probes.
+    */
+  def graduateNearDupStore(spark: SparkSession, corpusDir: String,
+      textCol: String, idCol: String, table: String,
+      numBuckets: Int = 256): (Int, Int, Int) = {
+    val store = spark.read.parquet(corpusDir)
+    require(store.columns.contains("bh") && store.columns.contains("numhashes"),
+      "graduateNearDupStore: store has no signature layout (bh/config " +
+        "columns) and so no recorded band config — rebandStore it to the " +
+        "target config first")
+    val configs = store
+      .select(col("numhashes"), col("bands"), col("shinglesize"))
+      .where(col("numhashes").isNotNull).distinct().collect()
+    require(configs.length == 1,
+      s"graduateNearDupStore: store holds ${configs.length} band configs — " +
+        "rebandStore it to one config before graduating")
+    val (nh, bd, ss) =
+      (configs(0).getInt(0), configs(0).getInt(1), configs(0).getInt(2))
+    val stored = store.where(col("bh").isNotNull)
+      .select(col(idCol).as("id"),
+        posexplode(col("bh")).as(Seq("band", "bandHash")))
+      .withColumn("numhashes", lit(nh))
+      .withColumn("bands", lit(bd))
+      .withColumn("shinglesize", lit(ss))
+    val legacy = graft.ops.Dedup.bandIndex(
+      store.where(col("bh").isNull).select(col(idCol), col(textCol)),
+      textCol, idCol, nh, bd, ss)
+    graft.sinks.Sinks.parquetBucketed(stored.unionByName(legacy), table,
+      Seq("band", "bandHash"), numBuckets, mode = "overwrite")
+    (nh, bd, ss)
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape over an events stream.
     */

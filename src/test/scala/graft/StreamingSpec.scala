@@ -246,6 +246,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(cfgs == Seq((64, 16)), s"store configs after reband: $cfgs")
   }
 
+  test("store graduation: graduateNearDupStore writes the bucketed band table, probes match the store path, and append continues the loop") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("sndg").toString
+    val corpus = s"$work/corpus"
+    val base = "the quick brown fox jumps over the lazy dog and runs home"
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingFlatten.nearDupBatch(rows.toDF("doc_id", "text"), id,
+        "text", "doc_id", corpus, 0.8, 32, 16, 3, 10000)
+    run(Seq((1L, base), (2L, "unrelated material about state stores")), 0)
+    run(Seq((3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")), 1)
+    val (nh, bd, ss) = StreamingFlatten.graduateNearDupStore(
+      spark, corpus, "text", "doc_id", "grad_bands", numBuckets = 4)
+    assert((nh, bd, ss) == ((32, 16, 3)))
+    val storeTexts = spark.read.parquet(corpus).select("doc_id", "text")
+    val batch = Seq(
+      (11L, base),                            // verbatim → drops
+      (12L, base + " appended tail"),         // J 10/12 ≈ .83 ≥ .8 → drops
+      (13L, "zzq5 wwk5 ppj5 totally disjoint") // fresh → survives
+    ).toDF("doc_id", "text")
+    // the graduated table and the store's own posexplode index keep the
+    // IDENTICAL set (same band arrays, two layouts)
+    val storeIdx = spark.read.parquet(corpus).where(col("bh").isNotNull)
+      .select(col("doc_id").as("id"),
+        posexplode(col("bh")).as(Seq("band", "bandHash")))
+    val keptStore = graft.ops.Dedup.nearDupIncrementIndexed(storeIdx,
+      storeTexts, batch, "text", "doc_id", 0.8, 32, 16, 3, 10000)
+      .select("doc_id").as[Long].collect().toSet
+    val keptTable = graft.ops.Dedup.nearDupIncrementIndexed(
+      spark.table("grad_bands"), storeTexts, batch, "text", "doc_id",
+      0.8, 32, 16, 3, 10000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTable == keptStore && keptStore == Set(13L),
+      s"store path kept $keptStore, table path kept $keptTable")
+    // the post-graduation ingest loop: fold the kept batch into the
+    // table (append) and the corpus text side, then a later batch's
+    // near-copy of the newly-kept doc must drop via the APPENDED rows
+    val kept = batch.where(col("doc_id") === 13L)
+    graft.ops.Dedup.writeBandTable(kept, "text", "doc_id", "grad_bands",
+      32, 16, 3, numBuckets = 4, append = true)
+    val texts2 = storeTexts.unionAll(kept)
+    val kept2 = graft.ops.Dedup.nearDupIncrementIndexed(
+      spark.table("grad_bands"), texts2,
+      Seq((21L, "zzq5 wwk5 ppj5 totally disjoint"),  // copy of 13 → drops
+        (22L, "novel vocabulary entirely absent before")).toDF("doc_id", "text"),
+      "text", "doc_id", 0.8, 32, 16, 3, 10000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(22L), s"post-append probe kept $kept2")
+    // refusal paths: a store with no signature layout has no recorded
+    // config; a hand-mixed-config store would write a table that never
+    // collides — both must throw, not write
+    val legacyDir = java.nio.file.Files.createTempDirectory("sndg_l").toString
+    Seq((1L, base)).toDF("doc_id", "text").write.parquet(s"$legacyDir/c/batch=0")
+    intercept[IllegalArgumentException] {
+      StreamingFlatten.graduateNearDupStore(
+        spark, s"$legacyDir/c", "text", "doc_id", "grad_bands_l")
+    }
+    spark.read.parquet(s"$corpus/batch=1")
+      .withColumn("numhashes", lit(64))
+      .write.mode("overwrite").parquet(s"$corpus/batch=9")
+    intercept[IllegalArgumentException] {
+      StreamingFlatten.graduateNearDupStore(
+        spark, corpus, "text", "doc_id", "grad_bands_m")
+    }
+  }
+
   test("stateless QC family runs unchanged on a stream: per-batch output equals the batch run") {
     // the pipeline claim beyond the stateful dedup ops: quality scoring,
     // charset QC, PII redaction, and standing-model LM scoring are all

@@ -333,4 +333,75 @@ object TextHash {
     val f = udf((t: String) => Option(t).map(gopherStats))
     c => f(c)
   }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** First 8 bytes of md5(UTF-8 bytes) as 16 lowercase hex chars — the
+    * decontamination gram key, value-identical to Spark's
+    * `substring(md5(s.cast(binary)), 1, 16)`. */
+  def md5Hex16(s: String): String = {
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = HexDigits((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct n-gram md5-prefix keys of a document in one compiled pass
+    * — the kernel behind [[graft.ops.Decontaminate]]'s gram extraction
+    * (the expression spelling built every gram through an interpreted
+    * `transform`/`slice`/`concat_ws`/`md5` tree — per GRAM, the
+    * decontamination stage was the most expensive step of the b17
+    * pipeline bench after the quality kernel landed). Parity by
+    * construction with `Decontaminate.gramKeysExpr`, which
+    * GopherParitySpec fuzz-pins: tokens are Spark's
+    * `split(lower(text), "[^a-z0-9]+")` (lowercase via UTF8String, the
+    * engine's own casing), grams join with single spaces, keys are
+    * [[md5Hex16]], distinct keeps first-occurrence order
+    * (`array_distinct` semantics), and a document with fewer than `n`
+    * tokens (or null text) yields an EMPTY array — the expression's
+    * null-predicate `when` falls to the empty `otherwise` branch.
+    */
+  def gramKeys(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val lowered = org.apache.spark.unsafe.types.UTF8String
+      .fromString(text).toLowerCase.toString
+    val parts = GopherTok.split(lowered, -1)
+    var nToks = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).length > 0) nToks += 1; i += 1 }
+    if (nToks < n) return Array.empty
+    val toks = new Array[String](nToks)
+    var j = 0
+    i = 0
+    while (i < parts.length) {
+      if (parts(i).length > 0) { toks(j) = parts(i); j += 1 }
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(md5Hex16(sb.toString))
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  def gramKeysUdf(n: Int): Column => Column = {
+    val f = udf((t: String) => gramKeys(t, n)); c => f(c)
+  }
 }

@@ -22,8 +22,21 @@ import org.apache.spark.sql.types._
 object Decontaminate {
 
   /** Distinct n-gram keys of `text` as an array column; empty when the
-    * document has fewer than `n` tokens. */
-  private def gramKeys(text: Column, n: Int): Column = {
+    * document has fewer than `n` tokens. Evaluates the compiled
+    * [[graft.functions.TextHash.gramKeys]] kernel — the expression
+    * spelling below ([[gramKeysExpr]], the cross-engine reference the
+    * oracles replay in SQL) paid an interpreted
+    * `transform`/`slice`/`md5` tree per GRAM; the kernel is one pass
+    * per document with identical values (GopherParitySpec pins the
+    * equality, the x27/x38 oracles replay the verdicts).
+    */
+  private def gramKeys(text: Column, n: Int): Column =
+    graft.functions.TextHash.gramKeysUdf(n)(text)
+
+  /** The expression spelling of [[gramKeys]] — kept as the engine-
+    * portable reference (any SQL engine can replay it) and the parity
+    * fuzz baseline. */
+  private[graft] def gramKeysExpr(text: Column, n: Int): Column = {
     val toks = TextAnalysis.tokens(text)
     array_distinct(when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),

@@ -104,6 +104,29 @@ class GopherParitySpec extends AnyFunSuite {
       minStopwordHits = 2))
   }
 
+  test("gramKeys kernel equals the expression spelling (n=3 and n=13)") {
+    import spark.implicits._
+    val texts = edgeTexts ++ fuzzTexts(300, seed = 0x6ea3L) ++ Seq(
+      "one two three four five six seven eight nine ten eleven twelve " +
+        "thirteen fourteen fifteen one two three four five six seven " +
+        "eight nine ten eleven twelve thirteen")  // repeated 13-grams → distinct bites
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Seq(3, 13).foreach { n =>
+      val kernel = df.select(col("doc_id"),
+          graft.functions.TextHash.gramKeysUdf(n)(col("text")).as("g"))
+        .orderBy("doc_id").collect()
+      val expr = df.select(col("doc_id"),
+          graft.ops.Decontaminate.gramKeysExpr(col("text"), n).as("g"))
+        .orderBy("doc_id").collect()
+      kernel.zip(expr).foreach { case (k, e) =>
+        assert(k.getSeq[String](1) == e.getSeq[String](1),
+          s"n=$n doc ${k.get(0)}: kernel=${k.getSeq[String](1)} " +
+            s"expr=${e.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("kernel annotate equals expression spelling on 400 fuzzed documents") {
     check(fuzzTexts(400, seed = 0xb17L), TextFilters.Rules())
     check(fuzzTexts(400, seed = 0x5eedL), TextFilters.Rules(minWords = 3,

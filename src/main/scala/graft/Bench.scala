@@ -23,9 +23,45 @@ object Bench {
     "x1_exact_dedup", "x2_token_stats", "x6_minhash_pairs",
     "x9_ann_bruteforce", "x13_event_window")
 
+  /** Start-load gate: three committed artifacts in four rounds were
+    * contaminated by starting the bench on a box still hot from a test
+    * run, and each cost a round of perf signal. Warning in the artifact
+    * was not enough — so a dirty start now REFUSES to record at all:
+    * wait (poll every 30 s) until the 1-min load average is at or below
+    * `SPARK_GRAFT_MAX_START_LOAD` (default 1.0), and if it never drops
+    * within `SPARK_GRAFT_LOAD_WAIT_SEC` (default 1800) exit non-zero —
+    * no artifact beats a misleading one. `SPARK_GRAFT_MAX_START_LOAD=off`
+    * skips the gate for debugging (never for a recorded run).
+    * Returns the seconds spent waiting, recorded in the JSON. */
+  private def awaitIdleStart(
+      osBean: java.lang.management.OperatingSystemMXBean): Double = {
+    val gate = sys.env.getOrElse("SPARK_GRAFT_MAX_START_LOAD", "1.0")
+    if (gate.equalsIgnoreCase("off")) return 0.0
+    val maxLoad = gate.toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SEC", "1800").toLong
+    val t0 = System.nanoTime()
+    var load = osBean.getSystemLoadAverage
+    while (load > maxLoad) {
+      val waited = (System.nanoTime() - t0) / 1e9
+      if (waited > maxWaitSec) {
+        System.err.println(f"[bench] REFUSING to run: load_avg $load%.2f still > " +
+          f"$maxLoad%.2f after $waited%.0f s — a contaminated artifact is worse " +
+          "than none; rerun when the box is idle")
+        sys.exit(2)
+      }
+      System.err.println(f"[bench] load_avg $load%.2f > $maxLoad%.2f — waiting " +
+        f"for an idle box (${waited}%.0f/$maxWaitSec s)")
+      Thread.sleep(30000)
+      load = osBean.getSystemLoadAverage
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val gateWaitSec = awaitIdleStart(
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -402,6 +438,159 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // b17: the END-TO-END training-data pipeline — every stage a real
+    // adopter composes, measured as ONE number: NDJSON flatten ingest →
+    // Gopher-style quality filter → exact dedup against the standing
+    // corpus (and within-batch) → standing-band near-dup probe →
+    // 13-gram bloom decontamination → per-source token-budget mixture →
+    // weighted source interleave → token-budget packing. Shape: a daily
+    // 600k-doc batch ingested against a STANDING cleaned corpus; the
+    // corpus checkpoint, its MinHash band table, the eval-benchmark
+    // frame, and the budget config are once-per-corpus-release costs,
+    // built untimed (the b9/b10/b14 standing-index convention).
+    // deterministicShuffle (x74) is the unweighted alternative to the
+    // interleave stage; here the weighted mixture order IS the epoch
+    // order and packing follows it (`pos` is the pack key).
+    //
+    // Planted fractions by pmod(doc_id, 100) make every stage do real
+    // work: 1% degenerate numeric docs (quality filter), 1% exact
+    // corpus duplicates + 1% within-batch duplicates (exact dedup), 1%
+    // corpus near-duplicates via an appended tail (band probe + verify),
+    // 1% eval-contaminated docs (decontamination); budgets bite at
+    // ~half of each source's token mass. The corpus and batch text
+    // compositions share no 3-token shingle, so ordinary batch docs
+    // never band-collide with their corpus counterpart row.
+    def b17CorpusText(ok: org.apache.spark.sql.Column,
+        lnum: org.apache.spark.sql.Column, pk: org.apache.spark.sql.Column,
+        sk: org.apache.spark.sql.Column, qty: org.apache.spark.sql.Column,
+        price: org.apache.spark.sql.Column,
+        rf: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      concat_ws(" ", lit("the record of orders"), ok, lit("item"), lnum,
+        lit("holds part number"), pk, lit("from supplier code"), sk,
+        lit("delivering"), qty, lit("pieces priced near"), price,
+        lit("beneath flag mark"), rf)
+    }
+    def b17BatchText(ok: org.apache.spark.sql.Column,
+        lnum: org.apache.spark.sql.Column, pk: org.apache.spark.sql.Column,
+        sk: org.apache.spark.sql.Column, qty: org.apache.spark.sql.Column,
+        price: org.apache.spark.sql.Column,
+        rf: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions._
+      concat_ws(" ", lit("the line"), lnum, lit("of order"), ok,
+        lit("has part"), pk, lit("and supplier"), sk, lit("to ship"), qty,
+        lit("units that total"), price, lit("with flag"), rf)
+    }
+    // standing corpus: one wordy doc per lineitem row, deterministic
+    // doc_id = orderkey*8 + linenumber (linenumber is 1..7). Same
+    // unsplittable-test-parquet repartition note as bCorpus.
+    def b17Corpus(dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"))
+        .repartition(cpus.toInt)
+        .select(
+          (col("l_orderkey").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+          b17CorpusText(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag")).as("text"))
+    }
+    // the held-out eval set decontamination protects: batch-wording
+    // texts of the pm==3 rows, so contaminated batch docs share all
+    // their 13-grams with it and drop. Every 13-token window of these
+    // texts spans >=2 id-bearing numeric fields, so no OTHER batch doc
+    // can overlap a bench gram.
+    def b17EvalBench(dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(
+          (col("l_orderkey").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+          b17BatchText(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag")).as("text"))
+        .where(pmod(col("doc_id"), lit(100L)) === 3)
+        .select("text")
+    }
+    // stage 1 (timed): NDJSON ingest + flatten + batch synthesis — the
+    // same flatten b1 times, then pure projections choosing each row's
+    // planted variant, plus the within-batch duplicate union.
+    def b17Batch(dir: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      val docs = graft.sources.JsonInput.ndjson(spark, dir)
+      val items = graft.plan.FlattenPlanner.flatten(docs,
+        graft.model.FlattenOptions(
+          linkMode = graft.model.LinkMode.NaturalKey("o_orderkey"),
+          dropEmptyObjects = false))("items")
+      val synth = items.select(
+        (col("_link_main").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+        b17CorpusText(col("_link_main"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag")).as("__tc"),
+        b17BatchText(col("_link_main"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag")).as("__tb"),
+        concat_ws(" ", col("l_quantity"), col("l_extendedprice"),
+          col("l_partkey"), col("l_suppkey")).as("__td"))
+      val pm = pmod(col("doc_id"), lit(100L))
+      val batch = synth.select(col("doc_id"),
+        when(pm === 0, col("__tc"))                  // exact corpus dup
+          .when(pm === 2, concat(col("__tc"),
+            lit(" plus appended tail words")))       // corpus near-dup
+          .when(pm === 4, col("__td"))               // degenerate numerics
+          .otherwise(col("__tb")).as("text"))
+      batch.unionAll(batch.where(pm === 1)           // within-batch dups
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    }
+    // tuned Gopher thresholds for the short synthetic docs (the
+    // published 50-word floor would empty this corpus); both wordings
+    // pass: >=10 words, exactly 2 required stopwords, alpha ratio ~0.65
+    val b17Rules = graft.ops.TextFilters.Rules(minWords = 10, maxWords = 1000,
+      minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minAlphaWordRatio = 0.4,
+      minStopwordHits = 2)
+    /** The pipeline from flatten through stage `upTo` (1 ingest,
+      * 2 quality, 3 exact dedup, 4 near-dup, 5 decontaminate, 6 budget
+      * mix, 7 interleave, 8 pack) — prefixes drive the SCALE.md stage
+      * breakdown (SPARK_GRAFT_B17_STAGES=1). */
+    def b17Pipeline(jsonDir: String, corpus: org.apache.spark.sql.DataFrame,
+        bandTable: String, eval: org.apache.spark.sql.DataFrame,
+        budgets: Map[String, Long], upTo: Int = 8): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      // each heavy stage MATERIALIZES its output before the next (a real
+      // pipeline writes stage outputs to storage for exactly this
+      // reason): every dedup/mix operator references its input frame
+      // more than once (signature pass + final semi-join), so without a
+      // boundary the flatten/parse chain re-executes multiplicatively —
+      // measured 0.3/4.9/11.4/29.3/44.4 s cumulative-prefix times at
+      // sf0.01 before the boundaries, ~linear after. The checkpoint
+      // cost is part of the timed region: it IS pipeline work.
+      def mat(d: org.apache.spark.sql.DataFrame) = d.localCheckpoint(true)
+      var df = b17Batch(jsonDir)
+      if (upTo >= 2) df = mat(graft.ops.TextFilters(df, "text", b17Rules))
+      if (upTo >= 3) df = mat(graft.ops.Dedup.dedupIncrement(corpus, df, "text", "doc_id"))
+      if (upTo >= 4) df = mat(graft.ops.Dedup.nearDupIncrementIndexed(
+        spark.table(bandTable), corpus, df, "text", "doc_id",
+        threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3,
+        maxBucket = 1000))
+      if (upTo >= 5) df = mat(graft.ops.Decontaminate.decontaminateBloom(
+        df, "text", "doc_id", eval, "text"))
+      if (upTo >= 6) df = mat(graft.ops.Sampling.tokenBudgetMix(
+        df.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16L))))
+          .withColumn("toks", length(col("text")).cast("long")),
+        "doc_id", "toks", "src", budgets))
+      if (upTo >= 7) df = graft.ops.Sampling.interleaveSources(
+        df, "doc_id", "src", Map("s0" -> 2.0), defaultWeight = 1.0)
+      // pack by doc_id, not pos: packByTokenBudget hash-shards on its id
+      // column (bin layout is order-independent by design), so the pack
+      // key only needs uniqueness — pos carries cross-source rank ties
+      // (rank 1 in every weight-1 source is pos 1.0), which would make
+      // the within-shard window order, and so the bins, nondeterministic
+      if (upTo >= 8) df = graft.ops.Packing.packByTokenBudget(
+        df, "doc_id", "toks", maxTokensPerBin = 4096, nShards = 32)
+      df
+    }
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
@@ -427,6 +616,51 @@ object Bench {
       numBuckets = 32)
     catch { case e: Throwable =>
       System.err.println(s"[bench] b14 standing table FAILED: $e") }
+
+    // b17 standing state at the benched SF (untimed, once per corpus
+    // release): checkpointed corpus, its band table, the eval frame,
+    // and the budget config (~half of each source's expected mass —
+    // sources are a uniform 16-way id split of the corpus).
+    val b17Std = b17Corpus(sfDir).localCheckpoint(true)
+    try graft.ops.Dedup.writeBandTable(b17Std, "text", "doc_id",
+      "graft_bench_bands_b17", numHashes = 32, bands = 8, shingleSize = 3,
+      numBuckets = 32)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] b17 standing table FAILED: $e") }
+    val b17Eval = b17EvalBench(sfDir).localCheckpoint(true)
+    val b17Budgets: Map[String, Long] = {
+      import org.apache.spark.sql.functions._
+      val perSrc = b17Std.agg(sum(length(col("text")).cast("long")))
+        .collect()(0).getLong(0) / 16
+      (0 until 16).map(i => s"s$i" -> perSrc / 2).toMap
+    }
+    // b17 warmup: the full pipeline once at the smallest SF against its
+    // own standing state (flatten codegen is already warm from b1's
+    // timed runs; this pays the dedup/mix/pack codegen)
+    try {
+      val wDir = java.nio.file.Files.createTempDirectory("graft_bench_json_w")
+        .toString + "/docs"
+      SparkEntry.nestedOrders(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").json(wDir)
+      val wc = b17Corpus("/root/testdata/sf0.001").localCheckpoint(true)
+      graft.ops.Dedup.writeBandTable(wc, "text", "doc_id",
+        "graft_bench_bands_b17_warm", numHashes = 32, bands = 8,
+        shingleSize = 3, numBuckets = 8)
+      val we = b17EvalBench("/root/testdata/sf0.001").localCheckpoint(true)
+      b17Pipeline(wDir, wc, "graft_bench_bands_b17_warm", we, b17Budgets)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup b17 FAILED: $e") }
+    // optional stage breakdown (SCALE.md ledger): time each cumulative
+    // stage prefix once — differences attribute cost per stage
+    if (sys.env.contains("SPARK_GRAFT_B17_STAGES")) (1 to 8).foreach { k =>
+      val t0 = System.nanoTime()
+      b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17", b17Eval,
+        b17Budgets, upTo = k)
+        .write.format("noop").mode("overwrite").save()
+      System.err.println(
+        f"[bench] b17 stages 1..$k: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     try {
       runB8(b8Vecs(2000L))
       val wv = b8Vecs(2000L).localCheckpoint(true)
@@ -462,7 +696,39 @@ object Bench {
       "b14_neardup_indexed_600k" -> runTimes("b14")(
         runB14(lmDocs, "graft_bench_bands")),
       "b15_shuffle_600k" -> runTimes("b15")(runB15(lmDocs)),
-      "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)))
+      "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)),
+      "b17_pipeline_600k" -> runTimes("b17")(
+        b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17", b17Eval,
+          b17Budgets)
+          .write.format("noop").mode("overwrite").save()))
+
+    // b17 kept-set reproducibility: the full pipeline evaluated twice
+    // must keep the identical id set with identical positions, bins, and
+    // token counts — every stage is seeded-hash deterministic, and a
+    // nondeterministic stage would fork a training run's data order.
+    // Signature = exact-integer, order-insensitive sums (hash ids modded
+    // so the 600k-row sum cannot overflow int64 under ANSI; pos doubles
+    // are rank/weight rationals with weights in {1, 2}, so 2*pos is
+    // integral and sums exactly).
+    try {
+      import org.apache.spark.sql.functions._
+      def b17Sig(): Seq[Any] = b17Pipeline(jsonDir, b17Std,
+          "graft_bench_bands_b17", b17Eval, b17Budgets)
+        .agg(count(lit(1)),
+          sum(pmod(graft.ops.Sampling.hashLong(col("doc_id"), "b17sig"),
+            lit(1000000007L))),
+          sum((col("pos") * 2).cast("long")), sum(col("bin")),
+          sum(col("toks")))
+        .collect()(0).toSeq
+      val (s1, s2) = (b17Sig(), b17Sig())
+      if (s1 != s2) {
+        errors.getOrElseUpdate("b17_repro",
+          s"kept-set not reproducible: $s1 vs $s2")
+        System.err.println(s"[bench] b17 REPRO FAILURE: $s1 vs $s2")
+      } else System.err.println(s"[bench] b17 kept-set reproducible: $s1")
+    } catch { case e: Throwable =>
+      errors.getOrElseUpdate("b17_repro", e.toString)
+      System.err.println(s"[bench] b17 repro check FAILED: $e") }
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a
@@ -512,6 +778,7 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""runs":$Runs,"spread":$spread,"errors":$errJson,"load_warn":$loadWarn,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_avg_max":$loadMax%.2f,""" +
+      f""""load_gate_waited_sec":$gateWaitSec%.0f,""" +
       s""""available_processors":$cores,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) {

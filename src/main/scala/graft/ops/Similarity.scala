@@ -1668,6 +1668,20 @@ object Similarity {
     * s's centroid j — persist once, reuse across encode/search calls.
     * The trained dimension is the max seed length; shorter/longer rows
     * zero-pad/truncate ([[pqPad]]).
+    *
+    * Default geometry, DECIDED (SCALE.md §ivfadc-dials): `m = 8,
+    * ksub = 256` is 8 bytes per vector — 32× smaller than 64 raw
+    * float32 dims, the memory-bound regime PQ exists for at 100 TB
+    * (the whole code frame of a 10^11-vector corpus fits a cluster's
+    * RAM at 8 B/vec; it does not at the recall-first m=32 geometry).
+    * The measured dial table stands next to it: at 64 dims m=32/
+    * ksub=64 lifts spread-corpus recall@1 from 0.783 to 0.983 for 2-3×
+    * the code bytes, and raising ksub is the cheaper dial when ADC LUT
+    * lookups (m per candidate) bind instead. Recall-critical callers
+    * should pass the §ivfadc-dials recipe explicitly — the default
+    * optimizes for the index-must-fit constraint, which at target
+    * scale is the binding one; pair with residual coding
+    * ([[pqTrainResidual]]) to claw back most of the narrow-m loss.
     */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 256, lloydPasses: Int = 1): Array[Array[Array[Float]]] = {

@@ -591,6 +591,20 @@ object Bench {
       df
     }
 
+    // b18: TF-IDF top-terms at fact scale — the relevance-feature pass
+    // (x78's operator) over the 600k-doc corpus: ~4.2M (doc, term)
+    // occurrences into per-doc/term counts, per-term document
+    // frequencies, the df join back, and the per-doc top-k window.
+    // Timed with the DEFAULT df-join dial (shuffle join — correct at
+    // any vocabulary size); the broadcastCounts alternative is probed
+    // once untimed after the recorded rows for the SCALE.md dial note
+    // (this corpus' heavy-tailed vocab is the interesting case: the df
+    // frame is ~vocabulary-sized, exactly what the dial trades).
+    def runB18(docs: org.apache.spark.sql.DataFrame, bc: Boolean): Unit =
+      graft.ops.TextAnalysis.tfidfTopTerms(docs, "text", "doc_id", k = 5,
+        broadcastCounts = bc)
+        .write.format("noop").mode("overwrite").save()
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
@@ -601,7 +615,7 @@ object Bench {
       val warmDocs = bCorpus("/root/testdata/sf0.001").localCheckpoint(true)
       runB11(warmDocs); runB12(warmDocs)
       runB13(warmDocs, b13Budgets)
-      runB15(warmDocs); runB16(warmDocs)
+      runB15(warmDocs); runB16(warmDocs); runB18(warmDocs, bc = false)
       graft.ops.Dedup.writeBandTable(warmDocs, "text", "doc_id",
         "graft_bench_bands_warm", numHashes = 32, bands = 8,
         shingleSize = 3, numBuckets = 8)
@@ -697,6 +711,7 @@ object Bench {
         runB14(lmDocs, "graft_bench_bands")),
       "b15_shuffle_600k" -> runTimes("b15")(runB15(lmDocs)),
       "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)),
+      "b18_tfidf_600k" -> runTimes("b18")(runB18(lmDocs, bc = false)),
       "b17_pipeline_600k" -> runTimes("b17")(
         b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17", b17Eval,
           b17Budgets)
@@ -729,6 +744,19 @@ object Bench {
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("b17_repro", e.toString)
       System.err.println(s"[bench] b17 repro check FAILED: $e") }
+
+    // post-timing dial probe (one untimed run, after every recorded row
+    // so it cannot contaminate them): b18's broadcastCounts alternative
+    // — the df join becomes a broadcast, the vocabulary-sized frame
+    // ships to every task. Both numbers feed the SCALE.md dial note.
+    try {
+      val t0 = System.nanoTime()
+      runB18(lmDocs, bc = true)
+      System.err.println(
+        f"[bench] b18 broadcastCounts=true (untimed probe): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] b18 dial probe FAILED: $e") }
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

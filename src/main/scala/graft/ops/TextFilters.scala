@@ -130,10 +130,54 @@ object TextFilters {
       .drop("__gstats")
   }
 
-  /** Filter to kept documents only — the pipeline form. */
-  def apply(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame =
-    annotate(df, textCol, rules).where(col("keep"))
-      .drop("keep" +: "drop_reasons" +: ruleChecks(col(textCol), rules).map("ok_" + _._1): _*)
+  /** The keep decision of [[ruleChecksStats]] as one compiled evaluation
+    * over the kernel's integer stats — the IDENTICAL arithmetic (same
+    * int→double conversions, one IEEE division per ratio, same comparison
+    * spellings), so the boolean is bit-for-bit the expression form's.
+    * Null text: the expression spelling makes every rule NULL except the
+    * coalesced stopword rule (false), and `NULL AND … AND false` is
+    * false — a filter drops the row either way, which `t != null` at the
+    * call site replicates. GopherParitySpec fuzzes the equivalence.
+    */
+  private def keepStats(st: graft.functions.TextHash.GopherStats,
+      rules: Rules): Boolean = {
+    val nWords = st.nWords
+    val nLines = st.nLines
+    val meanLen = if (nWords == 0) 0.0 else st.sumWordLen.toDouble / nWords
+    val symbolRatio = if (nWords == 0) 0.0 else st.nSymbols.toDouble / nWords
+    val bulletRatio = if (nLines == 0) 0.0 else st.nBulletLines.toDouble / nLines
+    val ellipsisRatio =
+      if (nLines == 0) 0.0 else st.nEllipsisLines.toDouble / nLines
+    val alphaRatio = if (nWords == 0) 0.0 else st.nAlphaWords.toDouble / nWords
+    nWords >= rules.minWords && nWords <= rules.maxWords &&
+      meanLen >= rules.minMeanWordLen && meanLen <= rules.maxMeanWordLen &&
+      symbolRatio <= rules.maxSymbolWordRatio &&
+      bulletRatio <= rules.maxBulletLineRatio &&
+      ellipsisRatio <= rules.maxEllipsisLineRatio &&
+      alphaRatio >= rules.minAlphaWordRatio &&
+      st.stopHits >= rules.minStopwordHits
+  }
+
+  /** Filter to kept documents only — the pipeline form.
+    *
+    * Deliberately ONE scalar kernel call in a bare Filter rather than
+    * `annotate(...).where(col("keep"))`: pushing a filter through a
+    * projection substitutes the projection's aliases into the condition
+    * with no cost guard, so the `keep` spelling re-inlines the stats
+    * UDF — and the caller's entire `textCol` expression — once per rule
+    * (seven kernel calls and seven text evaluations per row, measured
+    * ~28 µs/doc as stage 2 of the b17 pipeline bench over an
+    * unmaterialized flatten chain; the giant duplicated projection also
+    * blew the 64 KB codegen method limit into interpreted fallback).
+    * The single-call form is one kernel evaluation per row and keeps
+    * surrounding predicates free to move — nothing here is marked
+    * non-deterministic, so Catalyst loses no other freedom.
+    */
+  def apply(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame = {
+    val keepUdf = udf((t: String) =>
+      t != null && keepStats(graft.functions.TextHash.gopherStats(t), rules))
+    df.where(keepUdf(col(textCol)))
+  }
 
   /** C4-style LINE-level scrub (the published C4 heuristics, re-expressed
     * from the paper's prose — not any codebase): keep only lines that end

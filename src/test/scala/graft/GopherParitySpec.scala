@@ -135,4 +135,59 @@ class GopherParitySpec extends AnyFunSuite {
       maxEllipsisLineRatio = 0.1, minAlphaWordRatio = 0.6,
       minStopwordHits = 1))
   }
+
+  test("apply (single keep-kernel filter) keeps the exact annotate keep-set") {
+    import spark.implicits._
+    // apply's compiled keep decision must match annotate's `keep` column
+    // row-for-row — same kernel stats, same threshold arithmetic — on
+    // both the edge corpus (incl. null text: dropped either way) and a
+    // fuzz corpus, under default and tuned thresholds
+    Seq(TextFilters.Rules(),
+        TextFilters.Rules(minWords = 3, maxWords = 30, minMeanWordLen = 2.0,
+          maxMeanWordLen = 8.0, maxSymbolWordRatio = 0.2,
+          maxBulletLineRatio = 0.5, maxEllipsisLineRatio = 0.1,
+          minAlphaWordRatio = 0.6, minStopwordHits = 1)).foreach { rules =>
+      val texts = edgeTexts ++ fuzzTexts(300, seed = 0xa991L)
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val applied = TextFilters(df, "text", rules)
+      assert(applied.columns.toSeq == Seq("doc_id", "text"),
+        "apply must return the input columns unchanged")
+      val fromApply = applied.select("doc_id").as[Long].collect().sorted
+      val fromAnnotate = TextFilters.annotate(df, "text", rules)
+        .where(col("keep")).select("doc_id").as[Long].collect().sorted
+      assert(fromApply.toSeq == fromAnnotate.toSeq)
+    }
+  }
+
+  test("apply over a derived text column evaluates the kernel once per row") {
+    import spark.implicits._
+    // the regression this spelling exists to prevent: filtering on
+    // annotate's `keep` alias lets predicate-pushdown substitute the
+    // stats UDF (and the caller's whole text expression) into the
+    // condition once per rule — seven kernel calls per row. The bare
+    // single-UDF filter must survive optimization as exactly one call.
+    // a file-backed frame: a LocalRelation lets the optimizer evaluate
+    // the whole filter at plan time (ConvertToLocalRelation), leaving no
+    // Filter to inspect — a parquet scan keeps it physical
+    val dir = java.nio.file.Files.createTempDirectory("gopher_plan").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "raw")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .withColumn("text", concat_ws(" ", lit("the be to of and that have"),
+        col("raw"), lit("with plenty of ordinary words here")))
+    val plan = TextFilters(df, "text", TextFilters.Rules(minWords = 3))
+      .queryExecution.executedPlan
+    // count structurally (the plan STRING echoes the one filter again in
+    // the FileScan's DataFilters): every Filter node's condition must
+    // carry exactly one ScalaUDF total
+    val udfCalls = plan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec =>
+        f.condition.collect {
+          case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+        }.size
+    }.sum
+    assert(udfCalls == 1, s"expected exactly 1 kernel call across Filter " +
+      s"conditions, got $udfCalls:\n$plan")
+  }
 }

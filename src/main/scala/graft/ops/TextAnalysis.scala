@@ -590,6 +590,12 @@ object TextAnalysis {
     * shuffle on doc id]. `broadcastCounts = true` broadcasts the
     * document-frequency frame (bounded by vocabulary size) and removes
     * the join shuffle — the [[rareTokenRatio]] dial, same trade-off.
+    * The shuffle join stays the DEFAULT because the df frame is
+    * vocabulary-sized (a web-scale corpus cannot broadcast its
+    * vocabulary) and AQE's skew-split serves the hot stopword terms;
+    * flip the dial only for known-bounded vocabularies, where it is
+    * also immune to the AQE replan jitter measured in SCALE.md
+    * §b18-tfidf (stable ~2.1 s vs a 2.1–6.3 s band at 600k docs).
     * Documents with no tokens produce no rows.
     */
   def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,

@@ -100,17 +100,55 @@ object TextHash {
     if (union == 0) Double.NaN else inter.toDouble / union.toDouble
   }
 
+  /** [[hashString]] of every [[tokenize]] token, with neither the token
+    * strings nor the token array ever materialized: tokens are
+    * `[a-z0-9]+` runs (pure ASCII, so their UTF-8 bytes ARE their
+    * chars), which lets the FNV-1a accumulate per char in the same scan
+    * that finds the boundaries. Bit-identical to
+    * `tokenize(text).map(hashString)` (OpsSpec pins signature parity).
+    * Two passes (count, fill) so the single allocation is the exact-size
+    * output array — the per-row allocation discipline of
+    * SCALE.md §kernel-allocation.
+    */
+  def tokenHashes(text: String): Array[Long] = {
+    if (text == null) return Array.empty
+    val n = text.length
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val c0 = text.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum && !inTok) { count += 1; inTok = true }
+      else if (!alnum) inTok = false
+      i += 1
+    }
+    val out = new Array[Long](count)
+    var j = 0
+    var h = 0xcbf29ce484222325L
+    inTok = false
+    i = 0
+    while (i < n) {
+      val c0 = text.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (!inTok) { h = 0xcbf29ce484222325L; inTok = true }
+        h ^= c.toLong // ASCII char == its UTF-8 byte
+        h *= 0x100000001b3L
+      } else if (inTok) { out(j) = mix(h); j += 1; inTok = false }
+      i += 1
+    }
+    if (inTok) { out(j) = mix(h); j += 1 }
+    out
+  }
+
   /** 64-bit hash per n-token shingle (whole text if shorter than n).
     * Shingle hash = mixed combination of the token hashes — no shingle
-    * string is ever materialized (each token hashed exactly once).
+    * string (or token string: [[tokenHashes]]) is ever materialized.
     */
-  def shingleHashes(text: String, n: Int): Array[Long] = {
-    val toks = tokenize(text)
-    val th = new Array[Long](toks.length)
-    var i = 0
-    while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
-    combineShingles(th, n)
-  }
+  def shingleHashes(text: String, n: Int): Array[Long] =
+    combineShingles(tokenHashes(text), n)
 
   private def combineShingles(th: Array[Long], n: Int): Array[Long] = {
     if (th.length <= n) {
@@ -170,21 +208,186 @@ object TextHash {
     out
   }
 
-  /** 64-bit SimHash over md5 token hashes: each bit votes ±1, sign wins. */
+  /** 64-bit SimHash over md5 token hashes: each bit votes ±1, sign wins.
+    * Tokens stream as lowered-ASCII byte ranges into a reused buffer for
+    * the md5 (never materialized as strings — [[tokenHashes]]'s
+    * observation again: `[a-z0-9]+` runs ARE their UTF-8 bytes), so the
+    * per-call allocations are just the vote array
+    * (SCALE.md §kernel-allocation). Bit-identical to
+    * `tokenize(text).map(md5Hash64)` voting — the x7 DuckDB oracle
+    * replays the hashes from the same token strings.
+    */
   def simhash(text: String): Long = {
-    val toks = tokenize(text)
     val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val h = md5Hash64(toks(i))
-      var b = 0
-      while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
-      i += 1
+    if (text != null) {
+      val d = md5Digest.get()
+      val len = text.length
+      @inline def lowAlnum(p: Int): Char = {
+        val c0 = text.charAt(p)
+        val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+        if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c else 0
+      }
+      var i = 0
+      while (i < len) {
+        if (lowAlnum(i) != 0) {
+          var j = i + 1
+          while (j < len && lowAlnum(j) != 0) j += 1
+          var buf = gramBuf.get()
+          if (j - i > buf.length) {
+            buf = new Array[Byte](Integer.highestOneBit(j - i) * 2)
+            gramBuf.set(buf)
+          }
+          var q = i
+          while (q < j) { buf(q - i) = lowAlnum(q).toByte; q += 1 }
+          d.reset()
+          d.update(buf, 0, j - i)
+          val h = first8BE(d.digest())
+          var b = 0
+          while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+          i = j
+        } else i += 1
+      }
     }
     var out = 0L
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  @inline private def first8BE(h: Array[Byte]): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 8) { out = (out << 8) | (h(i) & 0xffL); i += 1 }
+    out
+  }
+
+  /** The exact-substring-window keys of [[graft.ops.Dedup]]'s window
+    * family ([[graft.ops.Dedup.sharedWindowFlags]] /
+    * `sharedWindowIncrement`): the DISTINCT md5 digests (16 raw bytes,
+    * first-occurrence order — `array_distinct` semantics) of every
+    * n-token window of the trimmed text, windows joined with single
+    * spaces. Replaces the interpreted per-gram expression tree
+    * (`transform(sequence(...), i => unhex(md5(array_join(slice(...)`
+    * — `transform` is CodegenFallback, so every gram paid an
+    * interpreter round-trip plus a slice array, a join string, and a
+    * getBytes; the most expensive projection of the b7 bench row).
+    *
+    * Parity by construction with that spelling, which the x43/x46
+    * DuckDB oracles replay in SQL and WindowKeysParity pins by fuzz:
+    * the leading trim strips ASCII 0x20 only (Spark `trim`), tokens
+    * split on the engine-portable whitespace class with Java
+    * `split(_, -1)` field semantics (a leading/trailing non-space ws
+    * char yields an EMPTY token that joins as a bare separator), the
+    * gram string is UTF-8 (tokens here are arbitrary non-ws runs, NOT
+    * lowercased [a-z0-9] — full encoding, surrogate pairs included),
+    * and fewer than n tokens (or null/space-only text) yields an empty
+    * array, which `explode` drops like the old `where` guard did.
+    *
+    * Allocation discipline (SCALE.md §kernel-allocation): the text is
+    * UTF-8-encoded ONCE into a reused thread-local buffer with token
+    * byte offsets recorded in passing; each window then md5-updates
+    * straight over the token byte ranges (separator bytes between) —
+    * no per-gram string or array ever exists. Per-call allocations are
+    * the offset arrays and the output digests themselves.
+    */
+  def windowKeys(text: String, n: Int): Array[Array[Byte]] = {
+    if (text == null) return WindowKeysEmpty
+    // Spark trim(): ASCII spaces only
+    var s = 0
+    var e = text.length
+    while (s < e && text.charAt(s) == ' ') s += 1
+    while (e > s && text.charAt(e - 1) == ' ') e -= 1
+    if (e == s) return WindowKeysEmpty
+    // one pass: UTF-8-encode into the reused buffer, recording token
+    // field boundaries with Java split(-1) semantics (fields between
+    // maximal ws runs; leading/trailing empties when the trimmed text
+    // starts/ends with a ws char)
+    var buf = gramBuf.get()
+    var bi = 0
+    @inline def ensure(k: Int): Unit =
+      if (bi + k > buf.length) {
+        buf = java.util.Arrays.copyOf(buf, Math.max(bi + k, buf.length * 2))
+        gramBuf.set(buf)
+      }
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nToks = 0
+    @inline def openTok(at: Int): Unit = {
+      if (nToks == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nToks * 2)
+        ends = java.util.Arrays.copyOf(ends, nToks * 2)
+      }
+      starts(nToks) = at
+    }
+    var inTok = false
+    var i = s
+    while (i < e) {
+      val c = text.charAt(i)
+      if (isGopherWs(c)) {
+        if (inTok) { ends(nToks) = bi; nToks += 1; inTok = false }
+        else if (i == s) { openTok(0); ends(nToks) = 0; nToks += 1 } // leading empty field
+        i += 1
+      } else {
+        if (!inTok) { openTok(bi); inTok = true }
+        // manual UTF-8 encode (tokens are arbitrary chars)
+        val cp =
+          if (Character.isHighSurrogate(c) && i + 1 < e &&
+              Character.isLowSurrogate(text.charAt(i + 1))) {
+            i += 1
+            Character.toCodePoint(c, text.charAt(i))
+          } else c.toInt
+        if (cp < 0x80) { ensure(1); buf(bi) = cp.toByte; bi += 1 }
+        else if (cp < 0x800) {
+          ensure(2)
+          buf(bi) = (0xC0 | (cp >> 6)).toByte
+          buf(bi + 1) = (0x80 | (cp & 0x3F)).toByte
+          bi += 2
+        } else if (cp < 0x10000) {
+          ensure(3)
+          buf(bi) = (0xE0 | (cp >> 12)).toByte
+          buf(bi + 1) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+          buf(bi + 2) = (0x80 | (cp & 0x3F)).toByte
+          bi += 3
+        } else {
+          ensure(4)
+          buf(bi) = (0xF0 | (cp >> 18)).toByte
+          buf(bi + 1) = (0x80 | ((cp >> 12) & 0x3F)).toByte
+          buf(bi + 2) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+          buf(bi + 3) = (0x80 | (cp & 0x3F)).toByte
+          bi += 4
+        }
+        i += 1
+      }
+    }
+    if (inTok) { ends(nToks) = bi; nToks += 1 }
+    else { openTok(bi); ends(nToks) = bi; nToks += 1 } // trailing empty field
+    val total = nToks - (n - 1)
+    if (total <= 0) return WindowKeysEmpty
+    val d = md5Digest.get()
+    val seen = new java.util.LinkedHashSet[java.nio.ByteBuffer]
+    var w = 0
+    while (w < total) {
+      d.reset()
+      var k = 0
+      while (k < n) {
+        if (k > 0) d.update(' '.toByte)
+        d.update(buf, starts(w + k), ends(w + k) - starts(w + k))
+        k += 1
+      }
+      seen.add(java.nio.ByteBuffer.wrap(d.digest()))
+      w += 1
+    }
+    val out = new Array[Array[Byte]](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().array(); o += 1 }
+    out
+  }
+
+  private val WindowKeysEmpty = new Array[Array[Byte]](0)
+
+  def windowKeysUdf(n: Int): Column => Column = {
+    val f = udf((t: String) => windowKeys(t, n)); c => f(c)
   }
 
   /** Band hashes of the MinHash signature in one pass: `bands` values,
@@ -246,14 +449,33 @@ object TextHash {
     * PARITY BY CONSTRUCTION with the expression spelling (pinned by
     * GopherParitySpec fuzz + the x25 oracle): character counts use
     * Spark's own code-point semantics (`codePointCount`, matching
-    * `length()`), line trim and lowercasing go through Spark's
-    * `UTF8String` (whatever `trim()`/`lower()` do, this does), and the
-    * rlike patterns run as the same java.util.regex `find()` Spark's
-    * RLike executes — including `$`-before-final-line-terminator
-    * subtleties a hand-rolled endsWith would miss. Only the integer
-    * stats live here; the ratio divisions and threshold comparisons
-    * stay in identical Column expressions, so the rule booleans are
-    * bit-for-bit the old ones.
+    * `length()`), line trim and lowercasing follow Spark's
+    * `UTF8String` exactly (trim strips ASCII 0x20 only; the lowercase
+    * fast path below IS `toLowerCaseAscii`), and the rlike tests
+    * replicate java.util.regex `find()` — including the
+    * `$`-before-final-line-terminator subtlety a naive endsWith would
+    * miss. Only the integer stats live here; the ratio divisions and
+    * threshold comparisons stay in identical Column expressions, so the
+    * rule booleans are bit-for-bit the old ones.
+    *
+    * ALLOCATION-FREE BY DESIGN (r17): the first kernel spelled these
+    * stats through `Pattern.split` + `String.split` + a per-call
+    * HashSet + per-line `UTF8String` round-trips — ~50 short-lived
+    * objects per document. Correct and 14 µs/doc single-threaded, but
+    * on 32 executor threads the allocation rate hit the GC/memory
+    * wall: measured 164–182 µs/call inside Spark (B17IngestProbe, an
+    * in-UDF nano accumulator over the 600k-doc b17 batch) — a 12×
+    * thread-scaling collapse that made the quality stage ~6 s of the
+    * pipeline even though the arithmetic is trivial. This rewrite is
+    * pure index scans over the original string (the only allocation is
+    * the non-ASCII lowercase fallback, rare in practice), restoring
+    * near-linear thread scaling. The lesson generalizes: a per-row
+    * kernel that allocates does not scale to full executor
+    * parallelism, no matter how fast it is single-threaded —
+    * SCALE.md §kernel-allocation. [[gopherStatsRef]] keeps the
+    * original regex spelling as the readable reference;
+    * GopherParitySpec fuzzes new ≡ ref ≡ expression on the edge and
+    * random corpora.
     */
   final case class GopherStats(nWords: Int, sumWordLen: Long, nSymbols: Int,
       nLines: Int, nBulletLines: Int, nEllipsisLines: Int, nAlphaWords: Int,
@@ -268,7 +490,138 @@ object TextHash {
   private val GopherStopwords: Array[String] =
     Array("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Membership test for [[graft.ops.TextAnalysis.WsCharsJava]] — the
+    * explicit engine-portable whitespace class, inlined. */
+  @inline private def isGopherWs(c: Char): Boolean =
+    c match {
+      case ' ' | '\t' | '\n' | '\u000B' | '\f' | '\r' | '\u0085' |
+           '\u00A0' | '\u1680' | '\u2028' | '\u2029' | '\u202F' |
+           '\u205F' | '\u3000' => true
+      case _ => c >= '\u2000' && c <= '\u200A'
+    }
+
+  /** `$`'s "before a final line terminator" set (java.util.regex default
+    * mode), minus '\n' which cannot appear inside a split line. */
+  @inline private def isDollarTerm(c: Char): Boolean =
+    c == '\r' || c == '\u0085' || c == '\u2028' || c == '\u2029'
+
   def gopherStats(text: String): GopherStats = {
+    val len = text.length
+    // words: maximal runs of non-ws chars; per word count code points
+    // (surrogate pairs count once, like codePointCount) and flag ASCII
+    // alpha presence
+    var nWords = 0; var sumLen = 0L; var nAlpha = 0
+    var nSymbols = 0
+    var i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if (!isGopherWs(c)) {
+        nWords += 1
+        var alpha = false
+        var j = i
+        while (j < len && !isGopherWs(text.charAt(j))) {
+          val cj = text.charAt(j)
+          sumLen += 1
+          if (Character.isHighSurrogate(cj) && j + 1 < len &&
+              Character.isLowSurrogate(text.charAt(j + 1)) &&
+              !isGopherWs(text.charAt(j + 1))) {
+            j += 1 // one code point, two chars — the pair stays in-word
+          }
+          if (!alpha && ((cj >= 'A' && cj <= 'Z') || (cj >= 'a' && cj <= 'z')))
+            alpha = true
+          j += 1
+        }
+        if (alpha) nAlpha += 1
+        i = j
+      } else i += 1
+    }
+    // symbols: '#' chars plus non-overlapping leftmost (...|…) matches
+    i = 0
+    while (i < len) {
+      val c = text.charAt(i)
+      if (c == '#') { nSymbols += 1; i += 1 }
+      else if (c == '.' && i + 2 < len && text.charAt(i + 1) == '.' &&
+               text.charAt(i + 2) == '.') { nSymbols += 1; i += 3 }
+      else if (c == '…') { nSymbols += 1; i += 1 }
+      else i += 1
+    }
+    // lines: segments between '\n', trimmed of ASCII spaces only
+    // (UTF8String.trim semantics); bullet = first trimmed char in the
+    // class; ellipsis = (...|…) at trimmed end OR before one final
+    // $-terminator char
+    var nLines = 0; var nBullet = 0; var nEll = 0
+    var ls = 0
+    while (ls <= len) {
+      var le = text.indexOf('\n', ls)
+      if (le < 0) le = len
+      var s = ls; var e = le
+      while (s < e && text.charAt(s) == ' ') s += 1
+      while (e > s && text.charAt(e - 1) == ' ') e -= 1
+      if (e > s) {
+        nLines += 1
+        val c0 = text.charAt(s)
+        if (c0 == '-' || c0 == '*' || c0 == '•' || c0 == '‣' ||
+            c0 == '◦') nBullet += 1
+        @inline def ellAt(p: Int): Boolean =
+          (p - s >= 3 && text.charAt(p - 1) == '.' && text.charAt(p - 2) == '.' &&
+            text.charAt(p - 3) == '.') ||
+          (p - s >= 1 && text.charAt(p - 1) == '…')
+        if (ellAt(e) || (isDollarTerm(text.charAt(e - 1)) && ellAt(e - 1)))
+          nEll += 1
+      }
+      ls = le + 1
+    }
+    // stopword presence over distinct [a-z0-9]+ tokens of the LOWERED
+    // text. ASCII fast path lowers per char (exactly
+    // UTF8String.toLowerCaseAscii); any non-ASCII char falls back to the
+    // engine's own full lowering, then the same inline token scan.
+    var stopMask = 0
+    var ascii = true
+    i = 0
+    while (ascii && i < len) { if (text.charAt(i) >= 0x80) ascii = false; i += 1 }
+    val lowered: String =
+      if (ascii) null // scan `text` lowering on the fly
+      else org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+    val src = if (ascii) text else lowered
+    val slen = src.length
+    @inline def low(c: Char): Char =
+      if (ascii && c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    i = 0
+    while (i < slen && stopMask != 0xFF) {
+      val c = low(src.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < slen && {
+          val cj = low(src.charAt(j))
+          (cj >= 'a' && cj <= 'z') || (cj >= '0' && cj <= '9')
+        }) j += 1
+        val tl = j - i
+        if (tl >= 2 && tl <= 4) {
+          var sw = 0
+          while (sw < GopherStopwords.length) {
+            if ((stopMask & (1 << sw)) == 0) {
+              val w = GopherStopwords(sw)
+              if (w.length == tl) {
+                var k = 0
+                while (k < tl && low(src.charAt(i + k)) == w.charAt(k)) k += 1
+                if (k == tl) stopMask |= 1 << sw
+              }
+            }
+            sw += 1
+          }
+        }
+        i = j
+      } else i += 1
+    }
+    val stopHits = Integer.bitCount(stopMask)
+    GopherStats(nWords, sumLen, nSymbols, nLines, nBullet, nEll, nAlpha, stopHits)
+  }
+
+  /** The original regex/split spelling of [[gopherStats]] — kept as the
+    * readable reference implementation the allocation-free kernel is
+    * fuzzed against (GopherParitySpec: ref ≡ kernel ≡ expression). */
+  private[graft] def gopherStatsRef(text: String): GopherStats = {
     val words = GopherWs.split(text, -1)
     var nWords = 0; var sumLen = 0L; var nAlpha = 0
     var wi = 0
@@ -367,38 +720,91 @@ object TextHash {
     * (`array_distinct` semantics), and a document with fewer than `n`
     * tokens (or null text) yields an EMPTY array — the expression's
     * null-predicate `when` falls to the empty `otherwise` branch.
+    *
+    * Allocation discipline (SCALE.md §kernel-allocation): tokens are
+    * index ranges, never strings — they are `[a-z0-9]+` runs of the
+    * LOWERED text, pure ASCII, so each gram's UTF-8 bytes stream
+    * straight from the chars into a reused thread-local buffer the md5
+    * digests from. The ASCII-only fast path skips the `UTF8String`
+    * lowering round-trip entirely (per-char `A-Z`+32 IS
+    * `toLowerCaseAscii`); only genuinely non-ASCII documents pay it.
+    * Remaining per-call allocations are the outputs themselves (one
+    * 16-char key per distinct gram + the dedup set).
     */
   def gramKeys(text: String, n: Int): Array[String] = {
     if (text == null) return Array.empty
-    val lowered = org.apache.spark.unsafe.types.UTF8String
-      .fromString(text).toLowerCase.toString
-    val parts = GopherTok.split(lowered, -1)
+    var ascii = true
+    var p = 0
+    val rawLen = text.length
+    while (ascii && p < rawLen) { if (text.charAt(p) >= 0x80) ascii = false; p += 1 }
+    val src =
+      if (ascii) text
+      else org.apache.spark.unsafe.types.UTF8String
+        .fromString(text).toLowerCase.toString
+    val len = src.length
+    @inline def low(c: Char): Char =
+      if (ascii && c >= 'A' && c <= 'Z') (c + 32).toChar else c
+    @inline def alnum(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+    // token boundaries as index pairs, one pass
     var nToks = 0
     var i = 0
-    while (i < parts.length) { if (parts(i).length > 0) nToks += 1; i += 1 }
+    while (i < len) {
+      if (alnum(low(src.charAt(i)))) {
+        nToks += 1
+        while (i < len && alnum(low(src.charAt(i)))) i += 1
+      } else i += 1
+    }
     if (nToks < n) return Array.empty
-    val toks = new Array[String](nToks)
+    val starts = new Array[Int](nToks)
+    val ends = new Array[Int](nToks)
     var j = 0
     i = 0
-    while (i < parts.length) {
-      if (parts(i).length > 0) { toks(j) = parts(i); j += 1 }
-      i += 1
+    while (i < len) {
+      if (alnum(low(src.charAt(i)))) {
+        starts(j) = i
+        while (i < len && alnum(low(src.charAt(i)))) i += 1
+        ends(j) = i
+        j += 1
+      } else i += 1
     }
     val seen = new java.util.LinkedHashSet[String]
-    val sb = new java.lang.StringBuilder(64)
+    var buf = gramBuf.get()
+    val d = md5Digest.get()
     i = 0
-    while (i + n <= toks.length) {
-      sb.setLength(0)
+    while (i + n <= nToks) {
+      var bi = 0
       var k = 0
       while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks(i + k))
+        val s = starts(i + k); val e = ends(i + k)
+        val need = bi + (e - s) + 1
+        if (need > buf.length) {
+          buf = java.util.Arrays.copyOf(buf, Math.max(need, buf.length * 2))
+          gramBuf.set(buf)
+        }
+        if (k > 0) { buf(bi) = ' '.toByte; bi += 1 }
+        var q = s
+        while (q < e) { buf(bi) = low(src.charAt(q)).toByte; bi += 1; q += 1 }
         k += 1
       }
-      seen.add(md5Hex16(sb.toString))
+      d.reset()
+      d.update(buf, 0, bi)
+      val h = d.digest()
+      val out = new Array[Char](16)
+      var hi = 0
+      while (hi < 8) {
+        out(2 * hi) = HexDigits((h(hi) >> 4) & 0xf)
+        out(2 * hi + 1) = HexDigits(h(hi) & 0xf)
+        hi += 1
+      }
+      seen.add(new String(out))
       i += 1
     }
     seen.toArray(new Array[String](seen.size))
+  }
+
+  private val gramBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](256)
   }
 
   def gramKeysUdf(n: Int): Column => Column = {

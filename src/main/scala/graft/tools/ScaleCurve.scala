@@ -276,8 +276,10 @@ object ScaleCurve {
     val runBand = family == "all" || family == "band"
     val runVStream = family == "all" || family == "vstream"
     val runShuffle = family == "all" || family == "shuffle"
-    require(runDedup || runAnn || runMix || runBand || runVStream || runShuffle,
-      s"unknown family '$family' (all | dedup | ann | mix | band | vstream | shuffle)")
+    val runPipeline = family == "all" || family == "pipeline"
+    require(runDedup || runAnn || runMix || runBand || runVStream ||
+        runShuffle || runPipeline,
+      s"unknown family '$family' (all | dedup | ann | mix | band | vstream | shuffle | pipeline)")
 
     var rows1 = 0L
     var rowsN = 0L
@@ -562,6 +564,161 @@ object ScaleCurve {
         ("pca_train", time(pt(v1)), time(pt(vN))),
         ("interleave_1src_serial", time(il(p1, 1)), time(il(pN, 1))),
         ("interleave_1src_bucketed", time(il(p1, 256)), time(il(pN, 256))))
+    }
+
+    if (runPipeline) {
+      // the END-TO-END b17 pipeline at 1× vs N× STANDING CORPUS with the
+      // SAME fixed daily batch: the adopter's scaling question is "what
+      // happens to my daily ingest cost as the corpus grows", and the
+      // answer should be ~flat — the batch-side stages scan the batch,
+      // and both corpus-side probes (exact-dedup fingerprints, near-dup
+      // bands) are bucketed standing tables probed in place. Standing
+      // state (corpus, band + fingerprint tables, eval frame) is built
+      // untimed at each scale, the b9/b10/b14 convention. Replica corpus
+      // docs (rep > 0) are md5-derived filler so they cannot
+      // band-collide with the batch's planted near-dups — the N× corpus
+      // grows the TABLES, not the candidate volume, which is what
+      // "corpus growth with a fixed batch" means.
+      import graft.ops.{Dedup, TextFilters, Decontaminate, Sampling, Packing}
+      def cText(ok: org.apache.spark.sql.Column, lnum: org.apache.spark.sql.Column,
+          pk: org.apache.spark.sql.Column, sk: org.apache.spark.sql.Column,
+          qty: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+          rf: org.apache.spark.sql.Column) =
+        concat_ws(" ", lit("the record of orders"), ok, lit("item"), lnum,
+          lit("holds part number"), pk, lit("from supplier code"), sk,
+          lit("delivering"), qty, lit("pieces priced near"), price,
+          lit("beneath flag mark"), rf)
+      def bText(ok: org.apache.spark.sql.Column, lnum: org.apache.spark.sql.Column,
+          pk: org.apache.spark.sql.Column, sk: org.apache.spark.sql.Column,
+          qty: org.apache.spark.sql.Column, price: org.apache.spark.sql.Column,
+          rf: org.apache.spark.sql.Column) =
+        concat_ws(" ", lit("the line"), lnum, lit("of order"), ok,
+          lit("has part"), pk, lit("and supplier"), sk, lit("to ship"), qty,
+          lit("units that total"), price, lit("with flag"), rf)
+      def pCorpus(dir: String, m: Int, out: String): Long = {
+        val li = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag"))
+          .repartition(cpus.toInt)
+        val base = li.select(
+          (col("l_orderkey").cast("long") * 8 + col("l_linenumber")).as("rid"),
+          cText(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag")).as("text"))
+        base.withColumn("rep", explode(sequence(lit(0), lit(m - 1))))
+          .select((col("rid") * m + col("rep")).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              // 6 md5-hex pseudo-tokens: zero shared 3-shingles with any
+              // batch wording, so replicas never enter the verify tail
+              .otherwise(concat_ws(" ",
+                substring(md5(concat(col("text"), col("rep"))), 1, 5),
+                substring(md5(concat(col("text"), col("rep"))), 6, 5),
+                substring(md5(concat(col("text"), col("rep"))), 11, 5),
+                substring(md5(concat(col("text"), col("rep"))), 16, 5),
+                substring(md5(concat(col("text"), col("rep"))), 21, 5),
+                substring(md5(concat(col("text"), col("rep"))), 26, 5))).as("text"))
+          .write.mode("overwrite").parquet(out)
+        spark.read.parquet(out).count()
+      }
+      def pBatch(jsonDir: String): DataFrame = {
+        val docs = graft.sources.JsonInput.ndjson(spark, jsonDir)
+        val items = graft.plan.FlattenPlanner.flatten(docs,
+          graft.model.FlattenOptions(
+            linkMode = graft.model.LinkMode.NaturalKey("o_orderkey"),
+            dropEmptyObjects = false))("items")
+        val synth = items.select(
+          (col("_link_main").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+          cText(col("_link_main"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag")).as("__tc"),
+          bText(col("_link_main"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag")).as("__tb"),
+          concat_ws(" ", col("l_quantity"), col("l_extendedprice"),
+            col("l_partkey"), col("l_suppkey")).as("__td"))
+        val pm = pmod(col("doc_id"), lit(100L))
+        // planted corpus dups/near-dups reference REP-0 corpus texts —
+        // present identically at both scales
+        val b = synth.select(col("doc_id"),
+          when(pm === 0, col("__tc"))
+            .when(pm === 2, concat(col("__tc"), lit(" plus appended tail words")))
+            .when(pm === 4, col("__td"))
+            .otherwise(col("__tb")).as("text"))
+        b.unionAll(b.where(pm === 1)
+          .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+      }
+      val pRules = TextFilters.Rules(minWords = 10, maxWords = 1000,
+        minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minAlphaWordRatio = 0.4,
+        minStopwordHits = 2)
+      def pEval(dir: String): DataFrame =
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .select((col("l_orderkey").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+            bText(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+              col("l_returnflag")).as("text"))
+          .where(pmod(col("doc_id"), lit(100L)) === 3)
+          .select("text")
+      def pipeline(jsonDir: String, corpusDf: DataFrame, bandTable: String,
+          fpTable: String, eval: DataFrame, budgets: Map[String, Long]): Unit = {
+        def mat(d: DataFrame) = d.localCheckpoint(true)
+        var df = pBatch(jsonDir)
+        df = mat(TextFilters(df, "text", pRules))
+        df = mat(Dedup.dedupIncrementBucketed(fpTable, df, "text", "doc_id"))
+        df = mat(Dedup.nearDupIncrementIndexed(spark.table(bandTable),
+          corpusDf, df, "text", "doc_id", threshold = 0.7, numHashes = 32,
+          bands = 8, shingleSize = 3, maxBucket = 1000))
+        df = mat(Decontaminate.decontaminateBloom(df, "text", "doc_id", eval, "text"))
+        df = mat(Sampling.tokenBudgetMix(
+          df.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16L))))
+            .withColumn("toks", length(col("text")).cast("long")),
+          "doc_id", "toks", "src", budgets))
+        df = Sampling.interleaveSources(df, "doc_id", "src",
+          Map("s0" -> 2.0), defaultWeight = 1.0)
+        Packing.packByTokenBudget(df, "doc_id", "toks",
+          maxTokensPerBin = 4096, nShards = 32)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // fixed batch at both scales (budgets derive from the BATCH mass —
+      // unlike Bench's corpus-mass budgets, which at N× would stop
+      // biting and change stage-6's work)
+      val pJson = s"$work/pjson/docs"
+      graft.SparkEntry.nestedOrders(spark, sfDir).write.mode("overwrite").json(pJson)
+      val pBudgets: Map[String, Long] = {
+        val mass = pBatch(pJson).agg(sum(length(col("text")).cast("long")))
+          .collect()(0).getLong(0) / 16
+        (0 until 16).map(i => s"s$i" -> mass / 2).toMap
+      }
+      // standing state per scale, untimed
+      val c1 = s"$work/pcorpus1"; val cN = s"$work/pcorpus$mult"
+      val r1 = pCorpus(sfDir, 1, c1)
+      val rN = pCorpus(sfDir, mult, cN)
+      if (rows1 == 0) { rows1 = r1; rowsN = rN }
+      System.err.println(s"[scale] pipeline corpora ready: $r1 at 1x, $rN at ${mult}x")
+      def standUp(path: String, tag: String): (DataFrame, String, String) = {
+        val cdf = corpus(path).localCheckpoint(true)
+        Dedup.writeBandTable(cdf, "text", "doc_id", s"graft_scale_pband$tag",
+          numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 32)
+        Dedup.writeFingerprintTable(cdf, "text", s"graft_scale_pfp$tag",
+          numBuckets = 32)
+        (cdf, s"graft_scale_pband$tag", s"graft_scale_pfp$tag")
+      }
+      // warmup on the smallest SF, untimed
+      val wJson = s"$work/pjsonw/docs"
+      graft.SparkEntry.nestedOrders(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").json(wJson)
+      val wC = s"$work/pcorpusw"
+      pCorpus("/root/testdata/sf0.001", 1, wC)
+      val (wdf, wband, wfp) = standUp(wC, "w")
+      pipeline(wJson, wdf, wband, wfp,
+        pEval("/root/testdata/sf0.001").localCheckpoint(true), pBudgets)
+      val evalDf = pEval(sfDir).localCheckpoint(true)
+      val (cdf1, band1, fp1) = standUp(c1, "1")
+      val (cdfN, bandN, fpN) = standUp(cN, mult.toString)
+      results ++= Seq(
+        ("pipeline_daily_batch",
+          time(pipeline(pJson, cdf1, band1, fp1, evalDf, pBudgets)),
+          time(pipeline(pJson, cdfN, bandN, fpN, evalDf, pBudgets))))
     }
 
     val items = results.map { case (n, a, b) =>

@@ -2834,8 +2834,14 @@ object SparkEntry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
+    // computed truth (the r15 x16/x17 lesson, same as x24): sf0.1's
+    // 8 natural duplicate-text pairs lose a member to exact dedup too —
+    // the kept set is min id per normalized-text fingerprint group
     "x15_exact_dedup_keep" ->
-      """SELECT doc_id FROM documents ORDER BY doc_id""",
+      s"""SELECT min(doc_id) AS doc_id
+        |FROM documents
+        |GROUP BY md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g'))
+        |ORDER BY doc_id""".stripMargin,
 
     "f25_variant_flatten" ->
       """SELECT CAST(o_orderkey AS VARCHAR) AS _link, o_orderkey, o_custkey,

@@ -71,7 +71,12 @@ class GopherParitySpec extends AnyFunSuite {
       "ordinary prose that have been written to pass most of the " +
       "published gopher rules and be long enough for the word count",
     "ße İstanbul ÅNGSTRÖM Σίσυφος МОСКВА",
-    "mixed 123abc456 tokens-with-dashes and_underscores")
+    "mixed 123abc456 tokens-with-dashes and_underscores",
+    // tokens past the 256-byte thread-local buffer: the md5 kernels'
+    // growth paths (gramKeys/windowKeys ensure, simhash highestOneBit
+    // resize) are otherwise never exercised
+    ("x" * 300) + " the long token doc with words " + ("y" * 1000),
+    "the astral long token " + ("𐀀" * 200) + " with more words after")
 
   private def fuzzTexts(n: Int, seed: Long): Seq[String] = {
     val rnd = new scala.util.Random(seed)

@@ -147,6 +147,23 @@ class OpsSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.length == 32)
     assert(TextHash.simhash("a b c") == TextHash.simhash("a b c"))
+    // buffer-growth path (tokens past the 256-byte thread-local buffer)
+    // against a naive tokenize+md5 vote reference — the kernel streams
+    // token bytes directly, so long tokens take the resize branch
+    def naiveSimhash(text: String): Long = {
+      val votes = new Array[Int](64)
+      TextHash.tokenize(text).foreach { tok =>
+        val h = TextHash.md5Hash64(tok)
+        (0 until 64).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1 }
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (votes(b) > 0) acc | (1L << b) else acc)
+    }
+    Seq("short doc", ("x" * 300) + " mid " + ("y" * 1000),
+        "MIXED" + ("Z" * 500) + "9 and words", "", "𐀀 🙂 …").foreach { t =>
+      assert(TextHash.simhash(t) == naiveSimhash(t), s"simhash mismatch on ${t.take(40)}")
+    }
   }
 
   test("multimodal: batched stub decode is deterministic; frame sampling plans without decoding") {

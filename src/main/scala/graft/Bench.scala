@@ -396,8 +396,10 @@ object Bench {
     // corpus whose MinHash band frame was persisted ONCE (untimed, the
     // b9/b10 standing-index convention). Timed region: batch signatures
     // + probed band slice + candidate verification. The per-call form
-    // re-signatures the corpus every batch (ScaleCurve band family:
-    // per-call ratio 1.75 at 10x corpus vs 1.04 here). NOTE the ~40-char
+    // re-signatures the corpus every batch (ScaleCurve band family, r17:
+    // per-call 10.9 s at 10x corpus vs 9.9 s here — and the allocation-
+    // free kernels have made the 1x baselines near-identical at ~5 s,
+    // SCALE.md §standing-band r17 note). NOTE the ~40-char
     // bench docs make the corpus kernel this table eliminates almost
     // free, so at THIS corpus the two forms cost about the same — on
     // real-length documents the kernel dominates and the table wins at

@@ -335,7 +335,11 @@ object TextHash {
               Character.isLowSurrogate(text.charAt(i + 1))) {
             i += 1
             Character.toCodePoint(c, text.charAt(i))
-          } else c.toInt
+          } else if (Character.isSurrogate(c)) 0x3F // unpaired surrogate →
+            // '?', matching String.getBytes(UTF_8) / UTF8String (the
+            // expression spelling this kernel must hash identically to);
+            // a CESU-style 3-byte sequence here would fork the window key
+          else c.toInt
         if (cp < 0x80) { ensure(1); buf(bi) = cp.toByte; bi += 1 }
         else if (cp < 0x800) {
           ensure(2)

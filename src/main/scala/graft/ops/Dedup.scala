@@ -530,6 +530,15 @@ object Dedup {
     * takes the loop, whose per-round cost then has real work to
     * amortize it. Same bounded-collect discipline as
     * [[NearDupMaxInLiterals]].
+    *
+    * Driver-heap arithmetic at the gate (integral ids): 2M pairs ⇒ ≤ 4M
+    * edge rows streamed (never retained) and ≤ 4M distinct ids held in
+    * primitive arrays — ids 32 MB + open-addressing slots 32 MB + parent/
+    * min 32 MB ≈ 100 MB peak, output built executor-side from a broadcast
+    * of the two primitive arrays (no Array[Row], no boxed union-find,
+    * no 1-partition re-ship). String ids pay a boxed index entry plus the
+    * string payload per id, so they take a QUARTER gate (500k pairs ⇒
+    * ≤ 1M strings ≈ 100 MB + payload).
     */
   val DriverCcMaxPairs: Long = 2000000L
 
@@ -582,64 +591,19 @@ object Dedup {
     // still fans out.
     val n = bidir.count()
     val idType = pairs.schema(pairs.schema.fieldIndex("id_a")).dataType
-    val driverOrd: Option[(Any, Any) => Boolean] = idType match {
-      case ByteType | ShortType | IntegerType | LongType => Some(
-        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue)
-      case StringType => Some(
-        // ENGINE collation, not Java's: Spark min() over strings compares
-        // UTF-8 bytes (code-point order); String.compareTo compares
-        // UTF-16 code units and disagrees beyond the BMP — the exact
-        // driver/engine trap the r16 range-prefilter fix closed
-        (a, b) => org.apache.spark.unsafe.types.UTF8String
-          .fromString(a.asInstanceOf[String])
-          .compareTo(org.apache.spark.unsafe.types.UTF8String
-            .fromString(b.asInstanceOf[String])) < 0)
-      case _ => None
+    val integralIds = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
     }
-    if (n <= 2L * driverMaxPairs && driverOrd.isDefined) {
-      val less = driverOrd.get
-      // driver union-find: path-halving find, union by attaching either
-      // way (final labels don't depend on the root choice — each
-      // component is relabeled with its engine-ordered minimum below)
-      val parent = new java.util.HashMap[Any, Any]()
-      def find(x0: Any): Any = {
-        var x = x0
-        var p = parent.get(x)
-        while (p != x) {
-          val gp = parent.get(p)
-          parent.put(x, gp)
-          x = gp
-          p = parent.get(x)
-        }
-        x
-      }
-      val rows = bidir.collect()
-      var i = 0
-      while (i < rows.length) {
-        val s = rows(i).get(0); val d = rows(i).get(1)
-        if (!parent.containsKey(s)) parent.put(s, s)
-        if (!parent.containsKey(d)) parent.put(d, d)
-        val rs = find(s); val rd = find(d)
-        if (rs != rd) parent.put(rs, rd)
-        i += 1
-      }
-      val minOf = new java.util.HashMap[Any, Any]()
-      val idIt = parent.keySet().iterator()
-      while (idIt.hasNext) {
-        val id = idIt.next()
-        val r = find(id)
-        val cur = minOf.get(r)
-        if (cur == null || less(id, cur)) minOf.put(r, id)
-      }
-      val out = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](parent.size)
-      val idIt2 = parent.keySet().iterator()
-      while (idIt2.hasNext) {
-        val id = idIt2.next()
-        out += org.apache.spark.sql.Row(id, minOf.get(find(id)))
-      }
-      return pairs.sparkSession.createDataFrame(
-        pairs.sparkSession.sparkContext.parallelize(out.toSeq, 1),
-        StructType(Seq(StructField("id", idType), StructField("label", idType))))
+    // String ids take a quarter gate: each distinct id carries its string
+    // payload plus a boxed HashMap index entry (~100 B + payload), where
+    // the integral path below is pure primitive arrays (~20 B/id). The
+    // strict `driverMaxPairs > 0` guard keeps the `0 ⇒ distributed loop`
+    // contract exact even for an empty pair set.
+    val gate = if (integralIds) driverMaxPairs else driverMaxPairs / 4
+    if (driverMaxPairs > 0 && n <= 2L * gate &&
+        (integralIds || idType == StringType)) {
+      return driverCc(bidir, idType, integralIds)
     }
     val defaultParts = pairs.sparkSession.sessionState.conf.numShufflePartitions
     val parts = math.max(1L, math.min(defaultParts.toLong, n / 2000000L + 1)).toInt
@@ -696,6 +660,170 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "raise maxIter (components deeper than 2^maxIter hops)")
     labels
+  }
+
+  /** Driver union-find over a small bidirectional edge frame (gated by
+    * the caller). Edges are STREAMED off the cluster (`toLocalIterator`
+    * over the localCheckpointed frame — one small job per partition,
+    * nothing retained driver-side beyond the union-find itself) into
+    * dense-index structures: ids get consecutive int indexes on first
+    * sight, parents live in a primitive Array[Int] (path-halving find),
+    * and each component relabels to its minimum member — long order for
+    * integral ids, UTF8String order for strings (ENGINE collation:
+    * Spark min() compares UTF-8 bytes / code points, where Java
+    * String.compareTo compares UTF-16 units and disagrees beyond the
+    * BMP — the r16 trap, pinned by the astral spec). The (id, label)
+    * output is built ON EXECUTORS from a broadcast of two flat arrays,
+    * sliced ~1M rows/partition — the driver never materializes Rows.
+    */
+  private def driverCc(bidir: DataFrame, idType: DataType,
+      integralIds: Boolean): DataFrame = {
+    val spark = bidir.sparkSession
+    import spark.implicits._
+    var nIds = 0
+    var parent = new Array[Int](1024)
+    def grow(): Unit =
+      if (nIds == parent.length) parent = java.util.Arrays.copyOf(parent, nIds * 2)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    @inline def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(ra) = rb
+    }
+    if (integralIds) {
+      // open-addressing long→index map: slots hold indexes into `ids`
+      // (pre-sized to the edge count — distinct ids never exceed it, so
+      // no rehash; the caller's gate bounds the edge count)
+      val edges = bidir
+        .select(col("src").cast(LongType), col("dst").cast(LongType))
+        .as[(Long, Long)]
+      var ids = new Array[Long](1024)
+      var cap = 1 << 16
+      var slots = new Array[Int](cap)
+      java.util.Arrays.fill(slots, -1)
+      def rehash(): Unit = {
+        cap <<= 1
+        slots = new Array[Int](cap)
+        java.util.Arrays.fill(slots, -1)
+        var i = 0
+        while (i < nIds) {
+          var h = (mixLong(ids(i)) & (cap - 1)).toInt
+          while (slots(h) >= 0) h = (h + 1) & (cap - 1)
+          slots(h) = i
+          i += 1
+        }
+      }
+      def idx(k: Long): Int = {
+        var h = (mixLong(k) & (cap - 1)).toInt
+        while (true) {
+          val s = slots(h)
+          if (s < 0) {
+            grow()
+            if (nIds == ids.length) ids = java.util.Arrays.copyOf(ids, nIds * 2)
+            ids(nIds) = k
+            parent(nIds) = nIds
+            slots(h) = nIds
+            nIds += 1
+            if (nIds * 2 > cap) rehash()
+            return nIds - 1
+          }
+          if (ids(s) == k) return s
+          h = (h + 1) & (cap - 1)
+        }
+        -1 // unreachable
+      }
+      val it = edges.toLocalIterator()
+      while (it.hasNext) {
+        val e = it.next()
+        union(idx(e._1), idx(e._2))
+      }
+      // per-root minimum member index, then flat label array
+      val minIdx = new Array[Int](nIds)
+      java.util.Arrays.fill(minIdx, 0, nIds, -1)
+      var i = 0
+      while (i < nIds) {
+        val r = find(i)
+        if (minIdx(r) < 0 || ids(i) < ids(minIdx(r))) minIdx(r) = i
+        i += 1
+      }
+      val outIds = java.util.Arrays.copyOf(ids, nIds)
+      val labels = new Array[Long](nIds)
+      i = 0
+      while (i < nIds) { labels(i) = ids(minIdx(find(i))); i += 1 }
+      val bc = spark.sparkContext.broadcast((outIds, labels))
+      val slices = math.max(1, nIds / 1000000)
+      spark.range(0, nIds.toLong, 1, slices)
+        .mapPartitions { part =>
+          val (a, l) = bc.value
+          part.map(j => (a(j.toInt), l(j.toInt)))
+        }
+        .toDF("id", "label")
+        .select(col("id").cast(idType).as("id"), col("label").cast(idType).as("label"))
+    } else {
+      val indexOf = new java.util.HashMap[String, Integer]()
+      val ids = new scala.collection.mutable.ArrayBuffer[String](1024)
+      def idx(k: String): Int = {
+        val s = indexOf.get(k)
+        if (s != null) s.intValue
+        else {
+          grow()
+          ids += k
+          parent(nIds) = nIds
+          indexOf.put(k, nIds)
+          nIds += 1
+          nIds - 1
+        }
+      }
+      val it = bidir.as[(String, String)].toLocalIterator()
+      while (it.hasNext) {
+        val e = it.next()
+        union(idx(e._1), idx(e._2))
+      }
+      import org.apache.spark.unsafe.types.UTF8String
+      val minIdx = new Array[Int](nIds)
+      java.util.Arrays.fill(minIdx, 0, nIds, -1)
+      var i = 0
+      while (i < nIds) {
+        val r = find(i)
+        if (minIdx(r) < 0 ||
+            UTF8String.fromString(ids(i))
+              .compareTo(UTF8String.fromString(ids(minIdx(r)))) < 0)
+          minIdx(r) = i
+        i += 1
+      }
+      val outIds = new Array[String](nIds)
+      val labels = new Array[String](nIds)
+      i = 0
+      while (i < nIds) {
+        outIds(i) = ids(i)
+        labels(i) = ids(minIdx(find(i)))
+        i += 1
+      }
+      val bc = spark.sparkContext.broadcast((outIds, labels))
+      val slices = math.max(1, nIds / 1000000)
+      spark.range(0, nIds.toLong, 1, slices)
+        .mapPartitions { part =>
+          val (a, l) = bc.value
+          part.map(j => (a(j.toInt), l(j.toInt)))
+        }
+        .toDF("id", "label")
+    }
+  }
+
+  /** splitmix64 finalizer — scrambles sequential ids so the linear-probe
+    * table above stays near its load factor's probe length.
+    */
+  @inline private def mixLong(k: Long): Long = {
+    var z = k + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
 
   /** Apply a near-dup pair set to the corpus: within each connected

@@ -76,7 +76,15 @@ class GopherParitySpec extends AnyFunSuite {
     // growth paths (gramKeys/windowKeys ensure, simhash highestOneBit
     // resize) are otherwise never exercised
     ("x" * 300) + " the long token doc with words " + ("y" * 1000),
-    "the astral long token " + ("𐀀" * 200) + " with more words after")
+    "the astral long token " + ("𐀀" * 200) + " with more words after",
+    // lone surrogates (directly constructed — Spark-ingested text never
+    // contains them): the kernels' manual UTF-8 encoders must emit '?'
+    // (0x3F) exactly like String.getBytes(UTF_8)/UTF8String, not a
+    // CESU-style 3-byte sequence
+    "lone high \uD83D surrogate word tail",
+    "lone low \uDE02 surrogate word tail",
+    "swapped pair \uDE02\uD83D surrogates here",
+    "high at end of text \uD83D")
 
   private def fuzzTexts(n: Int, seed: Long): Seq[String] = {
     val rnd = new scala.util.Random(seed)
@@ -184,6 +192,47 @@ class GopherParitySpec extends AnyFunSuite {
           s"windowKeys mismatch n=$n doc=${r.getLong(0)} " +
             s"text=${texts(r.getLong(0).toInt)}\n kernel=$k\n expr  =$e")
       }
+    }
+  }
+
+  test("windowKeys encodes a lone surrogate as '?' (direct JVM call)") {
+    // Spark-ingested text can never carry an unpaired surrogate
+    // (UTF8String.fromString already replaces it with '?'), so the
+    // corpus parity test above pins nothing here — call the kernel
+    // directly on raw JVM strings and check against a reference built
+    // with String.getBytes(UTF_8), the encoder the expression spelling
+    // (cast to binary) uses. A CESU-style 3-byte encoding of the lone
+    // surrogate would fork the window key.
+    val ws = "[ \\t\\n\\u000B\\f\\r\\u0085\\u00A0\\u1680\\u2000-\\u200A" +
+      "\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+    def ref(text: String, n: Int): Seq[Seq[Byte]] = {
+      val trimmed = {
+        var s = 0; var e = text.length
+        while (s < e && text.charAt(s) == ' ') s += 1
+        while (e > s && text.charAt(e - 1) == ' ') e -= 1
+        text.substring(s, e)
+      }
+      if (trimmed.isEmpty) return Seq.empty
+      val toks = trimmed.split(ws, -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = scala.collection.mutable.LinkedHashSet[Seq[Byte]]()
+      (0 to toks.length - n).foreach { w =>
+        md.reset()
+        out += md.digest(
+          toks.slice(w, w + n).mkString(" ")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)).toSeq
+      }
+      out.toSeq
+    }
+    val raw = Seq(
+      "lone\uD83Dhigh inside token one two three",
+      "lone\uDE02low inside token one two three",
+      "tail ends with lone \uD83D",
+      "swapped \uDE02\uD83D pair one two three",
+      "paired 😂 emoji control case one two")
+    for (t <- raw; n <- Seq(2, 3)) {
+      val fast = graft.functions.TextHash.windowKeys(t, n).toSeq.map(_.toSeq)
+      assert(fast == ref(t, n), s"lone-surrogate windowKeys fork n=$n text=$t")
     }
   }
 

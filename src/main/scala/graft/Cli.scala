@@ -27,7 +27,9 @@ object Cli {
   private val valueFlags = Set("--path", "--pushdown", "--main-table-name",
     "--path-separator", "--table-prefix", "--id-prefix", "--preview",
     "--json-path", "--fields-csv", "--tables-csv",
-    "--schema", "--schema-titles", "--emit-obj")
+    "--schema", "--schema-titles", "--emit-obj",
+    "--pipeline-text", "--pipeline-id", "--pipeline-eval",
+    "--pipeline-corpus", "--pipeline-fp", "--pipeline-bands")
 
   /** Parsed command line: positionals plus boolean and valued flags. */
   private[graft] final case class Args(positional: Vector[String],
@@ -69,7 +71,9 @@ object Cli {
         "[--schema file|url] [--schema-titles full|slug|underscore_slug] " +
         "[--emit-obj a.b,c] [--stats] " +
         "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts] " +
-        "[--sqlite] [--xlsx] [--evolve] [--web]")
+        "[--sqlite] [--xlsx] [--evolve] [--web] " +
+        "[--pipeline [--pipeline-text c] [--pipeline-id c] [--pipeline-eval f] " +
+        "[--pipeline-corpus p] [--pipeline-fp p] [--pipeline-bands p]]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -188,6 +192,46 @@ object Cli {
         xlsx = has("--xlsx"), evolve = has("--evolve"), stats = has("--stats"),
         sqliteDb = has("--sqlite"))
       println(s"tables: ${res.tables.keys.mkString(", ")}")
+
+      // --pipeline: run the training-data pipeline (graft.ops.Pipeline —
+      // the same entry point the b17 bench times) over the flattened main
+      // table. Quality filter always; exact dedup / near-dup /
+      // decontamination activate when their standing state is supplied as
+      // parquet paths (registered as temp views — a metastore-bucketed
+      // table is the 100 TB layout; the path form trades the
+      // exchange-free probe, not semantics). Kept rows land in
+      // <outDir>/pipeline/ as parquet; per-stage counts print to stdout.
+      if (has("--pipeline")) {
+        import org.apache.spark.sql.functions.col
+        val textCol = flagVal("--pipeline-text").getOrElse("text")
+        val idCol = flagVal("--pipeline-id").getOrElse("_link")
+        val main = res.tables(opts.mainTableName)
+        require(main.columns.contains(textCol) && main.columns.contains(idCol),
+          s"--pipeline: main table lacks '$textCol'/'$idCol' (have: " +
+            main.columns.mkString(", ") + ") — set --pipeline-text/--pipeline-id")
+        val fp = flagVal("--pipeline-fp").map { p =>
+          spark.read.parquet(p).createOrReplaceTempView("graft_cli_fp")
+          "graft_cli_fp"
+        }
+        val bands = flagVal("--pipeline-bands").map { p =>
+          spark.read.parquet(p).createOrReplaceTempView("graft_cli_bands")
+          "graft_cli_bands"
+        }
+        val corpus = flagVal("--pipeline-corpus").map(spark.read.parquet(_))
+        require(bands.isEmpty || corpus.nonEmpty,
+          "--pipeline-bands requires --pipeline-corpus (near-dup verifies " +
+            "candidates against the corpus texts)")
+        val eval = flagVal("--pipeline-eval").map { p =>
+          spark.read.textFile(p).toDF(textCol)
+        }
+        val out = graft.ops.Pipeline.run(
+          main.select(col(idCol), col(textCol)),
+          graft.ops.Pipeline.Config(textCol = textCol, idCol = idCol,
+            fingerprintTable = fp, bandTable = bands),
+          corpus = corpus, eval = eval, countStages = true)
+        out.kept.write.mode("overwrite").parquet(s"$outDir/pipeline")
+        out.stageCounts.foreach { case (st, n) => println(s"pipeline $st: $n rows") }
+      }
     }
   }
 }

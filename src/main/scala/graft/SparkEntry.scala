@@ -1215,6 +1215,30 @@ object SparkEntry {
         .select(col("media_id")).orderBy(col("media_id"))
     }),
 
+    "x80_media_neardup" -> ((s, dir) => {
+      // perceptual near-dup over DECODED media features (the embeddings
+      // table stands in for the decode stage's luminance grids): a
+      // "recompressed twin" — every feature scaled by a hair — defeats
+      // the md5-exact dedup of x57 but keeps the sign of almost every
+      // consecutive difference, so the dHash pigeonhole banding finds
+      // it. The oracle COMPUTES the full pair truth from the same
+      // 63-bit difference hash (the r15 computed-truth rule), so any
+      // natural near-identical feature rows pair too.
+      // the twin scales every ODD element by 1% and leaves even elements
+      // bit-identical — consecutive-difference signs flip only where the
+      // neighbors were within ~1%, so twins land at small nonzero Hamming
+      // (a uniform scale would be hash-IDENTICAL: order is preserved)
+      val base = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = base.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i % 2 === 0, x).otherwise(x * lit(1.01f)))
+            .as("embedding"))
+      Multimodal.nearDupMediaPairs(base.unionAll(twins), "embedding",
+          "vec_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x56_temperature_mix" -> ((s, dir) =>
       // temperature-flattened language rebalancing: per-lang rates are
       // pure arithmetic over the lang counts (sorted fold, 9-dp
@@ -2540,6 +2564,33 @@ object SparkEntry {
         |SELECT media_id FROM (
         |  SELECT media_id, min(media_id) OVER (PARTITION BY k) AS keep FROM m)
         |WHERE media_id = keep ORDER BY media_id""".stripMargin,
+
+    // dHash bit j (0-based) = e[j+2] > e[j+1] in 1-indexed SQL terms —
+    // identical to the kernel's v(i+1) > v(i) float comparison; the hash
+    // is the bit sum, pairs are the complete Hamming-<=3 truth (the
+    // banding in the operator is recall-complete by pigeonhole, so the
+    // exhaustive SQL pair scan is the same set)
+    "x80_media_neardup" ->
+      """WITH m AS (
+        |  SELECT vec_id AS id, embedding AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000000,
+        |         list_transform(embedding, (x, i) ->
+        |           CASE WHEN (i - 1) % 2 = 0 THEN x
+        |                ELSE x * CAST(1.01 AS FLOAT) END)
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |h AS (
+        |  SELECT id, coalesce(CAST(list_sum(
+        |           list_transform(range(1, least(len(e), 65)),
+        |             i -> CASE WHEN e[i + 1] > e[i]
+        |                       THEN 1::BIGINT << (i - 1) ELSE 0 END))
+        |         AS BIGINT), 0) AS hash
+        |  FROM m)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "x56_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),

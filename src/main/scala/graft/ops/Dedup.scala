@@ -501,7 +501,7 @@ object Dedup {
     * a sort-based fallback anyway — the window form is both simpler and
     * measured ~2× faster on the b2 bench.
     */
-  private def bucketPairs(rows: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
+  private[graft] def bucketPairs(rows: DataFrame, keyCols: Seq[String], maxBucket: Int): DataFrame = {
     val keys = keyCols.map(col)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
     val buckets = rows

@@ -136,6 +136,97 @@ object Multimodal {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Perceptual hashes for a multimodal Dataset through the batched
+    * decode path: payload → pooled feature grid (the codec-free
+    * decode+resize stand-in, [[graft.functions.MediaHash.pooledGrid]] —
+    * swap the grid fn for a real decoder's luminance grid without
+    * touching anything else) → 64-bit dHash. Returns (media_id, phash).
+    * Null/empty payloads are dropped (no decodable signal — the ANN
+    * null-embedding convention).
+    */
+  def perceptualHashes(ds: Dataset[MediaRow], cells: Int = 65)(
+      grid: MediaRow => Array[Float] =
+        r => graft.functions.MediaHash.pooledGrid(r.payload, cells)): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // per-partition decoder init would go here (once)
+      it.flatMap { r =>
+        val g = grid(r)
+        if (g == null) None
+        else Some((r.media_id, graft.functions.MediaHash.dhash64(g)))
+      }
+    }.toDF("media_id", "phash")
+  }
+
+  /** Near-dup MEDIA candidate pairs over a decoded feature column —
+    * the capability one recompression defeats in [[dedupExactMedia]]:
+    * dHash the features ([[graft.functions.MediaHash.dhash64]], sign
+    * of each consecutive difference — stable under the small
+    * perturbations a re-encode introduces), then find every pair
+    * within `maxHamming` bits using the SimHash pigeonhole blocking
+    * (`maxHamming + 1` bit chunks: two hashes within the distance must
+    * agree on at least one chunk, so recall is complete BY
+    * CONSTRUCTION — [[Dedup.simhashDedupPairs]]'s machinery over a
+    * different signature). Verification is `bit_count(xor)` in
+    * expression space — no per-pair kernel. Null features drop.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b. Feed to
+    * [[Dedup.dedupByPairs]] to actually drop the losers.
+    *
+    * 100 TB shape: one UDF call per row, then equi-joins on (chunk,
+    * 16-bit chunkVal) — fixed-width keys, candidate-bounded by
+    * `maxBucket` exactly like the text LSH paths.
+    */
+  def nearDupMediaPairs(df: DataFrame, featureCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15] for complete >=4-bit chunk blocking, got $maxHamming")
+    val chunks = maxHamming + 1
+    val widths  = Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val withSig = df
+      .where(col(featureCol).isNotNull)
+      .select(col(idCol).as("id"),
+        graft.functions.MediaHash.dhashUdf(col(featureCol)).as("sig"))
+    val chunkVals = (0 until chunks).map { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
+      struct(lit(i).as("chunk"),
+        shiftright(col("sig"), offsets(i)).bitwiseAND(lit(mask)).as("chunkVal"))
+    }
+    val chunked = withSig
+      .select(col("id"), explode(array(chunkVals: _*)).as("c"))
+      .select(col("id"), col("c.chunk"), col("c.chunkVal"))
+    // candidate-driven verify (the jaccardVerify convention): re-hash
+    // only ids that appear in a candidate pair; both candidate-bounded
+    // frames checkpoint lazily because AQE does not reuse exchanges
+    // across their multiple consumers
+    val cands = Dedup.bucketPairs(chunked, Seq("chunk", "chunkVal"), maxBucket)
+      .localCheckpoint(false)
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sigSmall = df.select(col(idCol).as("id"), col(featureCol))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"),
+        graft.functions.MediaHash.dhashUdf(col(featureCol)).as("sig"))
+      .localCheckpoint(false)
+    val sigA = sigSmall.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
+    val sigB = sigSmall.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))
+    cands.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Apply media near-dup: connected components over
+    * [[nearDupMediaPairs]], keep the minimum id per component —
+    * [[Dedup.dedupByPairs]] on perceptual pairs.
+    */
+  def dedupNearMedia(df: DataFrame, featureCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame =
+    Dedup.dedupByPairs(df, idCol,
+      nearDupMediaPairs(df, featureCol, idCol, maxHamming, maxBucket)
+        .select("id_a", "id_b"))
+
   /** Build a synthetic multimodal Dataset from the documents table (the
     * test environment has no real media files): payload = utf-8 bytes of
     * the text, kind round-robins image/audio/video. Deterministic.

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data pipeline as a PUBLIC entry point — the
+  * composition the b17 bench measures and PipelineLoopSpec folds across
+  * days, shipped as one call so the measured recipe and the adopter's
+  * recipe cannot drift (both of those callers now call THIS).
+  *
+  * Stages (each optional via its config field, each output
+  * localCheckpoint-materialized before the next — a real pipeline
+  * writes stage outputs to durable storage for exactly this reason;
+  * without boundaries every dedup/mix operator's multi-consumer plan
+  * re-executes the upstream chain multiplicatively, measured 5× at
+  * sf0.01 in SCALE.md §b17-pipeline):
+  *
+  *   1. quality      — [[TextFilters.apply]] under `rules`
+  *   2. exact dedup  — [[Dedup.dedupIncrementBucketed]] vs the standing
+  *                     bucketed fingerprint table (batch-only shuffle)
+  *   3. near-dup     — [[Dedup.nearDupIncrementIndexed]] vs the standing
+  *                     band table + corpus exact-verify
+  *   4. decontaminate— [[Decontaminate.decontaminateBloom]] vs the eval
+  *                     frame's 13-gram Bloom filter
+  *   5. budget mix   — [[Sampling.tokenBudgetMix]] per source
+  *   6. interleave   — [[Sampling.interleaveSources]]
+  *   7. pack         — [[Packing.packByTokenBudget]]
+  *
+  * Ingest (NDJSON flatten, batch synthesis) stays with the caller: a
+  * batch arrives however the deployment lands it. [[fold]] appends the
+  * admitted documents' fingerprints and band signatures back into the
+  * standing tables through the append-safe writers, closing the daily
+  * loop (PipelineLoopSpec pins that day 2 drops exact AND near copies
+  * of day-1 admissions).
+  *
+  * 100 TB shape (SCALE.md §b17-pipeline): quality/decontaminate are
+  * scan-fused compiled kernels, both dedups are bucketed/banded
+  * equi-joins against standing state with no corpus-side exchange, and
+  * mix/interleave/pack shuffle fixed-width key/count rows only.
+  */
+object Pipeline {
+
+  /** Near-dup dials — must match the standing band table's write-time
+    * config ([[Dedup.writeBandTable]]); the probe guards this and
+    * throws on mismatch rather than silently missing collisions.
+    */
+  final case class NearDup(threshold: Double = 0.7, numHashes: Int = 32,
+      bands: Int = 8, shingleSize: Int = 3, maxBucket: Int = 1000)
+
+  /** Mixture stages. `src` and `toks` are column EXPRESSIONS evaluated
+    * against the batch (e.g. a domain column, or a derived
+    * `concat(lit("s"), pmod(col("doc_id"), lit(16)))`); budgets/weights
+    * key off the src values. `weights` drives the interleave stage
+    * (skip it with `interleave = false` to mix without reordering).
+    */
+  final case class Mix(budgets: Map[String, Long],
+      src: org.apache.spark.sql.Column,
+      toks: org.apache.spark.sql.Column,
+      weights: Map[String, Double] = Map.empty,
+      defaultWeight: Double = 1.0,
+      interleave: Boolean = true,
+      maxTokensPerBin: Long = 4096,
+      nShards: Int = 32)
+
+  /** Pipeline configuration. Every stage is opt-in: `rules = None`
+    * skips quality, `fingerprintTable = None` skips exact dedup,
+    * `bandTable = None` skips near-dup, no eval frame skips
+    * decontamination, `mix = None` stops after the filter/dedup stages
+    * (the kept frame keeps its original columns).
+    */
+  final case class Config(
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      rules: Option[TextFilters.Rules] = Some(TextFilters.Rules()),
+      fingerprintTable: Option[String] = None,
+      bandTable: Option[String] = None,
+      nearDup: NearDup = NearDup(),
+      decontaminateGramSize: Int = 13,
+      decontaminateFpp: Double = 0.001,
+      mix: Option[Mix] = None,
+      /** bucket count used by [[fold]]'s appends; must match the
+        * standing tables' write-time bucketing. */
+      numBuckets: Int = 32)
+
+  /** `kept` is the admitted frame (packed when `mix` is configured —
+    * id/src/toks/pos/bin columns — otherwise the surviving batch rows
+    * with their original columns); `stageCounts` is (stage name, rows
+    * remaining after it), in execution order, only for stages that ran.
+    */
+  final case class Result(kept: DataFrame, stageCounts: Seq[(String, Long)])
+
+  /** Run the pipeline over one batch.
+    *
+    * @param batch  incoming documents: `cfg.idCol` (unique, non-null —
+    *               every dedup join keys on it) + `cfg.textCol`
+    * @param corpus the standing corpus (id + text) — required with
+    *               `cfg.bandTable` (near-dup's exact-verify side reads
+    *               candidate texts from it)
+    * @param eval   held-out benchmark texts to decontaminate against
+    *               (`cfg.textCol` column)
+    * @param upTo   run only the first `upTo` stages of the 8-stage
+    *               numbering (1 ingest — the caller's, always "run" —
+    *               2 quality, 3 exact, 4 near-dup, 5 decontaminate,
+    *               6 mix, 7 interleave, 8 pack); stage-attribution
+    *               probes time cumulative prefixes with it
+    * @param countStages collect per-stage row counts (one cheap count
+    *               job per materialized stage; off for timed bench runs
+    *               so the recorded recipe has no extra actions)
+    */
+  def run(batch: DataFrame, cfg: Config,
+      corpus: Option[DataFrame] = None,
+      eval: Option[DataFrame] = None,
+      upTo: Int = 8,
+      countStages: Boolean = false): Result = {
+    require(cfg.bandTable.isEmpty || corpus.nonEmpty,
+      "Pipeline.run: bandTable is configured but no corpus frame was " +
+        "passed — near-dup's exact-verify side reads candidate texts " +
+        "from the corpus")
+    val counts = Seq.newBuilder[(String, Long)]
+    def mat(name: String)(d: DataFrame): DataFrame = {
+      val m = d.localCheckpoint(true)
+      if (countStages) counts += name -> m.count()
+      m
+    }
+    var df = batch
+    if (upTo >= 2) cfg.rules.foreach { r =>
+      df = mat("quality")(TextFilters(df, cfg.textCol, r))
+    }
+    if (upTo >= 3) cfg.fingerprintTable.foreach { t =>
+      df = mat("exact_dedup")(
+        Dedup.dedupIncrementBucketed(t, df, cfg.textCol, cfg.idCol))
+    }
+    if (upTo >= 4) cfg.bandTable.foreach { t =>
+      val nd = cfg.nearDup
+      df = mat("near_dup")(Dedup.nearDupIncrementIndexed(
+        df.sparkSession.table(t), corpus.get, df, cfg.textCol, cfg.idCol,
+        threshold = nd.threshold, numHashes = nd.numHashes,
+        bands = nd.bands, shingleSize = nd.shingleSize,
+        maxBucket = nd.maxBucket))
+    }
+    if (upTo >= 5) eval.foreach { ev =>
+      df = mat("decontaminate")(Decontaminate.decontaminateBloom(
+        df, cfg.textCol, cfg.idCol, ev, cfg.textCol,
+        n = cfg.decontaminateGramSize, fpp = cfg.decontaminateFpp))
+    }
+    cfg.mix.foreach { m =>
+      if (upTo >= 6) {
+        df = mat("budget_mix")(Sampling.tokenBudgetMix(
+          df.withColumn("src", m.src).withColumn("toks", m.toks),
+          cfg.idCol, "toks", "src", m.budgets))
+      }
+      if (upTo >= 7 && m.interleave)
+        df = Sampling.interleaveSources(df, cfg.idCol, "src", m.weights,
+          defaultWeight = m.defaultWeight)
+      // pack keys on the ID column, not interleave's pos: packByTokenBudget
+      // hash-shards on its id (bin layout is order-independent by design)
+      // and pos carries cross-source rank TIES, which would make the
+      // within-shard window order — and so the bins — nondeterministic
+      if (upTo >= 8) {
+        df = Packing.packByTokenBudget(df, cfg.idCol, "toks",
+          maxTokensPerBin = m.maxTokensPerBin, nShards = m.nShards)
+        if (countStages) counts += "pack" -> df.count()
+      }
+    }
+    Result(df, counts.result())
+  }
+
+  /** Fold one day's ADMITTED documents into the standing tables so the
+    * next batch dedups against them: fingerprints through
+    * [[Dedup.writeFingerprintTable]] and band signatures through
+    * [[Dedup.writeBandTable]], both `append = true` (the writers
+    * re-produce the exact standing layout and config — a hand-rolled
+    * append with mismatched bucketing would silently disable the
+    * exchange-free probe; the band writer additionally refuses a
+    * config mismatch).
+    *
+    * @param admitted the kept documents WITH their text column (e.g.
+    *                 `batch.join(result.kept.select(idCol), Seq(idCol),
+    *                 "left_semi")` when the mix stages replaced columns)
+    */
+  def fold(admitted: DataFrame, cfg: Config): Unit = {
+    cfg.fingerprintTable.foreach { t =>
+      Dedup.writeFingerprintTable(admitted, cfg.textCol, t,
+        numBuckets = cfg.numBuckets, append = true)
+    }
+    cfg.bandTable.foreach { t =>
+      val nd = cfg.nearDup
+      Dedup.writeBandTable(admitted, cfg.textCol, cfg.idCol, t,
+        numHashes = nd.numHashes, bands = nd.bands,
+        shingleSize = nd.shingleSize, numBuckets = cfg.numBuckets,
+        append = true)
+    }
+  }
+}

@@ -94,6 +94,25 @@ object B4Probe {
       val held = (1 to 40).map(_ => bCorpus(sfDir).localCheckpoint(true))
       held.foreach(df => println(s"pressure frame rows: ${df.count()}"))
     }
+    if (args.contains("benchlike")) {
+      // replicate the state the real bench JVM carries into b4's timed
+      // runs (r17 added exactly this before the slow committed row):
+      // the b17 standing corpus checkpoint HELD for the rest of the JVM,
+      // its bucketed band + fingerprint tables in the catalog, and a
+      // round of warmup bodies at sf0.001
+      val std = bCorpus(sfDir).localCheckpoint(true)
+      println(s"benchlike standing corpus: ${std.count()} rows")
+      graft.ops.Dedup.writeBandTable(std, "text", "doc_id",
+        "b4probe_bands", numHashes = 32, bands = 8, shingleSize = 3,
+        numBuckets = 32)
+      graft.ops.Dedup.writeFingerprintTable(std, "text", "b4probe_fp",
+        numBuckets = 32)
+      val warm = bCorpus("/root/testdata/sf0.001").localCheckpoint(true)
+      graft.ops.Dedup.minhashDedupPairs(warm, "text", "doc_id",
+        threshold = 0.9, numHashes = 32, bands = 4, shingleSize = 3,
+        maxBucket = 1000).write.format("noop").mode("overwrite").save()
+      println(s"benchlike warm: ${warm.count()} rows  ${storageInfo()}")
+    }
 
     def storageInfo(): String = {
       val rdds = spark.sparkContext.getPersistentRDDs
@@ -123,6 +142,17 @@ object B4Probe {
 
     runB4(unpersistAfter = false) // warm (codegen, parquet footer)
     series("bench-verbatim", unpersistAfter = false)
+    // force each join mode: the fast plan broadcasts the 600k-fingerprint
+    // anti-join build side at AQE time — measure what the row costs when
+    // that conversion does NOT happen (the suspected slow mode)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    series("smj-forced", unpersistAfter = false)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (200L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", (200L << 20).toString)
+    series("bhj-forced", unpersistAfter = false)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L << 20).toString)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", (10L << 20).toString)
     series("unpersist-after", unpersistAfter = true)
     System.gc(); Thread.sleep(500)
     println(s"after explicit GC: ${storageInfo()}")

@@ -121,4 +121,29 @@ class CliSpec extends AnyFunSuite {
     assert(main.contains("stdin doc") && main.contains("another"))
     assert(main.linesIterator.size == 3) // header + 2 rows
   }
+
+  test("--pipeline runs the training-data pipeline over the flattened main table") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cli_pipe").toString
+    val base = "the quick brown fox jumps over the lazy dog with plenty of " +
+      "ordinary prose that have been written to pass most of the " +
+      "published gopher rules and be long enough for the word count"
+    val evalSentence = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november"
+    val evalFile = Files.createTempFile("graft_cli_eval", ".txt")
+    Files.writeString(evalFile, evalSentence + "\n")
+    def j(id: Int, text: String) = s"""{"id":$id,"text":"$text"}"""
+    val in = Files.createTempFile("graft_cli_pipe", ".json")
+    Files.writeString(in, "[" + Seq(
+      j(1, base + " " + base),                      // passes quality → kept
+      j(2, "1 2 3"),                                // quality drop (minWords)
+      j(3, base + " " + base + " " + evalSentence)  // decontaminate drop
+    ).mkString(",") + "]")
+    Cli.run(spark, Cli.parseArgs(Array(in.toString, out.toString,
+      "--pipeline", "--pipeline-text", "text",
+      "--pipeline-eval", evalFile.toString)), System.in)
+    val kept = spark.read.parquet(s"$out/pipeline")
+    assert(kept.count() == 1L)
+    assert(kept.select(col("text")).collect()(0).getString(0) == base + " " + base)
+  }
 }

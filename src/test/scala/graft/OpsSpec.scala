@@ -869,6 +869,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Set(1L, 3L, 4L, 6L), got)
   }
 
+  test("perceptual media near-dup: recompressed twin pairs, exact copy pairs at 0, distinct stays out") {
+    import spark.implicits._
+    import graft.functions.MediaHash
+    // kernel pins
+    assert(MediaHash.dhash64(Array(1f, 2f, 1.5f, 3f)) == 5L)   // bits 101
+    assert(MediaHash.dhash64(null) == 0L)
+    assert(MediaHash.ahash64(Array(0f, 10f, 0f, 10f)) == 10L)  // bits 1010
+    assert(MediaHash.pooledGrid((0 until 10).map(_.toByte).toArray, 2)
+      .toSeq == Seq(2.0f, 7.0f))
+    assert(MediaHash.pooledGrid(null, 4) == null)
+
+    // 65-cell payloads, 10 bytes per cell, cell value constant per cell so
+    // the pooled grid IS the pattern; consecutive-cell gaps are >= 37
+    // except one hairline 0.1 gap at cell 30/31 that recompression noise
+    // flips — the planted twin lands at Hamming 1
+    def payload(f: Int => Int, tweak: Map[Int, Byte] = Map.empty): Array[Byte] = {
+      val b = new Array[Byte](650)
+      (0 until 650).foreach(i => b(i) = f(i / 10).toByte)
+      tweak.foreach { case (i, v) => b(i) = v }
+      b
+    }
+    val patA: Int => Int = c =>
+      if (c == 30) 100 else if (c == 31) 100 else ((c * 37 + 13) % 251)
+    val a  = payload(patA, Map(319 -> 101.toByte))      // cell 31 avg 100.1
+    val a2 = payload(patA)                              // "recompressed": avg 100.0
+    val b  = payload(c => (c * 91 + 5) % 251)
+    val c4 = payload(c => (c * 91 + 5) % 251)           // exact copy of b
+    val rows = Seq((1L, a), (2L, a2), (3L, b), (4L, c4), (5L, null))
+      .toDF("media_id", "payload")
+    val feats = rows.select($"media_id",
+      udf((p: Array[Byte]) => MediaHash.pooledGrid(p, 65)).apply($"payload").as("feature"))
+    val pairs = Multimodal.nearDupMediaPairs(feats, "feature", "media_id",
+      maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 1), (3L, 4L, 0)), pairs)
+    // the batched decode path produces the same hashes
+    val ds = Seq(
+      Multimodal.MediaRow(1L, "image", a, "s"),
+      Multimodal.MediaRow(2L, "image", a2, "s")).toDS()
+    val hs = Multimodal.perceptualHashes(ds)().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(hs(1L) ^ hs(2L)) == 1)
+    // apply form: min id survives per component, null-feature row passes
+    // through (never hashed, never paired)
+    val kept = Multimodal.dedupNearMedia(feats, "feature", "media_id",
+      maxHamming = 3).select($"media_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L), kept)
+  }
+
   test("clusterPrune: outlier mode keeps the central members, prototype mode the diverse tail, ceil math exact") {
     import spark.implicits._
     // two planted clusters with STRICTLY decreasing centrality (member i

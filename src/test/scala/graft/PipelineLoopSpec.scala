@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{Decontaminate, Dedup, Packing, Sampling, TextFilters}
+import graft.ops.{Dedup, Pipeline, TextFilters}
 
 /** The daily-ingest LOOP end-to-end: the b17 pipeline composition (quality
   * filter → standing-table exact dedup → standing-band near-dup →
@@ -23,38 +23,41 @@ class PipelineLoopSpec extends AnyFunSuite {
     minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minAlphaWordRatio = 0.3,
     minStopwordHits = 1)
 
-  /** One daily run: pipeline over `batch`, then fold the kept set into the
-    * standing tables. Returns the kept ids.
+  private def loopConfig(bandTable: String, fpTable: String) =
+    Pipeline.Config(
+      textCol = "text", idCol = "doc_id",
+      rules = Some(rules),
+      fingerprintTable = Some(fpTable),
+      bandTable = Some(bandTable),
+      nearDup = Pipeline.NearDup(threshold = 0.7, numHashes = 32,
+        bands = 8, shingleSize = 3, maxBucket = 1000),
+      mix = Some(Pipeline.Mix(
+        budgets = (0 until 4).map(i => s"s$i" -> 100000L).toMap,
+        src = concat(lit("s"), pmod(col("doc_id"), lit(4L))),
+        toks = length(col("text")).cast("long"),
+        weights = Map("s0" -> 2.0), defaultWeight = 1.0,
+        maxTokensPerBin = 4096, nShards = 8)),
+      numBuckets = 8)
+
+  /** One daily run THROUGH THE PUBLIC API (the same ops/Pipeline entry
+    * point the b17 bench times): pipeline over `batch`, then
+    * [[Pipeline.fold]] the kept set into the standing tables. Returns
+    * the kept ids.
     */
   private def day(batch: DataFrame, corpus: DataFrame, bandTable: String,
       fpTable: String, eval: DataFrame): Set[Long] = {
     import spark.implicits._
-    var df = batch
-    df = TextFilters(df, "text", rules).localCheckpoint(true)
-    df = Dedup.dedupIncrementBucketed(fpTable, df, "text", "doc_id")
-      .localCheckpoint(true)
-    df = Dedup.nearDupIncrementIndexed(spark.table(bandTable), corpus, df,
-      "text", "doc_id", threshold = 0.7, numHashes = 32, bands = 8,
-      shingleSize = 3, maxBucket = 1000).localCheckpoint(true)
-    df = Decontaminate.decontaminateBloom(df, "text", "doc_id", eval, "text")
-      .localCheckpoint(true)
-    val budgets = (0 until 4).map(i => s"s$i" -> 100000L).toMap
-    df = Sampling.tokenBudgetMix(
-      df.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(4L))))
-        .withColumn("toks", length(col("text")).cast("long")),
-      "doc_id", "toks", "src", budgets).localCheckpoint(true)
-    df = Sampling.interleaveSources(df, "doc_id", "src", Map("s0" -> 2.0),
-      defaultWeight = 1.0)
-    val packed = Packing.packByTokenBudget(df, "doc_id", "toks",
-      maxTokensPerBin = 4096, nShards = 8)
-    val kept = packed.select("doc_id").as[Long].collect().toSet
-    // fold the admitted docs into the standing state for the next day
-    val keptDocs = batch.join(packed.select("doc_id"), Seq("doc_id"), "left_semi")
-    Dedup.writeFingerprintTable(keptDocs, "text", fpTable, numBuckets = 8,
-      append = true)
-    Dedup.writeBandTable(keptDocs, "text", "doc_id", bandTable,
-      numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 8,
-      append = true)
+    val cfg = loopConfig(bandTable, fpTable)
+    val res = Pipeline.run(batch, cfg, corpus = Some(corpus),
+      eval = Some(eval), countStages = true)
+    assert(res.stageCounts.map(_._1) ==
+      Seq("quality", "exact_dedup", "near_dup", "decontaminate",
+        "budget_mix", "pack"),
+      s"unexpected stage sequence: ${res.stageCounts}")
+    val kept = res.kept.select("doc_id").as[Long].collect().toSet
+    // fold the admitted docs (with their text) into the standing state
+    Pipeline.fold(
+      batch.join(res.kept.select("doc_id"), Seq("doc_id"), "left_semi"), cfg)
     kept
   }
 
@@ -106,6 +109,76 @@ class PipelineLoopSpec extends AnyFunSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_loop_bands")
       spark.sql("DROP TABLE IF EXISTS graft_loop_fp")
+    }
+  }
+
+  test("streaming store graduates into the daily loop: day 2 runs against the graduated band table, day 3 against its folds") {
+    import spark.implicits._
+    // the last seam between the two standing-band representations: a
+    // corpus accumulated by streamingNearDup's micro-batch store is
+    // GRADUATED (graduateNearDupStore) into the bucketed band table the
+    // batch pipeline probes, the fingerprint table is built from the
+    // store's admitted docs, and from then on the SAME Pipeline.run /
+    // Pipeline.fold loop as the two-day test continues the ingestion —
+    // day 2 drops copies and near-copies of STREAMED admissions through
+    // the graduated tables, day 3 drops copies of day-2 admissions
+    // through Pipeline.fold's appends ON the graduated table.
+    def doc(i: Long, tag: String) =
+      (i, s"the corpus $tag document number $i with plenty of ordinary " +
+        s"words about part ${i * 7} and supplier ${i % 13} here")
+    val work = java.nio.file.Files.createTempDirectory("graft_sgl").toString
+    val store = s"$work/corpus"
+    // stream two micro-batches through the store path with the BATCH
+    // pipeline's band config (32/8/3 — the graduated table carries the
+    // config, and the probe guard would refuse a mismatch)
+    def stream(rows: Seq[(Long, String)], id: Long): Unit =
+      graft.streaming.StreamingFlatten.nearDupBatch(
+        rows.toDF("doc_id", "text"), id, "text", "doc_id", store,
+        0.7, 32, 8, 3, 10000)
+    stream((1L to 200L).map(doc(_, "standing")), 0)
+    stream((201L to 260L).map(doc(_, "streamed")) :+
+      (5001L, doc(5L, "standing")._2), 1) // near-verbatim of doc 5 → store drops it
+    val storeDocs = spark.read.parquet(store).select("doc_id", "text")
+      .localCheckpoint(true)
+    assert(storeDocs.count() == 260L, "stream path must have dropped 5001")
+    val (nh, bd, ss) = graft.streaming.StreamingFlatten.graduateNearDupStore(
+      spark, store, "text", "doc_id", "graft_sgl_bands", numBuckets = 8)
+    assert((nh, bd, ss) == ((32, 8, 3)))
+    Dedup.writeFingerprintTable(storeDocs, "text", "graft_sgl_fp", numBuckets = 8)
+    val eval = Seq("the held out benchmark sentence that must never appear " +
+      "in admitted training data").toDF("text").localCheckpoint(true)
+    try {
+      // day 2 (first BATCH day): exact copy of a streamed doc (drop —
+      // fingerprint table built from the store), near copy with a tail
+      // (drop — graduated band table), fresh docs (keep)
+      val fresh2 = (2001L to 2030L).map(doc(_, "daytwo")).toDF("doc_id", "text")
+      val batch2 = fresh2
+        .unionAll(storeDocs.where(col("doc_id").between(201L, 205L))
+          .select((col("doc_id") + 7000).as("doc_id"), col("text")))
+        .unionAll(storeDocs.where(col("doc_id").between(101L, 105L))
+          .select((col("doc_id") + 8000).as("doc_id"),
+            concat(col("text"), lit(" tail")).as("text")))
+      val kept2 = day(batch2, storeDocs, "graft_sgl_bands", "graft_sgl_fp", eval)
+      assert(kept2 == (2001L to 2030L).toSet,
+        s"day 2 must drop every copy/near-copy of streamed admissions, got $kept2")
+      // day 3: copies/near-copies of day-2 admissions must drop through
+      // the folds Pipeline.fold appended to the GRADUATED table
+      val day2Corpus = storeDocs.unionAll(
+        batch2.join(kept2.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi"))
+        .localCheckpoint(true)
+      val fresh3 = (3001L to 3020L).map(doc(_, "daythree")).toDF("doc_id", "text")
+      val batch3 = fresh3
+        .unionAll(fresh2.where(col("doc_id") <= 2010L)
+          .select((col("doc_id") + 9000).as("doc_id"), col("text")))
+        .unionAll(fresh2.where(col("doc_id") > 2025L)
+          .select((col("doc_id") + 11000).as("doc_id"),
+            concat(col("text"), lit(" tail")).as("text")))
+      val kept3 = day(batch3, day2Corpus, "graft_sgl_bands", "graft_sgl_fp", eval)
+      assert(kept3 == (3001L to 3020L).toSet,
+        s"day 3 must drop every copy/near-copy of day-2 admissions, got $kept3")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_sgl_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_sgl_fp")
     }
   }
 }

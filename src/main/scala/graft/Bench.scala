@@ -370,6 +370,26 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // b19: embedding PREP at fact scale — the PCA/whitening family was
+    // the one corpus-scale family with 10× curves (ScaleCurve shuffle
+    // family: pcaTrain 0.5→1.3 s, ratio 2.3) but no recorded bench row.
+    // Times the full standing-model build + apply over the 600k-vector
+    // corpus: one-pass covariance aggregate (typed MomentAgg) + driver
+    // eigendecomposition (pcaTrain k=16), whitened projection kernel,
+    // L2 normalize, int8 quantize — the batch that turns raw fp32
+    // embeddings into the 4×-smaller ANN-ready form a 100 TB vector
+    // store actually persists.
+    def runB19(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      val model = graft.ops.Pca.pcaTrain(corpus, "embedding", k = 16)
+      val proj = graft.ops.Pca.pcaProject(corpus, "embedding", model,
+        outCol = "pca", whiten = true)
+      graft.ops.Similarity.quantizeInt8(
+          graft.ops.Similarity.l2Normalize(proj, "pca", outCol = "nrm"),
+          "nrm")
+        .select("vec_id", "q", "scale")
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // b11/b12: bigram-LM at fact scale over the same 600k synthetic docs
     // (~4.2M token occurrences, key/price tokens mostly OOV at vocab
     // 20k — a deliberately heavy-tailed vocabulary). The corpus is
@@ -724,6 +744,7 @@ object Bench {
         m = 8, ksub = 16, lloydPasses = 1)
       runB10(graft.ops.Similarity.pqEncode(wv, "vec_id", "embedding", wcb),
         wcb, wv.where(org.apache.spark.sql.functions.col("vec_id") < 100))
+      runB19(wv)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup b8/b9/b10 FAILED: $e") }
 
@@ -749,6 +770,7 @@ object Bench {
         runB14(lmDocs, "graft_bench_bands")),
       "b15_shuffle_600k" -> runTimes("b15")(runB15(lmDocs)),
       "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)),
+      "b19_embed_prep_600k" -> runTimes("b19")(runB19(b8Corpus)),
       "b18_tfidf_600k" -> runTimes("b18")(runB18(lmDocs, bc = false)),
       // BOTH b18 dials are recorded rows (r17 judge): the default
       // shuffle-join dial rolls the diagnosed 2.1-6.3 s AQE
@@ -821,17 +843,21 @@ object Bench {
     // r11's contaminated artifacts had spreads of 10-33× where clean runs
     // stay under ~3× — so any query spread > 3× (above timer noise) warns.
     // load_avg_max is still recorded for transparency. The spread test
-    // requires BOTH a 3× ratio and >2 s of absolute delta: sub-second
+    // requires BOTH a 2.5× ratio and >2 s of absolute delta: sub-second
     // queries routinely jitter 3× by scheduler noise alone (b1 at 0.35 s
     // vs 1.2 s), while real contamination moves tens of seconds (r11's
-    // q1: [3.6, 116.9]).
+    // q1: [3.6, 116.9]). The ratio arm was 3× through r17 — and r17's
+    // contaminated-looking b4 row ([4.33, 11.58], delta 7.2 s, ratio
+    // 2.67×) slipped exactly under it; 2.5× would have flagged that
+    // artifact while every healthy multi-second row in r16/r17 history
+    // stays below 2 s of delta or under the ratio (SCALE.md §b4).
     val loadMax = loadSamples.max
     val spreadWarn = okTimes.collect {
-      case (k, ts) if ts.last - ts.head > 2.0 && ts.last / ts.head > 3.0 => k }
+      case (k, ts) if ts.last - ts.head > 2.0 && ts.last / ts.head > 2.5 => k }
     val loadWarn = loadStart > 0.25 * cores || spreadWarn.nonEmpty
     if (loadWarn) System.err.println(
       f"[bench] WARNING: load_avg peaked at $loadMax%.2f (idle threshold ${0.25 * cores}%.1f)" +
-        (if (spreadWarn.nonEmpty) s"; spread>3x on: ${spreadWarn.mkString(", ")}" else "") +
+        (if (spreadWarn.nonEmpty) s"; spread>2.5x on: ${spreadWarn.mkString(", ")}" else "") +
         " — treat the numbers as upper bounds")
     val errJson = errors.map { case (k, v) =>
       graft.util.Json.js(k) + ":" + graft.util.Json.js(v) }.mkString("{", ",", "}")

@@ -394,13 +394,25 @@ class AnnRecallSpec extends AnyFunSuite {
     val (base1, base10) = measure(16, 64)
     val (m321, m3210) = measure(32, 64)
     val (k2561, k25610) = measure(16, 256)
+    // the SHIPPING default (m=8, ksub=256 — the index-must-fit regime
+    // decided at the ivfPqTrain definition site: 8 B/vec at 10^11
+    // vectors): the documented geometry trade-off finally gets an
+    // ASSERTED number at the config adopters actually get
+    val (ship1, ship10) = measure(8, 256)
     info(f"ivfPqSearch residual m=16 ksub=64  (baseline) recall@1 = $base1%.3f  recall@10 = $base10%.3f")
     info(f"ivfPqSearch residual m=32 ksub=64             recall@1 = $m321%.3f  recall@10 = $m3210%.3f")
     info(f"ivfPqSearch residual m=16 ksub=256            recall@1 = $k2561%.3f  recall@10 = $k25610%.3f")
+    info(f"ivfPqSearch residual m=8  ksub=256 (SHIPPING) recall@1 = $ship1%.3f  recall@10 = $ship10%.3f")
     assert(m321 >= base1 && m3210 >= base10,
       f"m=32 lost recall vs baseline: @1 $m321%.3f vs $base1%.3f, @10 $m3210%.3f vs $base10%.3f")
     assert(k2561 >= base1 && k25610 >= base10,
       f"ksub=256 lost recall vs baseline: @1 $k2561%.3f vs $base1%.3f, @10 $k25610%.3f vs $base10%.3f")
+    // measured 0.600 @1 / 0.352 @10 (deterministic seeded corpus) — the
+    // 8 B/vec geometry trades exactly this much recall for fitting
+    // 10^11 vectors in executor memory; the floor pins the trade-off
+    // from silently degrading
+    assert(ship1 >= 0.55 && ship10 >= 0.30,
+      f"shipping-config recall degraded: @1 $ship1%.3f @10 $ship10%.3f")
   }
 
   test("IVF recall@10 (nlist=64): nprobe=8 >= 0.9 and monotone in nprobe") {

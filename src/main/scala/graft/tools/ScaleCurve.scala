@@ -659,26 +659,27 @@ object ScaleCurve {
               col("l_returnflag")).as("text"))
           .where(pmod(col("doc_id"), lit(100L)) === 3)
           .select("text")
+      // the SHIPPED composition (ops/Pipeline — same entry point Bench
+      // times and PipelineLoopSpec folds), so the curve measures the
+      // public recipe, not a hand-copied respelling that could drift
       def pipeline(jsonDir: String, corpusDf: DataFrame, bandTable: String,
-          fpTable: String, eval: DataFrame, budgets: Map[String, Long]): Unit = {
-        def mat(d: DataFrame) = d.localCheckpoint(true)
-        var df = pBatch(jsonDir)
-        df = mat(TextFilters(df, "text", pRules))
-        df = mat(Dedup.dedupIncrementBucketed(fpTable, df, "text", "doc_id"))
-        df = mat(Dedup.nearDupIncrementIndexed(spark.table(bandTable),
-          corpusDf, df, "text", "doc_id", threshold = 0.7, numHashes = 32,
-          bands = 8, shingleSize = 3, maxBucket = 1000))
-        df = mat(Decontaminate.decontaminateBloom(df, "text", "doc_id", eval, "text"))
-        df = mat(Sampling.tokenBudgetMix(
-          df.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16L))))
-            .withColumn("toks", length(col("text")).cast("long")),
-          "doc_id", "toks", "src", budgets))
-        df = Sampling.interleaveSources(df, "doc_id", "src",
-          Map("s0" -> 2.0), defaultWeight = 1.0)
-        Packing.packByTokenBudget(df, "doc_id", "toks",
-          maxTokensPerBin = 4096, nShards = 32)
-          .write.format("noop").mode("overwrite").save()
-      }
+          fpTable: String, eval: DataFrame, budgets: Map[String, Long]): Unit =
+        graft.ops.Pipeline.run(pBatch(jsonDir),
+          graft.ops.Pipeline.Config(
+            textCol = "text", idCol = "doc_id",
+            rules = Some(pRules),
+            fingerprintTable = Some(fpTable),
+            bandTable = Some(bandTable),
+            nearDup = graft.ops.Pipeline.NearDup(threshold = 0.7,
+              numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000),
+            mix = Some(graft.ops.Pipeline.Mix(
+              budgets = budgets,
+              src = concat(lit("s"), pmod(col("doc_id"), lit(16L))),
+              toks = length(col("text")).cast("long"),
+              weights = Map("s0" -> 2.0), defaultWeight = 1.0,
+              maxTokensPerBin = 4096, nShards = 32))),
+          corpus = Some(corpusDf), eval = Some(eval))
+          .kept.write.format("noop").mode("overwrite").save()
       // fixed batch at both scales (budgets derive from the BATCH mass —
       // unlike Bench's corpus-mass budgets, which at N× would stop
       // biting and change stage-6's work)

@@ -116,6 +116,11 @@ object Pipeline {
       "Pipeline.run: bandTable is configured but no corpus frame was " +
         "passed — near-dup's exact-verify side reads candidate texts " +
         "from the corpus")
+    require(cfg.mix.isEmpty ||
+        !(batch.columns.contains("src") || batch.columns.contains("toks")),
+      "Pipeline.run: the mix stages materialize working columns `src` " +
+        "and `toks` — the batch already has one of them, which would be " +
+        "silently overwritten; rename it or fold it into cfg.mix.src/toks")
     val counts = Seq.newBuilder[(String, Long)]
     def mat(name: String)(d: DataFrame): DataFrame = {
       val m = d.localCheckpoint(true)

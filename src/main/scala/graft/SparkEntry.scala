@@ -1239,6 +1239,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "x81_media_neardup_ahash" -> ((s, dir) => {
+      // the aHash dial of x80: bit i = feature(i) > vector MEAN. The
+      // alternating 1% twin moves the mean a hair AND half the
+      // elements, so twins land at small nonzero Hamming through a
+      // different mechanism than dHash's consecutive-sign flips; the
+      // oracle recomputes the mean with the kernel's exact sequential
+      // double summation (list_sum verified bit-identical to it).
+      val base = rd(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val twins = base.where(col("vec_id") % 20 === 10)
+        .select((col("vec_id") + PlantedOffset).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i % 2 === 0, x).otherwise(x * lit(1.01f)))
+            .as("embedding"))
+      Multimodal.nearDupMediaPairs(base.unionAll(twins), "embedding",
+          "vec_id", maxHamming = 3, hash = "ahash")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "x56_temperature_mix" -> ((s, dir) =>
       // temperature-flattened language rebalancing: per-lang rates are
       // pure arithmetic over the lang counts (sorted fold, 9-dp
@@ -2586,6 +2604,41 @@ object SparkEntry {
         |                       THEN 1::BIGINT << (i - 1) ELSE 0 END))
         |         AS BIGINT), 0) AS hash
         |  FROM m)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.hash, b.hash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // aHash: bit i = e[i] > mean(e); the mean replays the kernel's exact
+    // sequential double summation (DuckDB list_sum over CAST-to-DOUBLE
+    // elements measured bit-identical to it on every sf0.1 embedding)
+    "x81_media_neardup_ahash" ->
+      """WITH m AS (
+        |  SELECT vec_id AS id, embedding AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000000,
+        |         list_transform(embedding, (x, i) ->
+        |           CASE WHEN (i - 1) % 2 = 0 THEN x
+        |                ELSE x * CAST(1.01 AS FLOAT) END)
+        |  FROM embeddings WHERE vec_id % 20 = 10),
+        |mu AS (
+        |  SELECT id, e,
+        |         list_sum(list_transform(e, x -> CAST(x AS DOUBLE))) / len(e) AS m
+        |  FROM m),
+        |h AS (
+        |  -- bit 63 is the BIGINT sign bit: DuckDB raises on 1 << 63, so
+        |  -- it enters the sum as MIN_BIGINT (same two's-complement value
+        |  -- the kernel's 1L << 63 produces)
+        |  SELECT id, coalesce(CAST(list_sum(
+        |           list_transform(range(1, least(len(e), 64) + 1),
+        |             i -> CASE WHEN CAST(e[i] AS DOUBLE) > m
+        |                       THEN CASE WHEN i = 64
+        |                            THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |                            ELSE 1::BIGINT << (i - 1) END
+        |                  ELSE 0 END))
+        |         AS BIGINT), 0) AS hash
+        |  FROM mu)
         |SELECT a.id AS id_a, b.id AS id_b,
         |       CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.id < b.id

@@ -178,16 +178,22 @@ object Multimodal {
     * `maxBucket` exactly like the text LSH paths.
     */
   def nearDupMediaPairs(df: DataFrame, featureCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 100000,
+      hash: String = "dhash"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15] for complete >=4-bit chunk blocking, got $maxHamming")
+    val hashUdf = hash match {
+      case "dhash" => graft.functions.MediaHash.dhashUdf
+      case "ahash" => graft.functions.MediaHash.ahashUdf
+      case other => throw new IllegalArgumentException(
+        s"nearDupMediaPairs: hash must be dhash or ahash, got $other")
+    }
     val chunks = maxHamming + 1
     val widths  = Array.tabulate(chunks)(i => 64 / chunks + (if (i < 64 % chunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val withSig = df
       .where(col(featureCol).isNotNull)
-      .select(col(idCol).as("id"),
-        graft.functions.MediaHash.dhashUdf(col(featureCol)).as("sig"))
+      .select(col(idCol).as("id"), hashUdf(col(featureCol)).as("sig"))
     val chunkVals = (0 until chunks).map { i =>
       val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1
       struct(lit(i).as("chunk"),
@@ -206,8 +212,7 @@ object Multimodal {
       .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
     val sigSmall = df.select(col(idCol).as("id"), col(featureCol))
       .join(candIds, Seq("id"), "left_semi")
-      .select(col("id"),
-        graft.functions.MediaHash.dhashUdf(col(featureCol)).as("sig"))
+      .select(col("id"), hashUdf(col(featureCol)).as("sig"))
       .localCheckpoint(false)
     val sigA = sigSmall.withColumnsRenamed(Map("id" -> "id_a", "sig" -> "sig_a"))
     val sigB = sigSmall.withColumnsRenamed(Map("id" -> "id_b", "sig" -> "sig_b"))

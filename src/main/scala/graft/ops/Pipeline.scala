@@ -75,6 +75,15 @@ object Pipeline {
       fingerprintTable: Option[String] = None,
       bandTable: Option[String] = None,
       nearDup: NearDup = NearDup(),
+      /** also collapse near-duplicates WITHIN the batch (LSH pairs →
+        * connected components → min-id keep, the `nearDup` dials). The
+        * standing-band probe deliberately does NOT do this
+        * (nearDupIncrementIndexed's contract: two fresh near-twins
+        * arriving in the same batch both survive it) — this stage
+        * closes that gap for batch-heavy sources. Off by default: the
+        * benched b17 recipe measures the corpus-probe path alone.
+        */
+      withinBatchNearDup: Boolean = false,
       decontaminateGramSize: Int = 13,
       decontaminateFpp: Double = 0.001,
       mix: Option[Mix] = None,
@@ -142,6 +151,14 @@ object Pipeline {
         threshold = nd.threshold, numHashes = nd.numHashes,
         bands = nd.bands, shingleSize = nd.shingleSize,
         maxBucket = nd.maxBucket))
+    }
+    if (upTo >= 4 && cfg.withinBatchNearDup) {
+      val nd = cfg.nearDup
+      df = mat("within_batch_near_dup")(Dedup.dedupByPairs(df, cfg.idCol,
+        Dedup.minhashDedupPairs(df, cfg.textCol, cfg.idCol,
+          threshold = nd.threshold, numHashes = nd.numHashes,
+          bands = nd.bands, shingleSize = nd.shingleSize,
+          maxBucket = nd.maxBucket).select("id_a", "id_b")))
     }
     if (upTo >= 5) eval.foreach { ev =>
       df = mat("decontaminate")(Decontaminate.decontaminateBloom(

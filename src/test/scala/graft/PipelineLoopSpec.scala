@@ -112,6 +112,26 @@ class PipelineLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("withinBatchNearDup collapses same-batch near-twins the standing probe deliberately passes") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, "the first fresh document with plenty of ordinary words about " +
+        "parts and suppliers and the usual corpus phrasing here"),
+      (2L, "the first fresh document with plenty of ordinary words about " +
+        "parts and suppliers and the usual corpus phrasing here tail"), // near-twin of 1
+      (3L, "a completely different report that have nothing shared with " +
+        "the other two beyond the required stopwords of the filter"))
+      .toDF("doc_id", "text")
+    def kept(flag: Boolean): Set[Long] =
+      Pipeline.run(batch, Pipeline.Config(
+          rules = Some(rules), withinBatchNearDup = flag,
+          nearDup = Pipeline.NearDup(threshold = 0.7, numHashes = 32,
+            bands = 8, shingleSize = 3, maxBucket = 1000)))
+        .kept.select("doc_id").as[Long].collect().toSet
+    assert(kept(false) == Set(1L, 2L, 3L), "no standing table, flag off: all pass")
+    assert(kept(true) == Set(1L, 3L), "flag on: the near-twin collapses to its min id")
+  }
+
   test("streaming store graduates into the daily loop: day 2 runs against the graduated band table, day 3 against its folds") {
     import spark.implicits._
     // the last seam between the two standing-band representations: a

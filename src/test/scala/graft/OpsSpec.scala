@@ -281,6 +281,40 @@ class OpsSpec extends AnyFunSuite {
       s"driver CC must label with the engine-collation minimum, got $fromDriver")
   }
 
+  test("driver CC at rehash scale: 40k distinct sparse long ids equal an independent union-find") {
+    import spark.implicits._
+    // the r18 driver path stores ids in an open-addressing table
+    // pre-sized 1<<16 and REHASHES past ~32k distinct ids — the small
+    // soups above never reach that path. 30k random edges over sparse
+    // 48-bit ids (~40k distinct) cross the rehash boundary twice; the
+    // oracle is an independent in-test union-find, not the distributed
+    // loop (keeps the test fast and the implementations unrelated).
+    val rnd = new scala.util.Random(0x5eedL)
+    def sparseId(): Long = rnd.nextLong() & 0xFFFFFFFFFFFFL
+    val nodes = Array.fill(40000)(sparseId())
+    val edges = (0 until 30000).map { _ =>
+      (nodes(rnd.nextInt(nodes.length)), nodes(rnd.nextInt(nodes.length)))
+    }
+    val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference union-find (HashMap-based, path compression)
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    val minOf = scala.collection.mutable.HashMap[Long, Long]()
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), id)
+    }
+    val want = parent.keys.map(id => id -> minOf(find(id))).toMap
+    assert(got.size == want.size, s"${got.size} vs ${want.size} labeled ids")
+    assert(got == want)
+  }
+
   test("connected components: worst-case 10k-hop path converges in ~log2 rounds, fails fast otherwise") {
     import spark.implicits._
     // a 10k-node path is the worst-case diameter for its size: one-hop

@@ -87,8 +87,13 @@ object Decontaminate {
       fpp: Double = 0.001): DataFrame = {
     val benchGrams = bench
       .select(explode(gramKeys(col(benchTextCol), n)).as("gram")).distinct()
-    val expected = math.max(benchGrams.count(), 1L)
-    val bf = benchGrams.stat.bloomFilter("gram", expected, fpp)
+    val nGrams = benchGrams.count()
+    // a benchmark whose every text is shorter than n tokens has NO grams
+    // to match — nothing can be contaminated, and stat.bloomFilter over
+    // the empty frame would NPE deserializing a null sketch (Spark's
+    // aggregate returns no row)
+    if (nGrams == 0L) return docs
+    val bf = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
     val bfB = docs.sparkSession.sparkContext.broadcast(bf)
     val mightHit = udf { (gs: Seq[String]) =>
       gs != null && gs.exists(bfB.value.mightContainString)

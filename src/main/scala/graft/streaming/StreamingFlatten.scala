@@ -134,30 +134,9 @@ object StreamingFlatten {
         val existing = spark.read.parquet(corpusDir)
           .where(col("batch") =!= batchId)
         val texts = existing.select(col(idCol), col(textCol))
-        // stored band arrays make the accumulated store a standing band
-        // index ([[graft.ops.Dedup.writeBandTable]]'s shape, inlined in
-        // the partitioned store): the corpus-side per-batch cost is a
-        // posexplode of fixed-width hashes, NOT a MinHash pass over
-        // every accumulated document. Only legacy rows (store written
-        // before this layout / null `bh` in a schema-merged mixed
-        // store) pay the kernel again; the config columns ride along so
-        // a stream restarted with different band parameters fails fast
-        // ([[rebandStore]] migrates the store to a new config).
-        val bandIdx =
-          if (existing.columns.contains("bh") &&
-              existing.columns.contains("numhashes")) {
-            val stored = existing.where(col("bh").isNotNull)
-              .select(col(idCol).as("id"),
-                posexplode(col("bh")).as(Seq("band", "bandHash")),
-                col("numhashes"), col("bands"), col("shinglesize"))
-            val legacy = graft.ops.Dedup.bandIndex(
-              existing.where(col("bh").isNull).select(col(idCol), col(textCol)),
-              textCol, idCol, numHashes, bands, shingleSize)
-            stored.unionByName(legacy)
-          } else
-            graft.ops.Dedup.bandIndex(texts, textCol, idCol,
-              numHashes, bands, shingleSize)
-        graft.ops.Dedup.nearDupIncrementIndexed(bandIdx, texts, batch,
+        graft.ops.Dedup.nearDupIncrementIndexed(
+          storeBandIndex(existing, textCol, idCol, numHashes, bands, shingleSize),
+          texts, batch,
           textCol, idCol, threshold, numHashes, bands, shingleSize, maxBucket)
       }
     fresh.select(col(idCol), col(textCol))
@@ -167,6 +146,146 @@ object StreamingFlatten {
       .withColumn("bands", lit(bands))
       .withColumn("shinglesize", lit(shingleSize))
       .write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+  }
+
+  /** The accumulated store as a standing band index
+    * ([[graft.ops.Dedup.writeBandTable]]'s shape, inlined in the
+    * partitioned store): stored band arrays make the corpus-side
+    * per-batch cost a posexplode of fixed-width hashes, NOT a MinHash
+    * pass over every accumulated document. Only legacy rows (store
+    * written before this layout / null `bh` in a schema-merged mixed
+    * store) pay the kernel again; the config columns ride along so a
+    * stream restarted with different band parameters fails fast
+    * ([[rebandStore]] migrates the store to a new config).
+    */
+  private def storeBandIndex(existing: DataFrame, textCol: String,
+      idCol: String, numHashes: Int, bands: Int, shingleSize: Int): DataFrame =
+    if (existing.columns.contains("bh") &&
+        existing.columns.contains("numhashes")) {
+      val stored = existing.where(col("bh").isNotNull)
+        .select(col(idCol).as("id"),
+          posexplode(col("bh")).as(Seq("band", "bandHash")),
+          col("numhashes"), col("bands"), col("shinglesize"))
+      val legacy = graft.ops.Dedup.bandIndex(
+        existing.where(col("bh").isNull).select(col(idCol), col(textCol)),
+        textCol, idCol, numHashes, bands, shingleSize)
+      stored.unionByName(legacy)
+    } else
+      graft.ops.Dedup.bandIndex(
+        existing.select(col(idCol), col(textCol)),
+        textCol, idCol, numHashes, bands, shingleSize)
+
+  /** The ingest-hygiene STACK on a stream — the streaming face of
+    * [[graft.ops.Pipeline]]'s filter/dedup stages: each micro-batch runs
+    * quality filtering → 13-gram Bloom decontamination (both stateless
+    * scan-fused kernels, so they run before any state is touched) →
+    * exact dedup against the accumulated store (anti-join on STORED
+    * 16-byte fingerprints — no re-hash of the corpus per batch) →
+    * near-dup against the stored band arrays ([[streamingNearDup]]'s
+    * standing-index machinery), then appends its admitted documents to
+    * the store and writes them to `outDir/batch=<id>` as the admitted
+    * output stream.
+    *
+    * Replay idempotence (the property the batch-table fold CANNOT give a
+    * stream: re-running a batch that already folded its admissions into
+    * a catalog table would see its own fingerprints and admit nothing):
+    * both writes go to the batch's OWN `batch=<id>` partition with
+    * overwrite, and both dedups exclude that partition — a post-failure
+    * replay reproduces the exact same admissions. Store rows carry
+    * (fp, bh, config), so the store IS the standing state: exact and
+    * near-dup probes read fixed-width columns, never re-kernel the
+    * corpus, and [[graduateNearDupStore]] can promote it to the batch
+    * pipeline's bucketed band table at any point (the store schema is a
+    * superset of [[streamingNearDup]]'s).
+    *
+    * Within-batch duplicates: exact dups collapse to their min id (the
+    * [[graft.ops.Dedup.dedupIncrement]] contract); near-dup twins inside
+    * ONE batch both survive (the nearDupIncrement contract — compose
+    * [[graft.ops.Dedup.minhashDedupPairs]] on the batch first if that
+    * matters at your batch sizes).
+    */
+  def streamingPipeline(docs: DataFrame, textCol: String, idCol: String,
+      corpusDir: String, outDir: String, checkpointDir: String,
+      rules: Option[graft.ops.TextFilters.Rules] =
+        Some(graft.ops.TextFilters.Rules()),
+      eval: Option[DataFrame] = None,
+      threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
+      shingleSize: Int = 3, maxBucket: Int = 10000,
+      decontaminateGramSize: Int = 13): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        pipelineBatch(batch, batchId, textCol, idCol, corpusDir, outDir,
+          rules, eval, threshold, numHashes, bands, shingleSize, maxBucket,
+          decontaminateGramSize)
+      }
+      .start()
+
+  /** One [[streamingPipeline]] micro-batch — package-visible for the
+    * replay-idempotence contract, like [[nearDupBatch]]. */
+  private[graft] def pipelineBatch(batch: DataFrame, batchId: Long,
+      textCol: String, idCol: String, corpusDir: String, outDir: String,
+      rules: Option[graft.ops.TextFilters.Rules], eval: Option[DataFrame],
+      threshold: Double, numHashes: Int, bands: Int, shingleSize: Int,
+      maxBucket: Int, decontaminateGramSize: Int): Unit = {
+    val spark = batch.sparkSession
+    var df = batch
+    rules.foreach(r => df = graft.ops.TextFilters(df, textCol, r))
+    eval.foreach(ev => df = graft.ops.Decontaminate.decontaminateBloom(
+      df, textCol, idCol, ev, textCol, n = decontaminateGramSize))
+    // the surviving batch feeds three consumers (exact keys, near-dup
+    // signatures, the final writes) — materialize once, micro-batch-sized
+    df = df.localCheckpoint(true)
+    val fs = new org.apache.hadoop.fs.Path(corpusDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasOther = fs.exists(new org.apache.hadoop.fs.Path(corpusDir)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(corpusDir))
+        .exists { st =>
+          st.getPath.getName.startsWith("batch=") &&
+            st.getPath.getName != s"batch=$batchId"
+        }
+    val fp = graft.ops.TextAnalysis.fingerprintBin(col(textCol))
+    val existing =
+      if (hasOther)
+        Some(spark.read.parquet(corpusDir).where(col("batch") =!= batchId))
+      else None
+    // exact dedup: against STORED fingerprints (legacy/mixed-store rows
+    // without an fp column re-hash their text, once per batch) AND
+    // within the batch itself (min id per fingerprint group — the
+    // dedupIncrement contract, applied from the very first batch)
+    val batchKeys = df.select(fp.as("__k"), col(idCol))
+    val freshKeys = existing match {
+      case Some(ex) =>
+        val seen =
+          if (ex.columns.contains("fp")) ex.select(coalesce(col("fp"), fp).as("__k"))
+          else ex.select(fp.as("__k"))
+        batchKeys.join(seen, Seq("__k"), "left_anti")
+      case None => batchKeys
+    }
+    val keepIds = freshKeys.groupBy("__k")
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val exactKept = df.join(keepIds, Seq(idCol), "left_semi")
+    val fresh = existing match {
+      case Some(ex) =>
+        graft.ops.Dedup.nearDupIncrementIndexed(
+          storeBandIndex(ex, textCol, idCol, numHashes, bands, shingleSize),
+          ex.select(col(idCol), col(textCol)), exactKept,
+          textCol, idCol, threshold, numHashes, bands, shingleSize, maxBucket)
+      case None => exactKept
+    }
+    val admitted = fresh.select(col(idCol), col(textCol))
+      .withColumn("fp", fp)
+      .withColumn("bh", graft.functions.TextHash
+        .minhashBandsUdf(numHashes, bands, shingleSize)(col(textCol)))
+      .withColumn("numhashes", lit(numHashes))
+      .withColumn("bands", lit(bands))
+      .withColumn("shinglesize", lit(shingleSize))
+      .localCheckpoint(true) // two writes below — compute admissions once
+    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
+    admitted.select(col(idCol), col(textCol))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    df.unpersist()
+    admitted.unpersist()
   }
 
   /** Embedding near-dup on a STREAM — the vector twin of

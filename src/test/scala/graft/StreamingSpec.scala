@@ -394,4 +394,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(agg.length == 2)
     assert(agg(0).getLong(2) == 2) // two clicks in hour 0
   }
+
+  test("streamingPipeline: quality + decontaminate + store dedup per micro-batch, replay-idempotent, graduates") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("spipe").toString
+    val corpus = s"$work/corpus"; val out = s"$work/out"
+    val rules = Some(graft.ops.TextFilters.Rules(minWords = 5,
+      maxWords = 1000, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+      minAlphaWordRatio = 0.3, minStopwordHits = 1))
+    val eval = Some(Seq("the held out benchmark sentence that must never " +
+      "appear in any admitted training data").toDF("text"))
+    def doc(i: Long) = (i, s"the ordinary document number $i with plenty " +
+      s"of words about part ${i * 7} and supplier ${i % 13} here")
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingFlatten.pipelineBatch(rows.toDF("doc_id", "text"), id,
+        "text", "doc_id", corpus, out, rules, eval,
+        0.7, 32, 8, 3, 10000, 13)
+    def admitted(id: Long): Set[Long] =
+      spark.read.parquet(s"$out/batch=$id").select("doc_id").as[Long]
+        .collect().toSet
+
+    // batch 0: two fresh docs, a WITHIN-batch exact dup (higher id of
+    // doc 1's text), a quality reject
+    run(Seq(doc(1L), doc(2L), (91L, doc(1L)._2), (92L, "1 2 3")), 0)
+    assert(admitted(0) == Set(1L, 2L), admitted(0))
+
+    // batch 1: exact copy of a batch-0 admission, near copy with a
+    // tail, a contaminated doc, a fresh doc
+    val b1 = Seq(
+      (101L, doc(1L)._2),                       // exact vs store → drop
+      (102L, doc(2L)._2 + " tail"),             // near vs store → drop
+      (103L, "the held out benchmark sentence that must never appear " +
+        "in any admitted training data plus padding"), // decontaminate → drop
+      doc(110L))                                 // fresh → keep
+    run(b1, 1)
+    assert(admitted(1) == Set(110L), admitted(1))
+    // replay of batch 1 (failure recovery): identical admissions, store
+    // does not double-count its own partial write
+    run(b1, 1)
+    assert(admitted(1) == Set(110L), "replay must reproduce admissions")
+    val store = spark.read.parquet(corpus)
+    assert(store.select("doc_id").as[Long].collect().toSet ==
+      Set(1L, 2L, 110L))
+    assert(store.columns.contains("fp") && store.columns.contains("bh"))
+
+    // batch 2: copy of a batch-1 admission drops via the store loop
+    run(Seq((201L, doc(110L)._2), doc(220L)), 2)
+    assert(admitted(2) == Set(220L), admitted(2))
+
+    // the pipeline store graduates to the batch pipeline's band table
+    // (schema superset of streamingNearDup's store)
+    val (nh, bd, ss) = StreamingFlatten.graduateNearDupStore(
+      spark, corpus, "text", "doc_id", "spipe_grad", numBuckets = 4)
+    assert((nh, bd, ss) == ((32, 8, 3)))
+    spark.sql("DROP TABLE IF EXISTS spipe_grad")
+  }
 }

@@ -73,7 +73,8 @@ object Cli {
         "[--arrays-new-table] [--inline-one-to-one] [--parquet] [--sql-scripts] " +
         "[--sqlite] [--xlsx] [--evolve] [--web] " +
         "[--pipeline [--pipeline-text c] [--pipeline-id c] [--pipeline-eval f] " +
-        "[--pipeline-corpus p] [--pipeline-fp p] [--pipeline-bands p]]")
+        "[--pipeline-corpus p] [--pipeline-fp p] [--pipeline-bands p] " +
+        "[--pipeline-within-batch]]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -227,7 +228,8 @@ object Cli {
         val out = graft.ops.Pipeline.run(
           main.select(col(idCol), col(textCol)),
           graft.ops.Pipeline.Config(textCol = textCol, idCol = idCol,
-            fingerprintTable = fp, bandTable = bands),
+            fingerprintTable = fp, bandTable = bands,
+            withinBatchNearDup = has("--pipeline-within-batch")),
           corpus = corpus, eval = eval, countStages = true)
         out.kept.write.mode("overwrite").parquet(s"$outDir/pipeline")
         out.stageCounts.foreach { case (st, n) => println(s"pipeline $st: $n rows") }

@@ -130,6 +130,10 @@ object Bench {
       * runs against a drained or a saturated storage pool depends on
       * incidental GC timing, exactly the class of once-per-JVM mode b4
       * exhibited in r17. */
+    // per-row max load sample — when a row's timings look contaminated,
+    // this column says whether the box agreed (r17's b4: the artifact
+    // had only a global max, so the episode could not be localized)
+    val loadByQuery = scala.collection.mutable.LinkedHashMap[String, Double]()
     def runTimes(name: String)(f: => Unit): Vector[Double] = {
       System.gc()
       var minSoFar = Double.MaxValue
@@ -140,7 +144,9 @@ object Bench {
             s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
           System.err.println(s"[bench] $name FAILED: $e")
         }
-        loadSamples += osBean.getSystemLoadAverage
+        val load = osBean.getSystemLoadAverage
+        loadSamples += load
+        loadByQuery(name) = math.max(loadByQuery.getOrElse(name, 0.0), load)
         val t = (System.nanoTime() - t0) / 1e9
         if (t > 2.0 && t > 3.0 * minSoFar)
           System.err.println(f"[bench] $name slow rep $t%.2f s (fastest " +
@@ -861,8 +867,10 @@ object Bench {
         " — treat the numbers as upper bounds")
     val errJson = errors.map { case (k, v) =>
       graft.util.Json.js(k) + ":" + graft.util.Json.js(v) }.mkString("{", ",", "}")
+    val loadQ = loadByQuery.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }
+      .mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""runs":$Runs,"spread":$spread,"errors":$errJson,"load_warn":$loadWarn,""" +
+      f""""runs":$Runs,"spread":$spread,"errors":$errJson,"load_by_query":$loadQ,"load_warn":$loadWarn,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_avg_max":$loadMax%.2f,""" +
       f""""load_gate_waited_sec":$gateWaitSec%.0f,""" +
       s""""available_processors":$cores,"sf":"$sfDir"}""")

@@ -170,7 +170,7 @@ object Bench {
     // flatten of main + child tables. NaturalKey links: no zipWithIndex job.
     val jsonDir = java.nio.file.Files.createTempDirectory("graft_bench_json").toString + "/docs"
     SparkEntry.nestedOrders(spark, sfDir).write.mode("overwrite").json(jsonDir)
-    val b1Times = runTimes("b1") {
+    val b1Times = runTimes("b1_flatten_json_e2e") {
       val docs = graft.sources.JsonInput.ndjson(spark, jsonDir)
       graft.plan.FlattenPlanner.flatten(docs,
         graft.model.FlattenOptions(
@@ -756,36 +756,36 @@ object Bench {
 
     val allTimes: Seq[(String, Vector[Double])] = headlineTimes ++ Seq(
       "b1_flatten_json_e2e" -> b1Times,
-      "b2_minhash_600k" -> runTimes("b2")(runB2(sfDir)),
-      "b3_near_dedup_apply_600k" -> runTimes("b3")(runB3(sfDir)),
-      "b4_incremental_dedup_600k" -> runTimes("b4")(runB4(sfDir)),
-      "b5_sqlite_sink_600k" -> runTimes("b5")(runB5(sfDir)),
-      "b6_sqlite_indexed_600k" -> runTimes("b6")(runB6(sfDir)),
-      "b7_shared_windows_600k" -> runTimes("b7")(runB7(sfDir)),
-      "b8_ann_lsh_600k" -> runTimes("b8")(runB8(b8Corpus)),
-      "b9_ann_ivf_indexed_600k" -> runTimes("b9")(
+      "b2_minhash_600k" -> runTimes("b2_minhash_600k")(runB2(sfDir)),
+      "b3_near_dedup_apply_600k" -> runTimes("b3_near_dedup_apply_600k")(runB3(sfDir)),
+      "b4_incremental_dedup_600k" -> runTimes("b4_incremental_dedup_600k")(runB4(sfDir)),
+      "b5_sqlite_sink_600k" -> runTimes("b5_sqlite_sink_600k")(runB5(sfDir)),
+      "b6_sqlite_indexed_600k" -> runTimes("b6_sqlite_indexed_600k")(runB6(sfDir)),
+      "b7_shared_windows_600k" -> runTimes("b7_shared_windows_600k")(runB7(sfDir)),
+      "b8_ann_lsh_600k" -> runTimes("b8_ann_lsh_600k")(runB8(b8Corpus)),
+      "b9_ann_ivf_indexed_600k" -> runTimes("b9_ann_ivf_indexed_600k")(
         runB9(b9Index, b9Centroids,
           b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))),
-      "b10_pq_adc_600k" -> runTimes("b10")(
+      "b10_pq_adc_600k" -> runTimes("b10_pq_adc_600k")(
         runB10(b10Codes, b10Cb,
           b8Corpus.where(org.apache.spark.sql.functions.col("vec_id") < 100))),
-      "b11_lm_model_600k" -> runTimes("b11")(runB11(lmDocs)),
-      "b12_lm_score_600k" -> runTimes("b12")(runB12(lmDocs)),
-      "b13_token_budget_600k" -> runTimes("b13")(runB13(lmDocs, b13Budgets)),
-      "b14_neardup_indexed_600k" -> runTimes("b14")(
+      "b11_lm_model_600k" -> runTimes("b11_lm_model_600k")(runB11(lmDocs)),
+      "b12_lm_score_600k" -> runTimes("b12_lm_score_600k")(runB12(lmDocs)),
+      "b13_token_budget_600k" -> runTimes("b13_token_budget_600k")(runB13(lmDocs, b13Budgets)),
+      "b14_neardup_indexed_600k" -> runTimes("b14_neardup_indexed_600k")(
         runB14(lmDocs, "graft_bench_bands")),
-      "b15_shuffle_600k" -> runTimes("b15")(runB15(lmDocs)),
-      "b16_vocab_600k" -> runTimes("b16")(runB16(lmDocs)),
-      "b19_embed_prep_600k" -> runTimes("b19")(runB19(b8Corpus)),
-      "b18_tfidf_600k" -> runTimes("b18")(runB18(lmDocs, bc = false)),
+      "b15_shuffle_600k" -> runTimes("b15_shuffle_600k")(runB15(lmDocs)),
+      "b16_vocab_600k" -> runTimes("b16_vocab_600k")(runB16(lmDocs)),
+      "b19_embed_prep_600k" -> runTimes("b19_embed_prep_600k")(runB19(b8Corpus)),
+      "b18_tfidf_600k" -> runTimes("b18_tfidf_600k")(runB18(lmDocs, bc = false)),
       // BOTH b18 dials are recorded rows (r17 judge): the default
       // shuffle-join dial rolls the diagnosed 2.1-6.3 s AQE
       // exchange-reuse band (§b18-tfidf — plan proven right, variance is
       // scheduling), so round-over-round comparison anchors on this
       // stable broadcast row while the row above documents the
       // unbounded-vocabulary default honestly
-      "b18_tfidf_bc_600k" -> runTimes("b18bc")(runB18(lmDocs, bc = true)),
-      "b17_pipeline_600k" -> runTimes("b17")(
+      "b18_tfidf_bc_600k" -> runTimes("b18_tfidf_bc_600k")(runB18(lmDocs, bc = true)),
+      "b17_pipeline_600k" -> runTimes("b17_pipeline_600k")(
         b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
           "graft_bench_fp_b17", b17Eval, b17Budgets)
           .write.format("noop").mode("overwrite").save()))

@@ -1486,6 +1486,57 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "x82_streaming_pipeline" -> ((s, dir) => {
+      // the STREAMING ingest-hygiene stack over two real micro-batches:
+      // batch 0 = the corpus + planted CONTAMINATED docs (each contains
+      // the nonsense eval sentence verbatim → every 13-gram matches →
+      // Bloom decontamination drops them all); batch 1 = a verbatim copy
+      // of every corpus doc (drops against the STORED fingerprints — a
+      // copy of an exact-dup loser still dies: its group's admitted
+      // representative has the same fingerprint) plus token-disjoint
+      // fresh docs (survive). Quality runs with only the word-count rule
+      // biting (>= 3 words: SQL-replayable in one line) and near-dup at
+      // threshold 1.0 (shingle-set equality — nothing in batch 1 reaches
+      // it: copies die at the exact stage first). The accumulated store
+      // is the checked output; the oracle COMPUTES quality, computed
+      // contamination (token-boundary gram containment, not the planted
+      // list), and the min-id-per-fingerprint exact winners.
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingFlatten
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id")).limit(StreamDocCap)
+        .as[(Long, String)].collect()
+      val evalSentence = (1 to 14).map(i => s"qq$i").mkString(" ")
+      val work = java.nio.file.Files.createTempDirectory("x82").toString
+      val in = MemoryStream[(Long, String)]
+      val rules = graft.ops.TextFilters.Rules(minWords = 3,
+        maxWords = 100000, minMeanWordLen = 0.0, maxMeanWordLen = 1e9,
+        maxSymbolWordRatio = 1e9, maxBulletLineRatio = 1.0,
+        maxEllipsisLineRatio = 1.0, minAlphaWordRatio = 0.0,
+        minStopwordHits = 0)
+      val q = StreamingFlatten.streamingPipeline(
+        in.toDF().toDF("doc_id", "text"), "text", "doc_id",
+        s"$work/corpus", s"$work/out", s"$work/ckpt",
+        rules = Some(rules),
+        eval = Some(Seq(evalSentence).toDF("text")),
+        threshold = 1.0, numHashes = 32, bands = 8)
+      try {
+        in.addData(docs.toSeq ++ docs.toSeq.filter(_._1 % 10 == 0)
+          .map { case (id, _) =>
+            (id + 3 * PlantedOffset, s"$evalSentence filler token$id") })
+        q.processAllAvailable()
+        in.addData(docs.toSeq.flatMap { case (id, t) =>
+          Seq((id + PlantedOffset, t),
+            (id + 2 * PlantedOffset, s"zzqx$id vvwk$id ppmj$id"))
+        })
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$work/corpus")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x14_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingFlatten
@@ -1855,6 +1906,41 @@ object SparkEntry {
     // streaming near-dup: the accumulated corpus after both batches is
     // batch 1 (all documents) plus batch 2's token-disjoint fresh docs
     // (id + 2×offset); every verbatim copy (id + offset) dropped
+    // x82: batch-0 admissions = min doc_id per fingerprint among
+    // quality-passed (>= 3 ws-words), uncontaminated (token-boundary
+    // 13-gram containment of the qq eval sentence, COMPUTED — the
+    // planted +3e8 docs always contain it by construction and so never
+    // appear) originals; batch-1 verbatim copies all die against the
+    // stored fingerprints; the fresh +2e8 docs all pass.
+    "x82_streaming_pipeline" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT $StreamDocCap),
+        |q AS (
+        |  SELECT doc_id, text FROM base
+        |  WHERE len(list_filter(regexp_split_to_array(text, '$FpWs'),
+        |                        w -> len(w) > 0)) BETWEEN 3 AND 100000),
+        |tok AS (
+        |  SELECT doc_id,
+        |    ' ' || array_to_string(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0), ' ') || ' ' AS ts
+        |  FROM q),
+        |clean AS (
+        |  SELECT q.doc_id, q.text FROM q JOIN tok USING (doc_id)
+        |  WHERE NOT (contains(ts, ' qq1 qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11 qq12 qq13 ')
+        |          OR contains(ts, ' qq2 qq3 qq4 qq5 qq6 qq7 qq8 qq9 qq10 qq11 qq12 qq13 qq14 '))),
+        |a1 AS (
+        |  SELECT min(doc_id) AS doc_id FROM (
+        |    SELECT doc_id,
+        |      md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g')) AS fp
+        |    FROM clean)
+        |  GROUP BY fp)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id FROM a1
+        |  UNION ALL
+        |  SELECT doc_id + ${2 * PlantedOffset} FROM base)
+        |ORDER BY doc_id""".stripMargin,
+
     "x58_streaming_neardup" ->
       s"""SELECT doc_id FROM (
         |  SELECT doc_id FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $StreamDocCap)

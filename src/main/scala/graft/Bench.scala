@@ -396,6 +396,26 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    // b20: perceptual media near-dup at fact scale — the r18 media
+    // family's bench point: dHash one 64-bit signature per row over the
+    // 600k decoded-feature vectors (+1% planted recompressed twins),
+    // then the pigeonhole chunk blocking and the bit_count(xor) verify.
+    // maxHamming = 2 (3 chunks of ~21 bits): the chunk-collision floor
+    // is n²/2^bits, so the wider chunks keep the candidate volume
+    // ~bucket-birthday-sized at 600k rows — the same dial trade
+    // simhashDedupPairs documents.
+    def runB20(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      val twins = corpus.where(col("vec_id") % 100 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i % 2 === 0, x).otherwise(x * lit(1.01f)))
+            .as("embedding"))
+      graft.ops.Multimodal.nearDupMediaPairs(corpus.unionAll(twins),
+          "embedding", "vec_id", maxHamming = 2)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // b11/b12: bigram-LM at fact scale over the same 600k synthetic docs
     // (~4.2M token occurrences, key/price tokens mostly OOV at vocab
     // 20k — a deliberately heavy-tailed vocabulary). The corpus is
@@ -751,6 +771,7 @@ object Bench {
       runB10(graft.ops.Similarity.pqEncode(wv, "vec_id", "embedding", wcb),
         wcb, wv.where(org.apache.spark.sql.functions.col("vec_id") < 100))
       runB19(wv)
+      runB20(wv)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup b8/b9/b10 FAILED: $e") }
 
@@ -777,6 +798,7 @@ object Bench {
       "b15_shuffle_600k" -> runTimes("b15_shuffle_600k")(runB15(lmDocs)),
       "b16_vocab_600k" -> runTimes("b16_vocab_600k")(runB16(lmDocs)),
       "b19_embed_prep_600k" -> runTimes("b19_embed_prep_600k")(runB19(b8Corpus)),
+      "b20_media_neardup_600k" -> runTimes("b20_media_neardup_600k")(runB20(b8Corpus)),
       "b18_tfidf_600k" -> runTimes("b18_tfidf_600k")(runB18(lmDocs, bc = false)),
       // BOTH b18 dials are recorded rows (r17 judge): the default
       // shuffle-join dial rolls the diagnosed 2.1-6.3 s AQE

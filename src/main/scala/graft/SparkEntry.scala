@@ -2684,10 +2684,17 @@ object SparkEntry {
         |                ELSE x * CAST(1.01 AS FLOAT) END)
         |  FROM embeddings WHERE vec_id % 20 = 0),
         |h AS (
+        |  -- bit 63 is the BIGINT sign bit: DuckDB raises on 1 << 63, so
+        |  -- it enters the sum as MIN_BIGINT (same two's-complement value
+        |  -- the kernel's 1L << 63 produces; latent until embeddings grow
+        |  -- past 64 dims — i tops out at 63 on today's 64-dim table)
         |  SELECT id, coalesce(CAST(list_sum(
         |           list_transform(range(1, least(len(e), 65)),
         |             i -> CASE WHEN e[i + 1] > e[i]
-        |                       THEN 1::BIGINT << (i - 1) ELSE 0 END))
+        |                       THEN CASE WHEN i = 64
+        |                            THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |                            ELSE 1::BIGINT << (i - 1) END
+        |                  ELSE 0 END))
         |         AS BIGINT), 0) AS hash
         |  FROM m)
         |SELECT a.id AS id_a, b.id AS id_b,

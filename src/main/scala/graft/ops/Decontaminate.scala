@@ -84,23 +84,54 @@ object Decontaminate {
     */
   def decontaminateBloom(docs: DataFrame, textCol: String, idCol: String,
       bench: DataFrame, benchTextCol: String, n: Int = 13,
-      fpp: Double = 0.001): DataFrame = {
+      fpp: Double = 0.001): DataFrame =
+    decontaminateBloomPrepared(docs, textCol, idCol, bench, benchTextCol,
+      buildBloom(bench, benchTextCol, n, fpp))
+
+  /** A benchmark's gram-key Bloom state, built ONCE and reusable across
+    * many corpus batches: the benchmark frame of a streaming
+    * decontamination is fixed for the stream's lifetime, so rebuilding
+    * the filter (distinct + count + bloomFilter aggregate jobs) every
+    * micro-batch is pure waste — build here before the loop, reuse the
+    * broadcast in every [[decontaminateBloomPrepared]] call. `empty`
+    * marks a benchmark with NO n-grams (every text shorter than `n`
+    * tokens): nothing can be contaminated, and `stat.bloomFilter` over
+    * the empty frame would NPE deserializing a null sketch.
+    */
+  final case class BloomState(
+      bfB: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      n: Int, empty: Boolean)
+
+  /** Build [[BloomState]] from the benchmark's distinct `n`-gram keys —
+    * DISTRIBUTED (`stat.bloomFilter` merges per-partition filters, no
+    * driver collect of the gram set) and broadcast once. */
+  def buildBloom(bench: DataFrame, benchTextCol: String, n: Int = 13,
+      fpp: Double = 0.001): BloomState = {
     val benchGrams = bench
       .select(explode(gramKeys(col(benchTextCol), n)).as("gram")).distinct()
     val nGrams = benchGrams.count()
-    // a benchmark whose every text is shorter than n tokens has NO grams
-    // to match — nothing can be contaminated, and stat.bloomFilter over
-    // the empty frame would NPE deserializing a null sketch (Spark's
-    // aggregate returns no row)
-    if (nGrams == 0L) return docs
+    if (nGrams == 0L) return BloomState(null, n, empty = true)
     val bf = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
-    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    BloomState(bench.sparkSession.sparkContext.broadcast(bf), n,
+      empty = false)
+  }
+
+  /** [[decontaminateBloom]] with the Bloom prefilter already built —
+    * the exact-verify join against `bench` (which kills the filter's
+    * false positives) still runs per call; only the filter build is
+    * hoisted. */
+  def decontaminateBloomPrepared(docs: DataFrame, textCol: String,
+      idCol: String, bench: DataFrame, benchTextCol: String,
+      state: BloomState): DataFrame = {
+    if (state.empty) return docs
+    val bfB = state.bfB
     val mightHit = udf { (gs: Seq[String]) =>
       gs != null && gs.exists(bfB.value.mightContainString)
     }
-    val candidates = docs.where(mightHit(gramKeys(col(textCol), n)))
+    val candidates = docs.where(mightHit(gramKeys(col(textCol), state.n)))
     val confirmed = overlapReport(candidates, textCol, idCol,
-      bench, benchTextCol, n).select(idCol)
+      bench, benchTextCol, state.n).select(idCol)
     docs.join(confirmed, Seq(idCol), "left_anti")
   }
 

@@ -95,6 +95,9 @@ object Pipeline {
     * id/src/toks/pos/bin columns — otherwise the surviving batch rows
     * with their original columns); `stageCounts` is (stage name, rows
     * remaining after it), in execution order, only for stages that ran.
+    * `kept` is backed by the final stage's local checkpoint — a
+    * long-lived driver should [[graft.util.Checkpoints.release]] it
+    * after consuming (writing/folding) it.
     */
   final case class Result(kept: DataFrame, stageCounts: Seq[(String, Long)])
 
@@ -131,9 +134,20 @@ object Pipeline {
         "and `toks` — the batch already has one of them, which would be " +
         "silently overwritten; rename it or fold it into cfg.mix.src/toks")
     val counts = Seq.newBuilder[(String, Long)]
+    // Each stage materializes eagerly from the previous stage's
+    // checkpoint, after which that checkpoint's blocks are dead weight —
+    // a long-lived daily-loop driver that never released them would
+    // accumulate storage-pool pressure until GC (the nondeterministic
+    // mode SCALE.md §b4 documents), so release each superseded stage as
+    // soon as its successor is materialized. The FINAL stage's
+    // checkpoint stays alive: `Result.kept` derives from it (release it
+    // via [[graft.util.Checkpoints.release]] once consumed).
+    var prevStage: Option[DataFrame] = None
     def mat(name: String)(d: DataFrame): DataFrame = {
       val m = d.localCheckpoint(true)
       if (countStages) counts += name -> m.count()
+      prevStage.foreach(graft.util.Checkpoints.release)
+      prevStage = Some(m)
       m
     }
     var df = batch

@@ -211,15 +211,23 @@ object StreamingFlatten {
       eval: Option[DataFrame] = None,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, maxBucket: Int = 10000,
-      decontaminateGramSize: Int = 13): StreamingQuery =
+      decontaminateGramSize: Int = 13): StreamingQuery = {
+    // the eval frame is fixed for the stream's lifetime — build its
+    // 13-gram Bloom filter ONCE here, not per micro-batch (the build is
+    // distinct + count + bloomFilter aggregate jobs over the benchmark;
+    // the per-batch exact-verify join, which kills false positives,
+    // stays per batch)
+    val bloom = eval.map(ev => graft.ops.Decontaminate.buildBloom(
+      ev, textCol, decontaminateGramSize))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         pipelineBatch(batch, batchId, textCol, idCol, corpusDir, outDir,
           rules, eval, threshold, numHashes, bands, shingleSize, maxBucket,
-          decontaminateGramSize)
+          decontaminateGramSize, bloom)
       }
       .start()
+  }
 
   /** One [[streamingPipeline]] micro-batch — package-visible for the
     * replay-idempotence contract, like [[nearDupBatch]]. */
@@ -227,12 +235,19 @@ object StreamingFlatten {
       textCol: String, idCol: String, corpusDir: String, outDir: String,
       rules: Option[graft.ops.TextFilters.Rules], eval: Option[DataFrame],
       threshold: Double, numHashes: Int, bands: Int, shingleSize: Int,
-      maxBucket: Int, decontaminateGramSize: Int): Unit = {
+      maxBucket: Int, decontaminateGramSize: Int,
+      // precomputed eval Bloom ([[streamingPipeline]] builds it once for
+      // the stream); None — the direct-call replay path — builds per call
+      bloom: Option[graft.ops.Decontaminate.BloomState] = None): Unit = {
     val spark = batch.sparkSession
     var df = batch
     rules.foreach(r => df = graft.ops.TextFilters(df, textCol, r))
-    eval.foreach(ev => df = graft.ops.Decontaminate.decontaminateBloom(
-      df, textCol, idCol, ev, textCol, n = decontaminateGramSize))
+    eval.foreach { ev =>
+      val st = bloom.getOrElse(graft.ops.Decontaminate.buildBloom(
+        ev, textCol, decontaminateGramSize))
+      df = graft.ops.Decontaminate.decontaminateBloomPrepared(
+        df, textCol, idCol, ev, textCol, st)
+    }
     // the surviving batch feeds three consumers (exact keys, near-dup
     // signatures, the final writes) — materialize once, micro-batch-sized
     df = df.localCheckpoint(true)
@@ -284,8 +299,12 @@ object StreamingFlatten {
     admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
     admitted.select(col(idCol), col(textCol))
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    df.unpersist()
-    admitted.unpersist()
+    // both frames are dead after the writes — drop their checkpoint
+    // blocks NOW rather than letting a long-lived stream accumulate one
+    // pair per micro-batch until GC (Dataset.unpersist() would be a
+    // no-op here: graft.util.Checkpoints Scaladoc)
+    graft.util.Checkpoints.release(df)
+    graft.util.Checkpoints.release(admitted)
   }
 
   /** Embedding near-dup on a STREAM — the vector twin of

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[graft.util.Checkpoints.release]] — the deterministic local-checkpoint
+  * release the engine's long-lived loops (Pipeline stage supersession,
+  * streaming micro-batches, bench reps) depend on. Pins BOTH halves of
+  * the contract: `Dataset.unpersist()` does NOT free a local
+  * checkpoint's blocks (it only uncaches via the CacheManager, which
+  * never saw the checkpoint RDD), and `Checkpoints.release` does.
+  */
+class CheckpointsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Persisted-RDD ids added to the context registry while `f` runs. */
+  private def persistedDelta(f: => Unit): Set[Int] = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    f
+    spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+  }
+
+  test("Dataset.unpersist() leaves a local checkpoint's blocks registered; release drops them") {
+    import spark.implicits._
+    var df: org.apache.spark.sql.DataFrame = null
+    val ids = persistedDelta {
+      df = (1 to 1000).toDF("n").localCheckpoint(true)
+    }
+    assert(ids.nonEmpty, "localCheckpoint(true) must register a persisted RDD")
+
+    df.unpersist(blocking = true)
+    val afterUnpersist = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.subsetOf(afterUnpersist),
+      "Dataset.unpersist() must NOT free the checkpoint (the documented " +
+        "no-op — if Spark ever fixes this, Checkpoints.release can go)")
+
+    graft.util.Checkpoints.release(df)
+    // registry removal is synchronous on unpersist (block eviction may
+    // lag, but the persistence registration is gone immediately)
+    val afterRelease = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ids.intersect(afterRelease).isEmpty,
+      s"release must drop the checkpoint RDD(s) $ids from the registry")
+  }
+
+  test("release is a no-op on a never-checkpointed frame") {
+    import spark.implicits._
+    val df = (1 to 10).toDF("n").select(org.apache.spark.sql.functions.col("n") * 2)
+    graft.util.Checkpoints.release(df) // must not throw
+    assert(df.count() == 10L) // and the frame stays computable
+  }
+
+  test("Pipeline.run releases superseded stage checkpoints and keeps the final one alive") {
+    import spark.implicits._
+    val batch = (1 to 60).map { i =>
+      (i.toLong, "the ordinary document number " + i + " with plenty of " +
+        "words about part " + (i * 7) + " and supplier " + (i % 13) + " here")
+    }.toDF("doc_id", "text")
+    val eval = Seq("a benchmark sentence that no synthetic document " +
+      "contains in any window of thirteen tokens").toDF("text")
+    var res: graft.ops.Pipeline.Result = null
+    val ids = persistedDelta {
+      res = graft.ops.Pipeline.run(batch,
+        graft.ops.Pipeline.Config(
+          rules = Some(graft.ops.TextFilters.Rules(minWords = 5,
+            maxWords = 1000, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+            minAlphaWordRatio = 0.3, minStopwordHits = 1)),
+          withinBatchNearDup = true),
+        eval = Some(eval))
+    }
+    def registry(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // the kept frame's backing checkpoint — the ONE RDD of the run that
+    // must still be alive
+    val keptIds = res.kept.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    assert(keptIds.size == 1 && keptIds.subsetOf(ids),
+      s"kept must be backed by one checkpoint from the run ($keptIds vs $ids)")
+    assert(keptIds.subsetOf(registry()),
+      "the final stage's checkpoint must stay alive")
+    // three mat() stages ran (quality, within-batch near-dup,
+    // decontaminate) — release-on-supersede means the two superseded
+    // checkpoints left the registry during the run. In a full-suite JVM
+    // a PRIOR suite's async teardown can persist foreign RDDs inside the
+    // measurement window (seen once: three ids whose spacing matched no
+    // pipeline stage), so poll those transients out rather than assert
+    // an instantaneous exact count; a broken release would leave MY
+    // stage checkpoints registered forever (no System.gc() is issued
+    // here, so the GC-driven ContextCleaner cannot mask it).
+    val deadline = System.currentTimeMillis + 30000
+    def residue(): Set[Int] = (ids -- keptIds).intersect(registry())
+    while (residue().nonEmpty && System.currentTimeMillis < deadline)
+      Thread.sleep(250)
+    assert(residue().isEmpty,
+      s"superseded stage checkpoints must be released, still live: ${residue()}")
+    assert(res.kept.count() == 60L) // and the kept frame is computable
+    graft.util.Checkpoints.release(res.kept)
+    assert(keptIds.intersect(registry()).isEmpty,
+      "after the caller releases kept, nothing from the run may remain")
+  }
+}

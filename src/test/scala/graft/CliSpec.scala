@@ -146,4 +146,67 @@ class CliSpec extends AnyFunSuite {
     assert(kept.count() == 1L)
     assert(kept.select(col("text")).collect()(0).getString(0) == base + " " + base)
   }
+
+  test("--pipeline-fp/--pipeline-bands/--pipeline-corpus: standing state drops exact and near copies end-to-end") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_cli_pipe_std").toString
+    val out = s"$work/out"
+    // distinct-per-doc alphabetic vocabularies: each doc passes the
+    // DEFAULT Gopher rules (>=50 words, mean len >=3, all-alpha, two
+    // stopword hits) while sharing no shingles with the others, so a
+    // near copy scores ~0.95 Jaccard against ITS corpus twin and ~0
+    // against everything else
+    def w(i: Int): String = "word" + Integer.toString(i, 26).map { c =>
+      if (c.isDigit) ('k' + (c - '0')).toChar else c }.mkString
+    def docText(k: Int): String =
+      (k * 100 until k * 100 + 58).map(w).mkString(" ") + " the and"
+    val corpus = Seq(("c1", docText(1)), ("c2", docText(2)), ("c3", docText(3)))
+      .toDF("_link", "text")
+    corpus.write.parquet(s"$work/corpus")
+    // standing state in the CLI's parquet-path form, produced by the
+    // same projections the catalog writers use (writeFingerprintTable /
+    // writeBandTable) so the temp-view probe sees the real layout —
+    // band config (32/8/3) matches the CLI pipeline's NearDup defaults
+    corpus.select(graft.ops.TextAnalysis.fingerprintBin(col("text")).as("__k"))
+      .write.parquet(s"$work/fp")
+    graft.ops.Dedup.bandIndex(corpus, "text", "_link",
+      numHashes = 32, bands = 8, shingleSize = 3)
+      .write.parquet(s"$work/bands")
+    def j(id: Int, text: String) = s"""{"id":$id,"text":"$text"}"""
+    val in = Files.createTempFile("graft_cli_pipe_std", ".json")
+    Files.writeString(in, "[" + Seq(
+      j(1, docText(1)),                   // exact copy of c1 → fp drop
+      j(2, docText(2) + " extra tail"),   // near copy of c2 → band drop
+      j(3, docText(9)),                   // fresh → kept
+      j(4, "1 2 3")                       // quality drop
+    ).mkString(",") + "]")
+    Cli.run(spark, Cli.parseArgs(Array(in.toString, out,
+      "--pipeline", "--pipeline-text", "text",
+      "--pipeline-fp", s"$work/fp",
+      "--pipeline-bands", s"$work/bands",
+      "--pipeline-corpus", s"$work/corpus")), System.in)
+    val kept = spark.read.parquet(s"$out/pipeline")
+    assert(kept.count() == 1L, kept.collect().mkString("; "))
+    assert(kept.select(col("text")).collect()(0).getString(0) == docText(9))
+  }
+
+  test("--pipeline-bands without --pipeline-corpus is refused") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft_cli_pipe_ref").toString
+    // a real (readable) band frame: the refusal must come from the
+    // corpus guard, not from a failed parquet read
+    graft.ops.Dedup.bandIndex(
+      Seq(("c1", "some corpus text here")).toDF("_link", "text"),
+      "text", "_link", numHashes = 32, bands = 8, shingleSize = 3)
+      .write.parquet(s"$work/bands")
+    val in = Files.createTempFile("graft_cli_pipe_ref", ".json")
+    Files.writeString(in, """[{"id":1,"text":"whatever"}]""")
+    val e = intercept[IllegalArgumentException] {
+      Cli.run(spark, Cli.parseArgs(Array(in.toString, s"$work/out",
+        "--pipeline", "--pipeline-text", "text",
+        "--pipeline-bands", s"$work/bands")), System.in)
+    }
+    assert(e.getMessage.contains("--pipeline-corpus"))
+  }
 }

@@ -255,12 +255,14 @@ object Bench {
       try graft.ops.Dedup.dedupIncrement(base, incoming, "text", "doc_id")
         .write.format("noop").mode("overwrite").save()
       finally {
-        // release this rep's checkpoint blocks deterministically instead
-        // of leaving them to the GC-driven ContextCleaner (B4Probe:
-        // unpersist-after times identical to bench-verbatim, so this is
-        // free; 3 reps × 2 corpus-scale checkpoints otherwise accumulate)
-        base.unpersist()
-        incoming.unpersist()
+        // release this rep's checkpoint BLOCKS deterministically — 3 reps
+        // × 2 corpus-scale checkpoints otherwise accumulate until the
+        // GC-driven ContextCleaner runs. Dataset.unpersist() is a no-op
+        // here (it only uncaches via the CacheManager, which never saw
+        // the checkpoint RDD — graft.util.Checkpoints Scaladoc); the
+        // release must target the LogicalRDD leaf's RDD itself.
+        graft.util.Checkpoints.release(base)
+        graft.util.Checkpoints.release(incoming)
       }
     }
 
@@ -807,10 +809,15 @@ object Bench {
       // stable broadcast row while the row above documents the
       // unbounded-vocabulary default honestly
       "b18_tfidf_bc_600k" -> runTimes("b18_tfidf_bc_600k")(runB18(lmDocs, bc = true)),
-      "b17_pipeline_600k" -> runTimes("b17_pipeline_600k")(
-        b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
+      "b17_pipeline_600k" -> runTimes("b17_pipeline_600k") {
+        val kept = b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
           "graft_bench_fp_b17", b17Eval, b17Budgets)
-          .write.format("noop").mode("overwrite").save()))
+        kept.write.format("noop").mode("overwrite").save()
+        // daily-loop hygiene, timed as part of the recipe: Pipeline.run
+        // released the superseded stage checkpoints itself; the final
+        // kept frame is the caller's to release once consumed
+        graft.util.Checkpoints.release(kept)
+      })
 
     // b17 kept-set reproducibility: the full pipeline evaluated twice
     // must keep the identical id set with identical positions, bins, and
@@ -822,14 +829,18 @@ object Bench {
     // integral and sums exactly).
     try {
       import org.apache.spark.sql.functions._
-      def b17Sig(): Seq[Any] = b17Pipeline(jsonDir, b17Std,
+      def b17Sig(): Seq[Any] = {
+        val kept = b17Pipeline(jsonDir, b17Std,
           "graft_bench_bands_b17", "graft_bench_fp_b17", b17Eval, b17Budgets)
-        .agg(count(lit(1)),
+        val sig = kept.agg(count(lit(1)),
           sum(pmod(graft.ops.Sampling.hashLong(col("doc_id"), "b17sig"),
             lit(1000000007L))),
           sum((col("pos") * 2).cast("long")), sum(col("bin")),
           sum(col("toks")))
-        .collect()(0).toSeq
+          .collect()(0).toSeq
+        graft.util.Checkpoints.release(kept)
+        sig
+      }
       val (s1, s2) = (b17Sig(), b17Sig())
       if (s1 != s2) {
         errors.getOrElseUpdate("b17_repro",
@@ -891,11 +902,42 @@ object Bench {
       graft.util.Json.js(k) + ":" + graft.util.Json.js(v) }.mkString("{", ",", "}")
     val loadQ = loadByQuery.map { case (k, v) => "\"" + k + f"""\":$v%.1f""" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+    // the harness that archives a bench run captures only the LAST ~2000
+    // chars of output (BENCH_r18's artifact lost the whole runTimes map
+    // when the single line outgrew that window), so the FINAL stdout
+    // line must stay compact: per-query medians plus the trust fields
+    // (errors, load gate, and the spread-warn rows — the full per-rep
+    // spread and per-query load go to a diagnostics file, pointed at by
+    // the `diag` field and echoed to stderr well before the tail).
+    val diagPath = sys.env.getOrElse("SPARK_GRAFT_DIAG",
+      "/tmp/graft_bench_diag.json")
+    val spreadWarnJson = okTimes.collect {
+      case (k, ts) if spreadWarn.contains(k) =>
+        "\"" + k + f"""\":[${ts.head}%.3f,${ts.last}%.3f]""" }
+      .mkString("{", ",", "}")
+    val diagJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""runs":$Runs,"spread":$spread,"errors":$errJson,"load_by_query":$loadQ,"load_warn":$loadWarn,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_avg_max":$loadMax%.2f,""" +
       f""""load_gate_waited_sec":$gateWaitSec%.0f,""" +
-      s""""available_processors":$cores,"sf":"$sfDir"}""")
+      s""""available_processors":$cores,"sf":"$sfDir"}"""
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(diagPath),
+        diagJson + "\n")
+      System.err.println(s"[bench] full diagnostics (spread, load_by_query): $diagPath")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] diag write failed ($e) — full line follows")
+      System.err.println(diagJson)
+    }
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""runs":$Runs,"errors":$errJson,"spread_warn":$spreadWarnJson,"load_warn":$loadWarn,""" +
+      f""""load_avg_start":$loadStart%.2f,"load_avg_max":$loadMax%.2f,""" +
+      f""""load_gate_waited_sec":$gateWaitSec%.0f,""" +
+      s""""sf":"$sfDir","diag":"$diagPath"}"""
+    if (line.length > 1900) System.err.println(
+      s"[bench] WARNING: final line ${line.length} chars — may overflow the archive tail")
+    println(line)
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")

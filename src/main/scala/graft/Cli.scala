@@ -228,8 +228,11 @@ object Cli {
         val out = graft.ops.Pipeline.run(
           main.select(col(idCol), col(textCol)),
           graft.ops.Pipeline.Config(textCol = textCol, idCol = idCol,
+            scrub = if (has("--pipeline-scrub"))
+              Some(graft.ops.Pipeline.Scrub()) else None,
             fingerprintTable = fp, bandTable = bands,
-            withinBatchNearDup = has("--pipeline-within-batch")),
+            withinBatchNearDup = has("--pipeline-within-batch"),
+            redactPii = has("--pipeline-redact")),
           corpus = corpus, eval = eval, countStages = true)
         out.kept.write.mode("overwrite").parquet(s"$outDir/pipeline")
         out.stageCounts.foreach { case (st, n) => println(s"pipeline $st: $n rows") }

@@ -15,16 +15,24 @@ import org.apache.spark.sql.functions._
   * re-executes the upstream chain multiplicatively, measured 5× at
   * sf0.01 in SCALE.md §b17-pipeline):
   *
-  *   1. quality      — [[TextFilters.apply]] under `rules`
-  *   2. exact dedup  — [[Dedup.dedupIncrementBucketed]] vs the standing
+  *   2a. line scrub  — optional [[TextFilters.scrubLines]] under `scrub`
+  *                     (C4 order: inside-page line heuristics first)
+  *   2. quality      — [[TextFilters.apply]] under `rules`
+  *   3. exact dedup  — [[Dedup.dedupIncrementBucketed]] vs the standing
   *                     bucketed fingerprint table (batch-only shuffle)
-  *   3. near-dup     — [[Dedup.nearDupIncrementIndexed]] vs the standing
+  *   4. near-dup     — [[Dedup.nearDupIncrementIndexed]] vs the standing
   *                     band table + corpus exact-verify
-  *   4. decontaminate— [[Decontaminate.decontaminateBloom]] vs the eval
+  *   5. decontaminate— [[Decontaminate.decontaminateBloom]] vs the eval
   *                     frame's 13-gram Bloom filter
-  *   5. budget mix   — [[Sampling.tokenBudgetMix]] per source
-  *   6. interleave   — [[Sampling.interleaveSources]]
-  *   7. pack         — [[Packing.packByTokenBudget]]
+  *   5b. redact      — optional [[Redact.redact]] under `redactPii`
+  *                     (after admission decisions; only output text
+  *                     changes)
+  *   6. budget mix   — [[Sampling.tokenBudgetMix]] per source
+  *   7. interleave   — [[Sampling.interleaveSources]]
+  *   8. pack         — [[Packing.packByTokenBudget]]
+  *
+  * (Stage numbers follow `upTo`'s 8-stage contract — 1 is the caller's
+  * ingest; the optional 2a/5b sub-stages run with their parent number.)
   *
   * Ingest (NDJSON flatten, batch synthesis) stays with the caller: a
   * batch arrives however the deployment lands it. [[fold]] appends the
@@ -46,6 +54,11 @@ object Pipeline {
     */
   final case class NearDup(threshold: Double = 0.7, numHashes: Int = 32,
       bands: Int = 8, shingleSize: Int = 3, maxBucket: Int = 1000)
+
+  /** C4-style line-scrub dials ([[TextFilters.scrubLines]]) for the
+    * optional stage 2a. */
+  final case class Scrub(minLineWords: Int = 3,
+      banned: Seq[String] = Seq("lorem ipsum", "javascript"))
 
   /** Mixture stages. `src` and `toks` are column EXPRESSIONS evaluated
     * against the batch (e.g. a domain column, or a derived
@@ -71,6 +84,16 @@ object Pipeline {
   final case class Config(
       textCol: String = "text",
       idCol: String = "doc_id",
+      /** stage 2a — C4-style LINE scrub inside each page, BEFORE the
+        * document-level quality rules (the published C4 order: line
+        * heuristics first, page heuristics on what survives). The text
+        * column is rewritten in place, so every later stage — including
+        * the dedup fingerprints/bands and what [[fold]] appends — works
+        * on the SCRUBBED text; the standing corpus and tables must hold
+        * that form too ([[fold]] re-applies the scrub itself, so pass
+        * it the admitted docs with their original text as usual).
+        */
+      scrub: Option[Scrub] = None,
       rules: Option[TextFilters.Rules] = Some(TextFilters.Rules()),
       fingerprintTable: Option[String] = None,
       bandTable: Option[String] = None,
@@ -86,6 +109,15 @@ object Pipeline {
       withinBatchNearDup: Boolean = false,
       decontaminateGramSize: Int = 13,
       decontaminateFpp: Double = 0.001,
+      /** stage 5b — PII redaction ([[Redact.redact]]: emails, IPv4,
+        * phone numbers → typed placeholders) AFTER the admission
+        * decisions: quality/dedup/decontamination judge the original
+        * text, so the standing tables keep fingerprinting the form
+        * future batches arrive in, and only the ADMITTED output is
+        * redacted. `Mix.toks` expressions that derive from the text
+        * column see the redacted form (token budgets measure what
+        * ships). */
+      redactPii: Boolean = false,
       mix: Option[Mix] = None,
       /** bucket count used by [[fold]]'s appends; must match the
         * standing tables' write-time bucketing. */
@@ -151,6 +183,10 @@ object Pipeline {
       m
     }
     var df = batch
+    if (upTo >= 2) cfg.scrub.foreach { s =>
+      df = mat("scrub_lines")(df.withColumn(cfg.textCol,
+        TextFilters.scrubLines(col(cfg.textCol), s.minLineWords, s.banned)))
+    }
     if (upTo >= 2) cfg.rules.foreach { r =>
       df = mat("quality")(TextFilters(df, cfg.textCol, r))
     }
@@ -178,6 +214,10 @@ object Pipeline {
       df = mat("decontaminate")(Decontaminate.decontaminateBloom(
         df, cfg.textCol, cfg.idCol, ev, cfg.textCol,
         n = cfg.decontaminateGramSize, fpp = cfg.decontaminateFpp))
+    }
+    if (upTo >= 5 && cfg.redactPii) {
+      df = mat("redact")(df.withColumn(cfg.textCol,
+        Redact.redact(col(cfg.textCol))))
     }
     cfg.mix.foreach { m =>
       if (upTo >= 6) {
@@ -212,16 +252,29 @@ object Pipeline {
     *
     * @param admitted the kept documents WITH their text column (e.g.
     *                 `batch.join(result.kept.select(idCol), Seq(idCol),
-    *                 "left_semi")` when the mix stages replaced columns)
+    *                 "left_semi")` when the mix stages replaced columns).
+    *                 Pass the ORIGINAL text: when `cfg.scrub` is set the
+    *                 fold re-applies the scrub itself, so the appended
+    *                 fingerprints/bands match what [[run]]'s probes
+    *                 compute (stage 2a rewrites the text BEFORE the
+    *                 dedup stages — folding unscrubbed text would
+    *                 silently stop future exact copies from colliding).
+    *                 `redactPii` needs no such replay: redaction runs
+    *                 AFTER the dedup probes, which see original text on
+    *                 both sides.
     */
   def fold(admitted: DataFrame, cfg: Config): Unit = {
+    val adm = cfg.scrub.map { s =>
+      admitted.withColumn(cfg.textCol,
+        TextFilters.scrubLines(col(cfg.textCol), s.minLineWords, s.banned))
+    }.getOrElse(admitted)
     cfg.fingerprintTable.foreach { t =>
-      Dedup.writeFingerprintTable(admitted, cfg.textCol, t,
+      Dedup.writeFingerprintTable(adm, cfg.textCol, t,
         numBuckets = cfg.numBuckets, append = true)
     }
     cfg.bandTable.foreach { t =>
       val nd = cfg.nearDup
-      Dedup.writeBandTable(admitted, cfg.textCol, cfg.idCol, t,
+      Dedup.writeBandTable(adm, cfg.textCol, cfg.idCol, t,
         numHashes = nd.numHashes, bands = nd.bands,
         shingleSize = nd.shingleSize, numBuckets = cfg.numBuckets,
         append = true)

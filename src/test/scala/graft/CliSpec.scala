@@ -191,6 +191,27 @@ class CliSpec extends AnyFunSuite {
     assert(kept.select(col("text")).collect()(0).getString(0) == docText(9))
   }
 
+  test("--pipeline-scrub and --pipeline-redact run the optional hygiene stages") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_cli_pipe_sr").toString
+    val base = "the quick brown fox jumps over the lazy dog with plenty of " +
+      "ordinary prose that have been written to pass most of the " +
+      "published gopher rules and be long enough for the word count."
+    // one long content line (the default Gopher rules need >= 50 words
+    // on the SCRUBBED text), one junk line, one PII line
+    val doc = base + " " + base + "\\nclick here javascript tracking pixel\\n" +
+      "contact us at alice@example.com for more details."
+    val in = Files.createTempFile("graft_cli_pipe_sr", ".json")
+    Files.writeString(in, s"""[{"id":1,"text":"$doc"}]""")
+    Cli.run(spark, Cli.parseArgs(Array(in.toString, out,
+      "--pipeline", "--pipeline-text", "text",
+      "--pipeline-scrub", "--pipeline-redact")), System.in)
+    val kept = spark.read.parquet(s"$out/pipeline")
+      .select(col("text")).collect().map(_.getString(0))
+    assert(kept.toSeq == Seq(base + " " + base +
+      "\ncontact us at [EMAIL] for more details."), kept.mkString("|"))
+  }
+
   test("--pipeline-bands without --pipeline-corpus is refused") {
     import spark.implicits._
     val work = Files.createTempDirectory("graft_cli_pipe_ref").toString

@@ -112,6 +112,56 @@ class PipelineLoopSpec extends AnyFunSuite {
     }
   }
 
+  test("scrub + redact stages: junk lines canonicalize before dedup, PII leaves only the output, folds replay the scrub") {
+    import spark.implicits._
+    val content = "the ordinary corpus document number one with plenty " +
+      "of words about parts and suppliers here."
+    val contact = "contact us at alice@example.com for more details."
+    def withJunk(junk: Seq[String]) =
+      (Seq(content) ++ junk ++ Seq(contact)).mkString("\n")
+    val seed = Seq((1L, "the standing seed document with plenty of " +
+      "ordinary words about nothing in particular here."))
+      .toDF("doc_id", "text")
+    Dedup.writeFingerprintTable(seed, "text", "graft_sr_fp", numBuckets = 4)
+    val cfg = Pipeline.Config(
+      scrub = Some(Pipeline.Scrub()),
+      rules = Some(rules),
+      fingerprintTable = Some("graft_sr_fp"),
+      redactPii = true, numBuckets = 4)
+    try {
+      // day 1: a junky doc (junk lines scrub away, email redacts in the
+      // OUTPUT only) and a doc that is ONLY junk (scrubs to empty →
+      // quality drops it)
+      val batch1 = Seq(
+        (10L, withJunk(Seq("click here javascript tracking pixel", "buy now"))),
+        (11L, "click here javascript tracking pixel\nbuy now"))
+        .toDF("doc_id", "text")
+      val res1 = Pipeline.run(batch1, cfg)
+      assert(res1.kept.select("doc_id").as[Long].collect().toSet == Set(10L))
+      val kept1Text = res1.kept.select("text").as[String].collect()(0)
+      assert(kept1Text ==
+        content + "\n" + contact.replace("alice@example.com", "[EMAIL]"),
+        s"kept text must be scrubbed AND redacted, got: $kept1Text")
+      Pipeline.fold(
+        batch1.join(res1.kept.select("doc_id"), Seq("doc_id"), "left_semi"),
+        cfg)
+
+      // day 2: the SAME content under DIFFERENT junk must be an exact
+      // duplicate of day 1's admission — which only holds if (a) the
+      // scrub canonicalizes before fingerprinting and (b) fold
+      // re-applied the scrub to the original admitted text (folding the
+      // unscrubbed text would fingerprint the junk too and admit this)
+      val batch2 = Seq(
+        (20L, withJunk(Seq("lorem ipsum boilerplate footer", "subscribe"))),
+        (21L, "a genuinely fresh day two report with plenty of other " +
+          "ordinary words about different things entirely here."))
+        .toDF("doc_id", "text")
+      val res2 = Pipeline.run(batch2, cfg)
+      assert(res2.kept.select("doc_id").as[Long].collect().toSet == Set(21L),
+        "day 2 must drop the re-junked copy of day 1's admission")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_sr_fp")
+  }
+
   test("withinBatchNearDup collapses same-batch near-twins the standing probe deliberately passes") {
     import spark.implicits._
     val batch = Seq(

@@ -777,6 +777,52 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup b8/b9/b10 FAILED: $e") }
 
+    // b21: the STREAMING ingest-hygiene pipeline's per-micro-batch
+    // latency — the foreachBatch body (StreamingFlatten.pipelineBatch)
+    // against a 600k-doc standing store whose rows carry STORED
+    // fingerprints and band signatures: keep-kernel quality → eval-Bloom
+    // decontamination (filter built ONCE, the streamingPipeline hoist) →
+    // exact dedup anti-join on stored 16-byte fps → near-dup probe over
+    // stored band arrays (exact verify reads candidate store texts) →
+    // two replay-idempotent partition writes. Store construction is the
+    // once-per-corpus cost (built untimed with the same kernels the
+    // stream itself writes with); reps re-run batch id 1, which
+    // OVERWRITES its own partition and dedups against the others — the
+    // replay contract makes reps identical work. Batch shape mirrors b4:
+    // 6k exact copies of store docs (drop) + 6k fresh tailed docs (keep).
+    val b21Dir = java.nio.file.Files
+      .createTempDirectory("graft_bench_spipe").toString
+    val b21Corpus = s"$b21Dir/corpus"
+    val b21Bloom =
+      try {
+        import org.apache.spark.sql.functions._
+        b17Std.select(col("doc_id"), col("text"),
+            graft.ops.TextAnalysis.fingerprintBin(col("text")).as("fp"),
+            graft.functions.TextHash.minhashBandsUdf(32, 8, 3)(col("text"))
+              .as("bh"),
+            lit(32).as("numhashes"), lit(8).as("bands"),
+            lit(3).as("shinglesize"))
+          .write.mode("overwrite").parquet(s"$b21Corpus/batch=0")
+        Some(graft.ops.Decontaminate.buildBloom(b17Eval, "text", 13))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] b21 store seed FAILED: $e"); None }
+    val b21Batch = {
+      import org.apache.spark.sql.functions._
+      val pm = pmod(col("doc_id"), lit(100L))
+      b17Std.where(pm === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text"))
+        .unionAll(b17Std.where(pm === 50)
+          .select((col("doc_id") + 40000000L).as("doc_id"),
+            concat(col("text"), lit(" streamed tail words")).as("text")))
+        .localCheckpoint(true) // the stream hands the batch materialized
+    }
+    def runB21(): Unit =
+      graft.streaming.StreamingFlatten.pipelineBatch(b21Batch, 1L,
+        "text", "doc_id", b21Corpus, s"$b21Dir/out", Some(b17Rules),
+        Some(b17Eval), 0.7, 32, 8, 3, 1000, 13, b21Bloom)
+    try runB21() catch { case e: Throwable => // warm (write paths, codegen)
+      System.err.println(s"[bench] warmup b21 FAILED: $e") }
+
     val allTimes: Seq[(String, Vector[Double])] = headlineTimes ++ Seq(
       "b1_flatten_json_e2e" -> b1Times,
       "b2_minhash_600k" -> runTimes("b2_minhash_600k")(runB2(sfDir)),
@@ -809,6 +855,8 @@ object Bench {
       // stable broadcast row while the row above documents the
       // unbounded-vocabulary default honestly
       "b18_tfidf_bc_600k" -> runTimes("b18_tfidf_bc_600k")(runB18(lmDocs, bc = true)),
+      "b21_streaming_pipeline_600k" ->
+        runTimes("b21_streaming_pipeline_600k")(runB21()),
       "b17_pipeline_600k" -> runTimes("b17_pipeline_600k") {
         val kept = b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",
           "graft_bench_fp_b17", b17Eval, b17Budgets)

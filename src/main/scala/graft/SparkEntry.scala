@@ -1537,6 +1537,56 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    "x83_pipeline_hygiene" -> ((s, dir) => {
+      // the BATCH pipeline's r19 hygiene stages composed through the
+      // PUBLIC ops/Pipeline entry point: C4 line scrub (canonicalizes a
+      // junk-wrapped copy back to its corpus form) → quality (word-count
+      // rule only — SQL-replayable) → exact dedup vs a standing
+      // fingerprint table holding the SCRUBBED corpus form (what fold
+      // writes for a scrub-configured pipeline) → PII redaction on the
+      // admitted output only. Batch: junk-wrapped corpus copies (drop at
+      // the fp stage — the junk lines provably scrub away), fresh
+      // two-line docs with a planted email (keep, email → [EMAIL]), and
+      // junk-only docs (scrub to empty → quality drops). The oracle
+      // recomputes every stage: the scrub line filter, the word count,
+      // corpus fingerprints, within-batch min-id winners, and the
+      // x26-proven redaction regex chain.
+      import graft.ops.{Dedup, Pipeline, TextFilters}
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      // the synthetic documents carry no terminal punctuation, so the
+      // raw text would scrub to EMPTY and never exercise the fp-drop
+      // path — the corpus form appends one punctuated marker sentence
+      // (single line: scrub preserves it verbatim on both engines)
+      val cdoc = d.select(col("doc_id"),
+        concat(col("text"), lit(" marker sentence ends here.")).as("text"))
+      val scrubbed = TextFilters.scrubLines(col("text"))
+      s.sql("DROP TABLE IF EXISTS x83_fp")
+      Dedup.writeFingerprintTable(
+        cdoc.select(col("doc_id"), scrubbed.as("text")), "text", "x83_fp",
+        numBuckets = 8)
+      val junked = cdoc.select((col("doc_id") + PlantedOffset).as("doc_id"),
+        concat(lit("click here javascript tracking pixel\n"), col("text"),
+          lit("\nbuy now")).as("text"))
+      val fresh = d.select((col("doc_id") + 2 * PlantedOffset).as("doc_id"),
+        concat(lit("A fresh review of topic "),
+          col("doc_id").cast(StringType),
+          lit(" arrives with its own words here.\ncontact user"),
+          col("doc_id").cast(StringType),
+          lit("@example.com today please.")).as("text"))
+      val junkOnly = d.select((col("doc_id") + 3 * PlantedOffset).as("doc_id"),
+        lit("no terminal punctuation here\nbuy now").as("text"))
+      val rules = TextFilters.Rules(minWords = 3,
+        maxWords = 100000, minMeanWordLen = 0.0, maxMeanWordLen = 1e9,
+        maxSymbolWordRatio = 1e9, maxBulletLineRatio = 1.0,
+        maxEllipsisLineRatio = 1.0, minAlphaWordRatio = 0.0,
+        minStopwordHits = 0)
+      Pipeline.run(junked.unionAll(fresh).unionAll(junkOnly),
+          Pipeline.Config(scrub = Some(Pipeline.Scrub()),
+            rules = Some(rules), fingerprintTable = Some("x83_fp"),
+            redactPii = true, numBuckets = 8))
+        .kept.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+    }),
+
     "x14_sessionize" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.StreamingFlatten
@@ -1948,6 +1998,59 @@ object SparkEntry {
         |  SELECT doc_id + 200000000
         |  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT $StreamDocCap))
         |ORDER BY doc_id""".stripMargin,
+
+    // every stage recomputed: the C4 line filter (x54's spelling), the
+    // word-count quality rule (x82's), corpus fingerprints of the
+    // SCRUBBED form (x15's), within-batch min-id winners, and the
+    // x26-proven redaction chain on the admitted rows
+    "x83_pipeline_hygiene" ->
+      s"""WITH cdoc AS (
+        |  SELECT doc_id, text || ' marker sentence ends here.' AS text
+        |  FROM documents),
+        |scorp AS (
+        |  -- coalesce: DuckDB array_to_string over an EMPTY list is NULL
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_filter(regexp_split_to_array(text, chr(10)),
+        |      x -> regexp_matches(trim(x), '[.!?"]$$')
+        |           AND len(list_filter(regexp_split_to_array(trim(x), '$TokWs'),
+        |                               w -> len(w) > 0)) >= 3
+        |           AND NOT contains(lower(trim(x)), 'lorem ipsum')
+        |           AND NOT contains(lower(trim(x)), 'javascript')), chr(10)), '') AS sc
+        |  FROM cdoc),
+        |corpfp AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(sc)), '$FpWs', ' ', 'g')) AS fp
+        |  FROM scorp),
+        |batch AS (
+        |  SELECT doc_id + $PlantedOffset AS doc_id, sc AS t FROM scorp
+        |  UNION ALL
+        |  SELECT doc_id + ${2 * PlantedOffset},
+        |    'A fresh review of topic ' || doc_id ||
+        |    ' arrives with its own words here.' || chr(10) ||
+        |    'contact user' || doc_id || '@example.com today please.'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${3 * PlantedOffset}, '' FROM documents),
+        |q AS (
+        |  SELECT doc_id, t FROM batch
+        |  WHERE len(list_filter(regexp_split_to_array(t, '$FpWs'),
+        |                        w -> len(w) > 0)) BETWEEN 3 AND 100000),
+        |keyed AS (
+        |  SELECT doc_id, t,
+        |    md5(regexp_replace(lower(trim(t)), '$FpWs', ' ', 'g')) AS fp
+        |  FROM q),
+        |freshk AS (SELECT * FROM keyed WHERE fp NOT IN (SELECT fp FROM corpfp)),
+        |win AS (SELECT fp, min(doc_id) AS doc_id FROM freshk GROUP BY fp),
+        |red1 AS (
+        |  SELECT k.doc_id,
+        |    regexp_replace(k.t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+        |  FROM keyed k JOIN win USING (doc_id)),
+        |red2 AS (
+        |  SELECT doc_id,
+        |    regexp_replace(t1, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS t2
+        |  FROM red1)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\\+?([0-9][ ().-]{0,2}){6,}[0-9]', '[PHONE]', 'g') AS text
+        |FROM red2 ORDER BY doc_id""".stripMargin,
 
     "x2_token_stats" ->
       s"""SELECT doc_id,

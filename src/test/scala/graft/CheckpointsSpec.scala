@@ -78,21 +78,29 @@ class CheckpointsSpec extends AnyFunSuite {
       s"kept must be backed by one checkpoint from the run ($keptIds vs $ids)")
     assert(keptIds.subsetOf(registry()),
       "the final stage's checkpoint must stay alive")
+    // premise for the site-filtered residue check below: mat()'s
+    // checkpoints carry their Pipeline.scala creation site in toString
+    // (kept's does — it came from the same call site as the superseded
+    // ones, so the filter cannot be vacuous)
+    val keptRddStr =
+      spark.sparkContext.getPersistentRDDs(keptIds.head).toString
+    assert(keptRddStr.contains("Pipeline.scala"),
+      s"creation-site premise broken, fix the residue filter: $keptRddStr")
     // three mat() stages ran (quality, within-batch near-dup,
     // decontaminate) — release-on-supersede means the two superseded
-    // checkpoints left the registry during the run. In a full-suite JVM
-    // a PRIOR suite's async teardown can persist foreign RDDs inside the
-    // measurement window (seen once: three ids whose spacing matched no
-    // pipeline stage), so poll those transients out rather than assert
-    // an instantaneous exact count; a broken release would leave MY
-    // stage checkpoints registered forever (no System.gc() is issued
-    // here, so the GC-driven ContextCleaner cannot mask it).
-    val deadline = System.currentTimeMillis + 30000
-    def residue(): Set[Int] = (ids -- keptIds).intersect(registry())
-    while (residue().nonEmpty && System.currentTimeMillis < deadline)
-      Thread.sleep(250)
-    assert(residue().isEmpty,
-      s"superseded stage checkpoints must be released, still live: ${residue()}")
+    // checkpoints left the registry during the run, synchronously (the
+    // unpersist removes the registry entry before returning). In a
+    // full-suite JVM, concurrent background work from an earlier suite
+    // can persist FOREIGN RDDs inside the measurement window (observed:
+    // triplets of tightly-spaced ids that never unpersist), so restrict
+    // the assertion to RDDs this pipeline created: every stage
+    // checkpoint's creation site is the localCheckpoint call in
+    // Pipeline.scala, which RDD.toString carries.
+    val residue = (ids -- keptIds).flatMap(id =>
+      spark.sparkContext.getPersistentRDDs.get(id).map(id -> _.toString))
+      .filter(_._2.contains("Pipeline.scala"))
+    assert(residue.isEmpty,
+      s"superseded stage checkpoints must be released, still live: $residue")
     assert(res.kept.count() == 60L) // and the kept frame is computable
     graft.util.Checkpoints.release(res.kept)
     assert(keptIds.intersect(registry()).isEmpty,

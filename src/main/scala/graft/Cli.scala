@@ -74,7 +74,7 @@ object Cli {
         "[--sqlite] [--xlsx] [--evolve] [--web] " +
         "[--pipeline [--pipeline-text c] [--pipeline-id c] [--pipeline-eval f] " +
         "[--pipeline-corpus p] [--pipeline-fp p] [--pipeline-bands p] " +
-        "[--pipeline-within-batch]]")
+        "[--pipeline-within-batch] [--pipeline-scrub] [--pipeline-redact]]")
       sys.exit(2)
     }
     val spark = SparkSession.builder()
@@ -196,7 +196,8 @@ object Cli {
 
       // --pipeline: run the training-data pipeline (graft.ops.Pipeline —
       // the same entry point the b17 bench times) over the flattened main
-      // table. Quality filter always; exact dedup / near-dup /
+      // table. Quality filter always; C4 line scrub and PII redaction via
+      // --pipeline-scrub / --pipeline-redact; exact dedup / near-dup /
       // decontamination activate when their standing state is supplied as
       // parquet paths (registered as temp views — a metastore-bucketed
       // table is the 100 TB layout; the path form trades the

@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   *                    TABLE the store graduates to (exact-verify side
   *                    unchanged: candidate texts from the store)
   *
+  * A third arg scales the STORE (same batch): `10` seeds a 6M-doc store
+  * from 10 suffixed replicas (distinct ids and texts — duplicate
+  * structure does not grow, the ScaleCurve convention) and measures the
+  * per-batch cost ratio that pins §b21's corpus-linear claim.
+  *
   * Run: java -cp "target/scala-2.13/classes:&lt;spark jars&gt;"
-  *      graft.tools.B21Probe [sfDir] [reps]
+  *      graft.tools.B21Probe [sfDir] [reps] [storeScale]
   */
 object B21Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val storeScale = args.drop(2).headOption.map(_.toInt).getOrElse(1)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.warehouse.dir",
@@ -74,7 +80,17 @@ object B21Probe {
       minStopwordHits = 2)
     val work = java.nio.file.Files.createTempDirectory("b21probe").toString
     val corpusDir = s"$work/corpus"
-    std.select(col("doc_id"), col("text"),
+    // storeScale > 1: replica 0 keeps the ORIGINAL texts (the batch's
+    // planted copies reference them); replicas k >= 1 get distinct ids
+    // and suffixed texts, so the store grows without growing duplicate
+    // structure
+    val stored =
+      if (storeScale == 1) std
+      else (1 until storeScale).map { k =>
+        std.select((col("doc_id") + k * 1000000000L).as("doc_id"),
+          concat(col("text"), lit(s" replica copy $k")).as("text"))
+      }.foldLeft(std)(_ unionAll _).localCheckpoint(true)
+    stored.select(col("doc_id"), col("text"),
         graft.ops.TextAnalysis.fingerprintBin(col("text")).as("fp"),
         graft.functions.TextHash.minhashBandsUdf(32, 8, 3)(col("text")).as("bh"),
         lit(32).as("numhashes"), lit(8).as("bands"), lit(3).as("shinglesize"))
@@ -93,6 +109,7 @@ object B21Probe {
     val (nh, bd, ss) = graft.streaming.StreamingFlatten.graduateNearDupStore(
       spark, corpusDir, "text", "doc_id", "b21probe_bands", numBuckets = 32)
     println(s"[b21probe] sf=$sfDir reps=$reps batch=${batch.count()} " +
+      s"storeScale=$storeScale storeRows=${stored.count()} " +
       s"graduated=($nh,$bd,$ss)")
 
     def time(name: String)(f: => Unit): Unit = {

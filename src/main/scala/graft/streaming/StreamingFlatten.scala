@@ -177,14 +177,17 @@ object StreamingFlatten {
 
   /** The ingest-hygiene STACK on a stream — the streaming face of
     * [[graft.ops.Pipeline]]'s filter/dedup stages: each micro-batch runs
-    * quality filtering → 13-gram Bloom decontamination (both stateless
-    * scan-fused kernels, so they run before any state is touched) →
-    * exact dedup against the accumulated store (anti-join on STORED
-    * 16-byte fingerprints — no re-hash of the corpus per batch) →
-    * near-dup against the stored band arrays ([[streamingNearDup]]'s
-    * standing-index machinery), then appends its admitted documents to
-    * the store and writes them to `outDir/batch=<id>` as the admitted
-    * output stream.
+    * an optional C4 line scrub (`scrub` — rewrites the text in place, so
+    * the store holds the canonical form) → quality filtering → 13-gram
+    * Bloom decontamination (stateless scan-fused kernels, so they run
+    * before any state is touched) → exact dedup against the accumulated
+    * store (anti-join on STORED 16-byte fingerprints — no re-hash of the
+    * corpus per batch) → near-dup against the stored band arrays
+    * ([[streamingNearDup]]'s standing-index machinery), then appends its
+    * admitted documents to the store and writes them to
+    * `outDir/batch=<id>` as the admitted output stream (PII-redacted
+    * when `redactPii` is set — the store itself stays unredacted, the
+    * form future probes compare to).
     *
     * Replay idempotence (the property the batch-table fold CANNOT give a
     * stream: re-running a batch that already folded its admissions into
@@ -211,7 +214,15 @@ object StreamingFlatten {
       eval: Option[DataFrame] = None,
       threshold: Double = 0.7, numHashes: Int = 64, bands: Int = 16,
       shingleSize: Int = 3, maxBucket: Int = 10000,
-      decontaminateGramSize: Int = 13): StreamingQuery = {
+      decontaminateGramSize: Int = 13,
+      // the batch pipeline's optional hygiene stages, same placements
+      // ([[graft.ops.Pipeline.Config]]): scrub rewrites the text BEFORE
+      // quality/dedup — the store then holds the canonical scrubbed form
+      // (fp/bh computed on it), so future batches' junk-wrapped copies
+      // collide; redact rewrites ONLY the admitted output stream — the
+      // store keeps the unredacted scrubbed text the probes compare to
+      scrub: Option[graft.ops.Pipeline.Scrub] = None,
+      redactPii: Boolean = false): StreamingQuery = {
     // the eval frame is fixed for the stream's lifetime — build its
     // 13-gram Bloom filter ONCE here, not per micro-batch (the build is
     // distinct + count + bloomFilter aggregate jobs over the benchmark;
@@ -224,7 +235,7 @@ object StreamingFlatten {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         pipelineBatch(batch, batchId, textCol, idCol, corpusDir, outDir,
           rules, eval, threshold, numHashes, bands, shingleSize, maxBucket,
-          decontaminateGramSize, bloom)
+          decontaminateGramSize, bloom, scrub, redactPii)
       }
       .start()
   }
@@ -238,9 +249,14 @@ object StreamingFlatten {
       maxBucket: Int, decontaminateGramSize: Int,
       // precomputed eval Bloom ([[streamingPipeline]] builds it once for
       // the stream); None — the direct-call replay path — builds per call
-      bloom: Option[graft.ops.Decontaminate.BloomState] = None): Unit = {
+      bloom: Option[graft.ops.Decontaminate.BloomState] = None,
+      scrub: Option[graft.ops.Pipeline.Scrub] = None,
+      redactPii: Boolean = false): Unit = {
     val spark = batch.sparkSession
     var df = batch
+    scrub.foreach(s => df = df.withColumn(textCol,
+      graft.ops.TextFilters.scrubLines(col(textCol), s.minLineWords,
+        s.banned)))
     rules.foreach(r => df = graft.ops.TextFilters(df, textCol, r))
     eval.foreach { ev =>
       val st = bloom.getOrElse(graft.ops.Decontaminate.buildBloom(
@@ -297,7 +313,13 @@ object StreamingFlatten {
       .withColumn("shinglesize", lit(shingleSize))
       .localCheckpoint(true) // two writes below — compute admissions once
     admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
-    admitted.select(col(idCol), col(textCol))
+    // the store above keeps the (scrubbed) UNREDACTED text — the form
+    // future batches' exact-verify compares against; only the admitted
+    // OUTPUT stream redacts
+    val outText =
+      if (redactPii) graft.ops.Redact.redact(col(textCol)).as(textCol)
+      else col(textCol)
+    admitted.select(col(idCol), outText)
       .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     // both frames are dead after the writes — drop their checkpoint
     // blocks NOW rather than letting a long-lived stream accumulate one

@@ -449,4 +449,50 @@ class StreamingSpec extends AnyFunSuite {
     assert((nh, bd, ss) == ((32, 8, 3)))
     spark.sql("DROP TABLE IF EXISTS spipe_grad")
   }
+
+  test("streamingPipeline scrub + redact: store holds the canonical unredacted form, output redacts, re-junked copies drop") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("spipe_sr").toString
+    val corpus = s"$work/corpus"; val out = s"$work/out"
+    val content = "the ordinary streamed document with plenty of words " +
+      "about parts and suppliers in this sentence here."
+    val contact = "contact us at alice@example.com for more details."
+    val rules = Some(graft.ops.TextFilters.Rules(minWords = 5,
+      maxWords = 1000, minMeanWordLen = 1.0, maxMeanWordLen = 10.0,
+      minAlphaWordRatio = 0.3, minStopwordHits = 1))
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingFlatten.pipelineBatch(rows.toDF("doc_id", "text"), id,
+        "text", "doc_id", corpus, out, rules, None,
+        0.7, 32, 8, 3, 10000, 13, None,
+        scrub = Some(graft.ops.Pipeline.Scrub()), redactPii = true)
+
+    // batch 0: a junky doc (junk scrubs away, PII stays in the STORE,
+    // redacts in the OUTPUT) and a junk-only doc (quality-dropped)
+    run(Seq(
+      (1L, content + "\nclick here javascript tracking pixel\n" + contact),
+      (2L, "no terminal punctuation here\nbuy now")), 0)
+    val store0 = spark.read.parquet(s"$corpus/batch=0")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(store0.keySet == Set(1L))
+    assert(store0(1L) == content + "\n" + contact,
+      s"store must hold the scrubbed UNREDACTED form, got: ${store0(1L)}")
+    val out0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out0(1L) ==
+      content + "\n" + contact.replace("alice@example.com", "[EMAIL]"),
+      s"output must be redacted, got: ${out0(1L)}")
+
+    // batch 1: the SAME content under DIFFERENT junk is an exact dup of
+    // batch 0's admission (scrub canonicalizes before the stored-fp
+    // anti-join); a fresh doc survives
+    val freshText = "a genuinely fresh streamed report with plenty of " +
+      "other ordinary words about different things entirely here."
+    run(Seq(
+      (10L, "lorem ipsum boilerplate footer\n" + content + "\n" + contact),
+      (11L, freshText)), 1)
+    val out1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out1 == Set(11L),
+      s"re-junked copy must drop against the canonical store, got $out1")
+  }
 }

@@ -92,7 +92,9 @@ object B17IngestProbe {
       }
       t(s"[$i] d. + localCheckpoint (the real stage 2)") {
         graft.ops.TextFilters(batch(), "text", rules)
-          .localCheckpoint(true).unpersist()
+          .localCheckpoint(true) match {
+            case m => graft.util.Checkpoints.release(m)
+          }
       }
       val trivialUdf = udf((t: String) => t != null)
       t(s"[$i] e. batch + TRIVIAL udf filter, noop") {
@@ -104,12 +106,14 @@ object B17IngestProbe {
         println(s"     (batch partitions: ${m.rdd.getNumPartitions})")
         graft.ops.TextFilters(m, "text", rules)
           .write.format("noop").mode("overwrite").save()
-        m.unpersist()
+        graft.util.Checkpoints.release(m)
       }
       t(s"[$i] g. batch REPARTITIONED(32) + kernel filter + checkpoint") {
         graft.ops.TextFilters(
           batch().repartition(32), "text", rules)
-          .localCheckpoint(true).unpersist()
+          .localCheckpoint(true) match {
+            case m => graft.util.Checkpoints.release(m)
+          }
       }
       t(s"[$i] h. instrumented kernel filter (calls + in-UDF nanos)") {
         val calls = spark.sparkContext.longAccumulator("calls")
@@ -128,7 +132,7 @@ object B17IngestProbe {
         val m = batch().localCheckpoint(true)
         m.where(instUdf(col("text"))).write.format("noop").mode("overwrite").save()
         println(f"     calls=${calls.value} in-udf=${nanos.value / 1e9}%.2f s (${nanos.value / 1e3 / Math.max(1, calls.value)}%.1f us/call)")
-        m.unpersist()
+        graft.util.Checkpoints.release(m)
       }
     }
     // driver-side kernel microbench: same wordy strings, single thread

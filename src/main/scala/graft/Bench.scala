@@ -816,10 +816,14 @@ object Bench {
             concat(col("text"), lit(" streamed tail words")).as("text")))
         .localCheckpoint(true) // the stream hands the batch materialized
     }
-    def runB21(): Unit =
+    def runB21(): Unit = {
+      // a failed store seed must ERROR the row, not silently time a
+      // store-less batch (the row would record stateless+writes only)
+      require(b21Bloom.nonEmpty, "b21 store seed failed — see bench log")
       graft.streaming.StreamingFlatten.pipelineBatch(b21Batch, 1L,
         "text", "doc_id", b21Corpus, s"$b21Dir/out", Some(b17Rules),
         Some(b17Eval), 0.7, 32, 8, 3, 1000, 13, b21Bloom)
+    }
     try runB21() catch { case e: Throwable => // warm (write paths, codegen)
       System.err.println(s"[bench] warmup b21 FAILED: $e") }
 

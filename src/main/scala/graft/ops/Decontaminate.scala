@@ -93,15 +93,26 @@ object Decontaminate {
     * decontamination is fixed for the stream's lifetime, so rebuilding
     * the filter (distinct + count + bloomFilter aggregate jobs) every
     * micro-batch is pure waste — build here before the loop, reuse the
-    * broadcast in every [[decontaminateBloomPrepared]] call. `empty`
-    * marks a benchmark with NO n-grams (every text shorter than `n`
+    * broadcast in every [[decontaminateBloomPrepared]] call. `bfB` is
+    * None for a benchmark with NO n-grams (every text shorter than `n`
     * tokens): nothing can be contaminated, and `stat.bloomFilter` over
-    * the empty frame would NPE deserializing a null sketch.
+    * the empty frame would NPE deserializing a null sketch — the Option
+    * makes that state unrepresentable as a bare null access.
+    *
+    * CONSISTENCY CONTRACT: the state is only meaningful against the
+    * benchmark frame (and `n`) it was built from —
+    * [[decontaminateBloomPrepared]] takes both and cannot verify they
+    * match, so a state built from a different bench would silently
+    * over-drop (stale prefilter hits killed by the verify join are
+    * fine, but contamination the filter never saw is MISSED — false
+    * negatives, the one error class Bloom otherwise excludes).
     */
   final case class BloomState(
-      bfB: org.apache.spark.broadcast.Broadcast[
-        org.apache.spark.util.sketch.BloomFilter],
-      n: Int, empty: Boolean)
+      bfB: Option[org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]],
+      n: Int) {
+    def empty: Boolean = bfB.isEmpty
+  }
 
   /** Build [[BloomState]] from the benchmark's distinct `n`-gram keys —
     * DISTRIBUTED (`stat.bloomFilter` merges per-partition filters, no
@@ -111,21 +122,24 @@ object Decontaminate {
     val benchGrams = bench
       .select(explode(gramKeys(col(benchTextCol), n)).as("gram")).distinct()
     val nGrams = benchGrams.count()
-    if (nGrams == 0L) return BloomState(null, n, empty = true)
+    if (nGrams == 0L) return BloomState(None, n)
     val bf = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
-    BloomState(bench.sparkSession.sparkContext.broadcast(bf), n,
-      empty = false)
+    BloomState(Some(bench.sparkSession.sparkContext.broadcast(bf)), n)
   }
 
   /** [[decontaminateBloom]] with the Bloom prefilter already built —
     * the exact-verify join against `bench` (which kills the filter's
     * false positives) still runs per call; only the filter build is
-    * hoisted. */
+    * hoisted. PRECONDITION (unverifiable here — see [[BloomState]]):
+    * `bench` must be the frame (and gram size) `state` was built from;
+    * the gram size always comes from `state.n` so the prefilter and the
+    * exact verify can never disagree on n, but a state from a DIFFERENT
+    * benchmark would miss contamination its filter never saw. */
   def decontaminateBloomPrepared(docs: DataFrame, textCol: String,
       idCol: String, bench: DataFrame, benchTextCol: String,
       state: BloomState): DataFrame = {
     if (state.empty) return docs
-    val bfB = state.bfB
+    val bfB = state.bfB.get
     val mightHit = udf { (gs: Seq[String]) =>
       gs != null && gs.exists(bfB.value.mightContainString)
     }

@@ -55,8 +55,12 @@ object Pipeline {
   final case class NearDup(threshold: Double = 0.7, numHashes: Int = 32,
       bands: Int = 8, shingleSize: Int = 3, maxBucket: Int = 1000)
 
-  /** C4-style line-scrub dials ([[TextFilters.scrubLines]]) for the
-    * optional stage 2a. */
+  /** C4-STYLE line-scrub dials ([[TextFilters.scrubLines]]) for the
+    * optional stage 2a. The defaults deliberately diverge from the
+    * published C4 recipe — C4 keeps lines with at least 5 words
+    * (`minLineWords = 5` reproduces that) and drops "lorem ipsum" at
+    * the PAGE level, not per line — so read these as configurable
+    * line heuristics in C4's spirit, not a fidelity claim. */
   final case class Scrub(minLineWords: Int = 3,
       banned: Seq[String] = Seq("lorem ipsum", "javascript"))
 
@@ -127,11 +131,19 @@ object Pipeline {
     * id/src/toks/pos/bin columns — otherwise the surviving batch rows
     * with their original columns); `stageCounts` is (stage name, rows
     * remaining after it), in execution order, only for stages that ran.
-    * `kept` is backed by the final stage's local checkpoint — a
-    * long-lived driver should [[graft.util.Checkpoints.release]] it
-    * after consuming (writing/folding) it.
+    *
+    * When `ownsKept` is true, `kept` is backed by a checkpoint THIS run
+    * created (the final materialized stage's — lineage truncation means
+    * no caller-owned block is reachable from its plan) and a long-lived
+    * driver should [[graft.util.Checkpoints.release]] it after consuming
+    * (writing/folding) it. When false — a Config with no materializing
+    * stage (no scrub/rules/tables/eval/mix, or `upTo = 1`) — `kept` IS
+    * the caller's input frame, and releasing it would unpersist the
+    * caller's own checkpoint blocks (unrecoverable on lineage-truncated
+    * frames); release nothing.
     */
-  final case class Result(kept: DataFrame, stageCounts: Seq[(String, Long)])
+  final case class Result(kept: DataFrame, stageCounts: Seq[(String, Long)],
+      ownsKept: Boolean)
 
   /** Run the pipeline over one batch.
     *
@@ -238,7 +250,7 @@ object Pipeline {
         if (countStages) counts += "pack" -> df.count()
       }
     }
-    Result(df, counts.result())
+    Result(df, counts.result(), ownsKept = prevStage.isDefined)
   }
 
   /** Fold one day's ADMITTED documents into the standing tables so the

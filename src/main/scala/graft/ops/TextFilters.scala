@@ -179,14 +179,18 @@ object TextFilters {
     df.where(keepUdf(col(textCol)))
   }
 
-  /** C4-style LINE-level scrub (the published C4 heuristics, re-expressed
-    * from the paper's prose — not any codebase): keep only lines that end
-    * in terminal punctuation (`. ! ? "`), carry at least `minLineWords`
-    * whitespace words, and contain none of the `banned` substrings
-    * (case-insensitive; the paper drops "lorem ipsum" and
-    * javascript-bearing lines); survivors rejoin with newlines. The
-    * document-level rules above keep or drop whole pages — this scrubs
-    * INSIDE a page, the other half of the published pipeline.
+  /** C4-STYLE LINE-level scrub (line heuristics in the spirit of the
+    * published C4 recipe, re-expressed from the paper's prose — not any
+    * codebase, and with deliberately different defaults): keep only
+    * lines that end in terminal punctuation (`. ! ? "`), carry at least
+    * `minLineWords` whitespace words, and contain none of the `banned`
+    * substrings (case-insensitive); survivors rejoin with newlines.
+    * Fidelity notes: C4's line floor is 5 words (`minLineWords = 5`
+    * reproduces it; the default here is 3), and C4 applies "lorem
+    * ipsum" as a page-level drop while this stage bans it per line —
+    * dials, not the published constants. The document-level rules above
+    * keep or drop whole pages — this scrubs INSIDE a page, the other
+    * half of the published pipeline.
     *
     * Pure column expressions — scan-speed over 100 TB and exactly
     * replicable in a SQL engine: the word split uses the explicit

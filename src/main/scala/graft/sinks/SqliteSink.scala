@@ -92,6 +92,41 @@ object SqliteSink {
     */
   private[sinks] var faultInjection: (String, Long) => Unit = (_, _) => ()
 
+  /** Wall-time attribution of the most recent [[writeSpecs]] call, for
+    * slow-mode self-diagnosis (the b6 bench row): BENCH_r19 recorded b6
+    * at 19-29 s on all three reps while per-row host CPU load matched a
+    * clean 6 s run — the driver-streamed single-file writer's slow mode
+    * is I/O-shaped (page-cache/writeback contention), which load_avg
+    * only partially reflects, and a plan dump says nothing about a
+    * driver-side writer. The split separates where a slow rep spent its
+    * wall time: `ioNanos` is raw `RandomAccessFile.write` (the
+    * disk-facing syscalls — these BLOCK when the kernel throttles dirty
+    * pages, so writeback contention lands here), `tableFetchWaitNanos` /
+    * `indexFetchWaitNanos` are driver waits on Spark partition fetches,
+    * `indexSortWaitNanos` is the residual wait for the concurrent index
+    * sorts after the table pass, and the remainder is driver CPU
+    * (record/b-tree building). Single-writer by design (one bench rep /
+    * one export at a time); concurrent writeSpecs calls would race the
+    * field, harmlessly, to one of their stats.
+    */
+  final case class WriteStats(rows: Long, indexEntries: Long,
+      wallNanos: Long, ioNanos: Long, tableFetchWaitNanos: Long,
+      indexFetchWaitNanos: Long, indexSortWaitNanos: Long) {
+    def line: String = {
+      def s(n: Long) = n / 1e9
+      val wall = s(wallNanos)
+      val other =
+        wall - s(ioNanos) - s(tableFetchWaitNanos) - s(indexFetchWaitNanos) -
+          s(indexSortWaitNanos)
+      f"rows=$rows (${rows / math.max(wall, 1e-9)}%.0f rows/s) " +
+        f"idx_entries=$indexEntries wall=$wall%.2f s: raf.write=${s(ioNanos)}%.2f " +
+        f"table_fetch_wait=${s(tableFetchWaitNanos)}%.2f " +
+        f"index_fetch_wait=${s(indexFetchWaitNanos)}%.2f " +
+        f"index_sort_wait=${s(indexSortWaitNanos)}%.2f cpu_build=$other%.2f"
+    }
+  }
+  @volatile var lastStats: Option[WriteStats] = None
+
   /** Write `specs` into a single SQLite database file at `path`. */
   def writeSpecs(specs: Seq[TableSpec], path: String): Unit = {
     java.nio.file.Files.createDirectories(
@@ -103,6 +138,12 @@ object SqliteSink {
             s"${ix.column} is ${s.df.schema(ix.column).dataType}")
       }
     }
+    val wallT0 = System.nanoTime()
+    val rowCount = new java.util.concurrent.atomic.AtomicLong
+    val idxCount = new java.util.concurrent.atomic.AtomicLong
+    val tableFetchWait = new java.util.concurrent.atomic.AtomicLong
+    val idxFetchWait = new java.util.concurrent.atomic.AtomicLong
+    val idxSortWait = new java.util.concurrent.atomic.AtomicLong
     val pf = new PageFile(path)
     try {
       pf.reservePage1()
@@ -112,7 +153,8 @@ object SqliteSink {
       specs.foreach { spec =>
         if (spec.indexes.isEmpty) {
           import scala.jdk.CollectionConverters._
-          val root = writeTable(pf, spec.df.toLocalIterator().asScala)
+          val root = writeTable(pf, spec.df.toLocalIterator().asScala
+            .map { r => rowCount.incrementAndGet(); r })
           master += Seq("table", spec.name, spec.name, root, spec.ddl)
         } else {
           import scala.concurrent.{Await, ExecutionContext, Future}
@@ -174,15 +216,24 @@ object SqliteSink {
                 s
               })
             }
-            val root = writeTable(pf, prefetchedLocalIterator(withId)
-              .map { case (row, i) => faultInjection("table", i); row })
+            val root = writeTable(pf,
+              prefetchedLocalIterator(withId, tableFetchWait)
+                .map { case (row, i) =>
+                  faultInjection("table", i); rowCount.incrementAndGet(); row
+                })
             master += Seq("table", spec.name, spec.name, root, spec.ddl)
             sortedF.foreach { case (ix, f) =>
-              val sorted = Await.result(f, Duration.Inf)
+              val sorted = {
+                val t0 = System.nanoTime()
+                val s = Await.result(f, Duration.Inf)
+                idxSortWait.addAndGet(System.nanoTime() - t0)
+                s
+              }
               try {
                 val ib = new IndexBuilder(pf)
-                prefetchedLocalIterator(sorted).foreach { case (k, rid) =>
+                prefetchedLocalIterator(sorted, idxFetchWait).foreach { case (k, rid) =>
                   faultInjection("index", rid)
+                  idxCount.incrementAndGet()
                   ib.add(record(Seq(k, rid)))
                 }
                 master += Seq("index", ix.name, spec.name, ib.finish(), ix.sql.orNull)
@@ -213,6 +264,9 @@ object SqliteSink {
       }
       writeMaster(pf, master.toSeq)
       pf.finishHeader()
+      lastStats = Some(WriteStats(rowCount.get, idxCount.get,
+        System.nanoTime() - wallT0, pf.ioNanos, tableFetchWait.get,
+        idxFetchWait.get, idxSortWait.get))
     } finally pf.close()
   }
 
@@ -225,7 +279,8 @@ object SqliteSink {
     * driver-side page building.
     */
   private[sinks] def prefetchedLocalIterator[T: scala.reflect.ClassTag](
-      rdd: org.apache.spark.rdd.RDD[T])(
+      rdd: org.apache.spark.rdd.RDD[T],
+      fetchWaitAcc: java.util.concurrent.atomic.AtomicLong = null)(
       implicit ec: scala.concurrent.ExecutionContext): Iterator[T] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
@@ -240,7 +295,10 @@ object SqliteSink {
       private var i = 0
       private def advance(): Unit =
         while (i >= cur.length && fut.isDefined) {
+          val t0 = System.nanoTime()
           cur = Await.result(fut.get, Duration.Inf)
+          if (fetchWaitAcc != null)
+            fetchWaitAcc.addAndGet(System.nanoTime() - t0)
           i = 0
           fut = if (order.hasNext) Some(submit(order.next())) else None
         }

@@ -1,0 +1,219 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Two b17-pipeline measurements the bench row itself does not carry
+  * (r20, VERDICT items 3 and 5):
+  *
+  *   - `attrib` — re-runs the SPARK_GRAFT_B17_STAGES cumulative-prefix
+  *     attribution on the CURRENT code, `reps` times per prefix, so the
+  *     15-22 s band's variance can be pinned to a stage (the r17 table
+  *     in SCALE.md §b17-pipeline was single-shot and predates the r19
+  *     checkpoint-release hygiene).
+  *   - `hygiene` — the published recipe the adopters actually run has
+  *     scrub+redact ON, but the benched b17 recipe has both OFF (x83
+  *     proves correctness; no bench covers the cost). Times the full
+  *     pipeline with hygiene off / scrub on / scrub+redact on, same
+  *     standing state, so the deltas attribute each optional stage.
+  *
+  * The hygiene universe appends a bare "." to every synthesized text
+  * (corpus AND batch, AFTER the per-row planted-variant choice): the
+  * C4-style scrub keeps only lines ending in terminal punctuation, and
+  * the synthetic texts have none — unmarked, the scrub would empty the
+  * batch and the downstream stages would measure nothing. A bare "."
+  * with no preceding space changes NOTHING the dedup/decontamination
+  * machinery sees (shingles, gram keys, and stopword hits all derive
+  * from `[a-z0-9]+` token runs, which drop punctuation) while the
+  * line-scrub now passes every line unchanged — so the scrubbed batch
+  * text stays byte-identical to the marked standing corpus, the planted
+  * per-stage work (exact dups, near-dup tails, contaminated docs,
+  * budget mass) is preserved, and the measured cost is the full scrub
+  * evaluation over every document, which is exactly the quantity the
+  * recipe question asks.
+  *
+  * Batch/corpus synthesis replicated from graft.Bench's b17 rows
+  * (the B21Probe convention).
+  *
+  * Run: java -cp "target/scala-2.13/classes:&lt;spark jars&gt;"
+  *      graft.tools.B17HygieneProbe [sfDir] [reps] [attrib|hygiene|both]
+  */
+object B17HygieneProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val mode = args.drop(2).headOption.getOrElse("both")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("b17hyg_wh").toString)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val cpus = Runtime.getRuntime.availableProcessors
+
+    def corpusText(ok: Column, lnum: Column, pk: Column, sk: Column,
+        qty: Column, price: Column, rf: Column): Column =
+      concat_ws(" ", lit("the record of orders"), ok, lit("item"), lnum,
+        lit("holds part number"), pk, lit("from supplier code"), sk,
+        lit("delivering"), qty, lit("pieces priced near"), price,
+        lit("beneath flag mark"), rf)
+    def batchText(ok: Column, lnum: Column, pk: Column, sk: Column,
+        qty: Column, price: Column, rf: Column): Column =
+      concat_ws(" ", lit("the line"), lnum, lit("of order"), ok,
+        lit("has part"), pk, lit("and supplier"), sk, lit("to ship"), qty,
+        lit("units that total"), price, lit("with flag"), rf)
+    def mark(t: Column, marked: Boolean): Column =
+      if (marked) concat(t, lit(".")) else t
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag"))
+      .repartition(cpus)
+    def corpus(marked: Boolean): DataFrame = li.select(
+      (col("l_orderkey").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+      mark(corpusText(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_returnflag")), marked).as("text"))
+    val eval = li.select(
+        (col("l_orderkey").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+        batchText(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag")).as("text"))
+      .where(pmod(col("doc_id"), lit(100L)) === 3).select("text")
+      .localCheckpoint(true)
+    val rules = graft.ops.TextFilters.Rules(minWords = 10, maxWords = 1000,
+      minMeanWordLen = 1.0, maxMeanWordLen = 10.0, minAlphaWordRatio = 0.4,
+      minStopwordHits = 2)
+    val work = java.nio.file.Files.createTempDirectory("b17hyg").toString
+    val jsonDir = s"$work/docs"
+    graft.SparkEntry.nestedOrders(spark, sfDir).write.mode("overwrite").json(jsonDir)
+
+    def batch(marked: Boolean): DataFrame = {
+      val docs = graft.sources.JsonInput.ndjson(spark, jsonDir)
+      val items = graft.plan.FlattenPlanner.flatten(docs,
+        graft.model.FlattenOptions(
+          linkMode = graft.model.LinkMode.NaturalKey("o_orderkey"),
+          dropEmptyObjects = false))("items")
+      val synth = items.select(
+        (col("_link_main").cast("long") * 8 + col("l_linenumber")).as("doc_id"),
+        corpusText(col("_link_main"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag")).as("__tc"),
+        batchText(col("_link_main"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag")).as("__tb"),
+        concat_ws(" ", col("l_quantity"), col("l_extendedprice"),
+          col("l_partkey"), col("l_suppkey")).as("__td"))
+      val pm = pmod(col("doc_id"), lit(100L))
+      // the marker rides AFTER the variant choice so every planted class
+      // keeps its token structure (".": no token, no shingle, no gram)
+      val b = synth.select(col("doc_id"),
+        mark(when(pm === 0, col("__tc"))
+          .when(pm === 2, concat(col("__tc"), lit(" plus appended tail words")))
+          .when(pm === 4, col("__td"))
+          .otherwise(col("__tb")), marked).as("text"))
+      b.unionAll(b.where(pm === 1)
+        .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
+    }
+
+    def standUp(marked: Boolean, tag: String): (DataFrame, String, String) = {
+      val cdf = corpus(marked).localCheckpoint(true)
+      spark.sql(s"DROP TABLE IF EXISTS b17hyg_band$tag")
+      spark.sql(s"DROP TABLE IF EXISTS b17hyg_fp$tag")
+      graft.ops.Dedup.writeBandTable(cdf, "text", "doc_id", s"b17hyg_band$tag",
+        numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 32)
+      graft.ops.Dedup.writeFingerprintTable(cdf, "text", s"b17hyg_fp$tag",
+        numBuckets = 32)
+      (cdf, s"b17hyg_band$tag", s"b17hyg_fp$tag")
+    }
+    def config(bandTable: String, fpTable: String, budgets: Map[String, Long],
+        scrub: Boolean, redact: Boolean) =
+      graft.ops.Pipeline.Config(
+        textCol = "text", idCol = "doc_id",
+        scrub = if (scrub) Some(graft.ops.Pipeline.Scrub()) else None,
+        rules = Some(rules),
+        fingerprintTable = Some(fpTable),
+        bandTable = Some(bandTable),
+        nearDup = graft.ops.Pipeline.NearDup(threshold = 0.7,
+          numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000),
+        redactPii = redact,
+        mix = Some(graft.ops.Pipeline.Mix(
+          budgets = budgets,
+          src = concat(lit("s"), pmod(col("doc_id"), lit(16L))),
+          toks = length(col("text")).cast("long"),
+          weights = Map("s0" -> 2.0), defaultWeight = 1.0,
+          maxTokensPerBin = 4096, nShards = 32)))
+    def budgetsOf(cdf: DataFrame): Map[String, Long] = {
+      val perSrc = cdf.agg(sum(length(col("text")).cast("long")))
+        .collect()(0).getLong(0) / 16
+      (0 until 16).map(i => s"s$i" -> perSrc / 2).toMap
+    }
+    def run(marked: Boolean, cdf: DataFrame, band: String, fp: String,
+        budgets: Map[String, Long], scrub: Boolean, redact: Boolean,
+        upTo: Int = 8): Double = {
+      System.gc()
+      val t0 = System.nanoTime()
+      val res = graft.ops.Pipeline.run(batch(marked),
+        config(band, fp, budgets, scrub, redact),
+        corpus = Some(cdf), eval = Some(eval), upTo = upTo)
+      res.kept.write.format("noop").mode("overwrite").save()
+      if (res.ownsKept) graft.util.Checkpoints.release(res.kept)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    if (mode == "attrib" || mode == "both") {
+      val (cdf, band, fp) = standUp(marked = false, "a")
+      val budgets = budgetsOf(cdf)
+      run(marked = false, cdf, band, fp, budgets, scrub = false,
+        redact = false) // warm
+      // per-prefix, all reps printed (variance per stage is the point)
+      val prefixTimes = (1 to 8).map { k =>
+        k -> (1 to reps).map(_ => run(marked = false, cdf, band, fp,
+          budgets, scrub = false, redact = false, upTo = k)).toVector
+      }
+      prefixTimes.foreach { case (k, ts) =>
+        println(f"[b17hyg] attrib prefix 1..$k%d  " +
+          ts.map(t => f"$t%6.2f").mkString(" "))
+      }
+      // stage deltas from per-rep MEDIANS, plus each stage's rep range
+      val med = prefixTimes.map { case (k, ts) => k -> ts.sorted.apply(ts.length / 2) }.toMap
+      (2 to 8).foreach { k =>
+        println(f"[b17hyg] attrib stage $k%d delta ${med(k) - med(k - 1)}%6.2f s")
+      }
+    }
+
+    if (mode == "hygiene" || mode == "both") {
+      val (cdf, band, fp) = standUp(marked = true, "h")
+      val budgets = budgetsOf(cdf)
+      run(marked = true, cdf, band, fp, budgets, scrub = true, redact = true) // warm
+      // sanity: SCRUB must be a value-level no-op on the marked batch —
+      // identical kept counts with and without it, or the measurement
+      // is comparing different work volumes. (redact is deliberately
+      // NOT in this check: it rewrites digit runs the phone/IP patterns
+      // match, Mix.toks measures the redacted lengths by design —
+      // Pipeline.Config Scaladoc — so the budget boundary legitimately
+      // admits a slightly different set with redact on.)
+      val kOff = graft.ops.Pipeline.run(batch(marked = true),
+        config(band, fp, budgets, scrub = false, redact = false),
+        corpus = Some(cdf), eval = Some(eval)).kept
+      val kOn = graft.ops.Pipeline.run(batch(marked = true),
+        config(band, fp, budgets, scrub = true, redact = false),
+        corpus = Some(cdf), eval = Some(eval)).kept
+      val (nOff, nOn) = (kOff.count(), kOn.count())
+      graft.util.Checkpoints.release(kOff)
+      graft.util.Checkpoints.release(kOn)
+      println(s"[b17hyg] hygiene kept: off=$nOff scrub=$nOn" +
+        (if (nOff != nOn) "  MISMATCH — marker premise broken" else ""))
+      Seq(("off", false, false), ("scrub", true, false),
+          ("scrub+redact", true, true)).foreach { case (name, s, r) =>
+        val ts = (1 to reps).map(_ =>
+          run(marked = true, cdf, band, fp, budgets, scrub = s, redact = r))
+          .toVector.sorted
+        println(f"[b17hyg] hygiene $name%-13s median ${ts(ts.length / 2)}%6.2f  " +
+          f"all ${ts.map(t => f"$t%.2f").mkString(" ")}")
+      }
+    }
+    spark.stop()
+  }
+}

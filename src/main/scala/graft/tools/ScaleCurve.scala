@@ -595,7 +595,18 @@ object ScaleCurve {
         concat_ws(" ", lit("the line"), lnum, lit("of order"), ok,
           lit("has part"), pk, lit("and supplier"), sk, lit("to ship"), qty,
           lit("units that total"), price, lit("with flag"), rf)
-      def pCorpus(dir: String, m: Int, out: String): Long = {
+      // `marked` appends a bare "." to every text (corpus and batch,
+      // AFTER the planted-variant choice): the hygiene variant runs the
+      // C4-style scrub, which keeps only lines ending in terminal
+      // punctuation — unmarked, the synthetic texts (which have none)
+      // would scrub to empty and the downstream stages would measure
+      // nothing. A bare "." adds no [a-z0-9] token, so shingles, gram
+      // keys, and fingerprint-table consistency (tables built from the
+      // marked corpus) all keep the planted per-stage work identical;
+      // the scrub becomes a value-level no-op that still pays its full
+      // per-document evaluation — exactly the recipe cost in question.
+      def pCorpus(dir: String, m: Int, out: String,
+          marked: Boolean = false): Long = {
         val li = spark.read.parquet(s"$dir/lineitem.parquet")
           .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
@@ -606,22 +617,23 @@ object ScaleCurve {
           cText(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
             col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
             col("l_returnflag")).as("text"))
+        val body = when(col("rep") === 0, col("text"))
+          // 6 md5-hex pseudo-tokens: zero shared 3-shingles with any
+          // batch wording, so replicas never enter the verify tail
+          .otherwise(concat_ws(" ",
+            substring(md5(concat(col("text"), col("rep"))), 1, 5),
+            substring(md5(concat(col("text"), col("rep"))), 6, 5),
+            substring(md5(concat(col("text"), col("rep"))), 11, 5),
+            substring(md5(concat(col("text"), col("rep"))), 16, 5),
+            substring(md5(concat(col("text"), col("rep"))), 21, 5),
+            substring(md5(concat(col("text"), col("rep"))), 26, 5)))
         base.withColumn("rep", explode(sequence(lit(0), lit(m - 1))))
           .select((col("rid") * m + col("rep")).as("doc_id"),
-            when(col("rep") === 0, col("text"))
-              // 6 md5-hex pseudo-tokens: zero shared 3-shingles with any
-              // batch wording, so replicas never enter the verify tail
-              .otherwise(concat_ws(" ",
-                substring(md5(concat(col("text"), col("rep"))), 1, 5),
-                substring(md5(concat(col("text"), col("rep"))), 6, 5),
-                substring(md5(concat(col("text"), col("rep"))), 11, 5),
-                substring(md5(concat(col("text"), col("rep"))), 16, 5),
-                substring(md5(concat(col("text"), col("rep"))), 21, 5),
-                substring(md5(concat(col("text"), col("rep"))), 26, 5))).as("text"))
+            (if (marked) concat(body, lit(".")) else body).as("text"))
           .write.mode("overwrite").parquet(out)
         spark.read.parquet(out).count()
       }
-      def pBatch(jsonDir: String): DataFrame = {
+      def pBatch(jsonDir: String, marked: Boolean = false): DataFrame = {
         val docs = graft.sources.JsonInput.ndjson(spark, jsonDir)
         val items = graft.plan.FlattenPlanner.flatten(docs,
           graft.model.FlattenOptions(
@@ -640,11 +652,12 @@ object ScaleCurve {
         val pm = pmod(col("doc_id"), lit(100L))
         // planted corpus dups/near-dups reference REP-0 corpus texts —
         // present identically at both scales
+        val variant = when(pm === 0, col("__tc"))
+          .when(pm === 2, concat(col("__tc"), lit(" plus appended tail words")))
+          .when(pm === 4, col("__td"))
+          .otherwise(col("__tb"))
         val b = synth.select(col("doc_id"),
-          when(pm === 0, col("__tc"))
-            .when(pm === 2, concat(col("__tc"), lit(" plus appended tail words")))
-            .when(pm === 4, col("__td"))
-            .otherwise(col("__tb")).as("text"))
+          (if (marked) concat(variant, lit(".")) else variant).as("text"))
         b.unionAll(b.where(pm === 1)
           .select((col("doc_id") + 100000000L).as("doc_id"), col("text")))
       }
@@ -663,15 +676,22 @@ object ScaleCurve {
       // times and PipelineLoopSpec folds), so the curve measures the
       // public recipe, not a hand-copied respelling that could drift
       def pipeline(jsonDir: String, corpusDf: DataFrame, bandTable: String,
-          fpTable: String, eval: DataFrame, budgets: Map[String, Long]): Unit =
-        graft.ops.Pipeline.run(pBatch(jsonDir),
+          fpTable: String, eval: DataFrame, budgets: Map[String, Long],
+          hygiene: Boolean = false): Unit =
+        graft.ops.Pipeline.run(pBatch(jsonDir, marked = hygiene),
           graft.ops.Pipeline.Config(
             textCol = "text", idCol = "doc_id",
+            // the full published recipe: C4-style line scrub before the
+            // dedup fingerprints, PII redaction after the admissions —
+            // per-row stages, so the N× ratio must not move (any
+            // deviation means an accidental corpus-side barrier)
+            scrub = if (hygiene) Some(graft.ops.Pipeline.Scrub()) else None,
             rules = Some(pRules),
             fingerprintTable = Some(fpTable),
             bandTable = Some(bandTable),
             nearDup = graft.ops.Pipeline.NearDup(threshold = 0.7,
               numHashes = 32, bands = 8, shingleSize = 3, maxBucket = 1000),
+            redactPii = hygiene,
             mix = Some(graft.ops.Pipeline.Mix(
               budgets = budgets,
               src = concat(lit("s"), pmod(col("doc_id"), lit(16L))),
@@ -698,6 +718,8 @@ object ScaleCurve {
       System.err.println(s"[scale] pipeline corpora ready: $r1 at 1x, $rN at ${mult}x")
       def standUp(path: String, tag: String): (DataFrame, String, String) = {
         val cdf = corpus(path).localCheckpoint(true)
+        spark.sql(s"DROP TABLE IF EXISTS graft_scale_pband$tag")
+        spark.sql(s"DROP TABLE IF EXISTS graft_scale_pfp$tag")
         Dedup.writeBandTable(cdf, "text", "doc_id", s"graft_scale_pband$tag",
           numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 32)
         Dedup.writeFingerprintTable(cdf, "text", s"graft_scale_pfp$tag",
@@ -720,6 +742,21 @@ object ScaleCurve {
         ("pipeline_daily_batch",
           time(pipeline(pJson, cdf1, band1, fp1, evalDf, pBudgets)),
           time(pipeline(pJson, cdfN, bandN, fpN, evalDf, pBudgets))))
+      // the FULL hygiene recipe (scrub + redact ON) over its own marked
+      // standing state — one honest N× point confirming the per-row
+      // stages keep the daily-batch curve sublinear
+      val c1h = s"$work/pcorpus1h"; val cNh = s"$work/pcorpus${mult}h"
+      pCorpus(sfDir, 1, c1h, marked = true)
+      pCorpus(sfDir, mult, cNh, marked = true)
+      val (cdf1h, band1h, fp1h) = standUp(c1h, "1h")
+      val (cdfNh, bandNh, fpNh) = standUp(cNh, s"${mult}h")
+      pipeline(pJson, cdf1h, band1h, fp1h, evalDf, pBudgets, hygiene = true) // warm
+      results ++= Seq(
+        ("pipeline_daily_batch_hygiene",
+          time(pipeline(pJson, cdf1h, band1h, fp1h, evalDf, pBudgets,
+            hygiene = true)),
+          time(pipeline(pJson, cdfNh, bandNh, fpNh, evalDf, pBudgets,
+            hygiene = true))))
     }
 
     val items = results.map { case (n, a, b) =>

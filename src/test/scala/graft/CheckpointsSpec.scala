@@ -102,8 +102,37 @@ class CheckpointsSpec extends AnyFunSuite {
     assert(residue.isEmpty,
       s"superseded stage checkpoints must be released, still live: $residue")
     assert(res.kept.count() == 60L) // and the kept frame is computable
+    assert(res.ownsKept,
+      "a run with materializing stages must mark kept as its own")
     graft.util.Checkpoints.release(res.kept)
     assert(keptIds.intersect(registry()).isEmpty,
       "after the caller releases kept, nothing from the run may remain")
+  }
+
+  test("ownsKept is false when no stage materializes — kept IS the caller's frame") {
+    import spark.implicits._
+    // a no-stage Config (no scrub/rules/tables/eval/mix) passes the batch
+    // straight through; following the release-on-consume advice on ITS
+    // kept would unpersist the CALLER's checkpoint blocks — the flag is
+    // the guard (a release on a lineage-truncated frame is unrecoverable)
+    val callerFrame = (1L to 20L)
+      .map(i => (i, s"the caller document $i with plenty of words here"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val res = graft.ops.Pipeline.run(callerFrame,
+      graft.ops.Pipeline.Config(rules = None))
+    assert(!res.ownsKept, "no stage ran — kept must not be marked owned")
+    assert(res.kept.count() == 20L)
+    // the guarded caller does NOT release; its own frame stays usable
+    assert(callerFrame.count() == 20L)
+    // upTo = 1 (ingest only) with a fully-configured pipeline is the
+    // same case: no stage past ingest runs
+    val res1 = graft.ops.Pipeline.run(callerFrame,
+      graft.ops.Pipeline.Config(
+        rules = Some(graft.ops.TextFilters.Rules(minWords = 1,
+          minMeanWordLen = 0.0, maxMeanWordLen = 100.0,
+          minAlphaWordRatio = 0.0, minStopwordHits = 0))),
+      upTo = 1)
+    assert(!res1.ownsKept, "upTo=1 runs nothing — kept must not be marked owned")
+    graft.util.Checkpoints.release(callerFrame)
   }
 }

@@ -692,6 +692,23 @@ object SparkEntry {
         .orderBy(col("term"), col("doc_id"))
     }),
 
+    "x84_nb_classifier" -> ((s, dir) => {
+      // Model-based quality/domain classification (the GPT-3/PaLM
+      // classifier-filter stage): Bernoulli-presence NB trained on
+      // lang=='en' vs rest, scored over the same corpus. The model's
+      // weights are integer micro-nats (floor(1e6·Δln + 0.5)), so
+      // score_micro is an exact long SUM — partition-order-free and
+      // SQL-replayable; every other column is an exact integer/boolean
+      // (Classify.scala EXACTNESS DESIGN; the oracle replays model AND
+      // scores).
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"),
+        (col("lang") === "en").as("is_en"))
+      val model = graft.ops.Classify.nbTrain(d, "text", "is_en",
+        vocabSize = 100)
+      graft.ops.Classify.nbScore(d, "text", "doc_id", model)
+        .orderBy(col("doc_id"))
+    }),
+
     "x59_pq_ann" -> ((s, dir) => {
       // Product-quantization/ADC path on the planted-twin contract: the
       // scaled twin shares its original's direction, so after
@@ -2636,6 +2653,47 @@ object SparkEntry {
         |    AS tf_norm
         |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN g
         |ORDER BY term, doc_id""".stripMargin,
+
+    "x84_nb_classifier" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, (lang = 'en') AS is_en FROM documents
+        |), tok AS (
+        |  SELECT doc_id, is_en,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0))) AS token
+        |  FROM lab
+        |), counts AS (
+        |  SELECT token,
+        |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS df_pos,
+        |    sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS df_neg
+        |  FROM tok GROUP BY 1
+        |), sizes AS (
+        |  SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_pos,
+        |         sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS n_neg
+        |  FROM lab
+        |), vocab AS (
+        |  SELECT token, df_pos, df_neg
+        |  FROM counts ORDER BY df_pos + df_neg DESC, token ASC LIMIT 100
+        |), w AS (
+        |  SELECT token,
+        |    CAST(floor((ln((df_pos + 1) / (n_pos + 2.0)) -
+        |                ln((df_neg + 1) / (n_neg + 2.0))) * 1e6 + 0.5)
+        |      AS BIGINT) AS w_micro
+        |  FROM vocab CROSS JOIN sizes
+        |), bias AS (
+        |  SELECT CAST(floor(ln(CAST(n_pos AS DOUBLE) / n_neg) * 1e6 + 0.5)
+        |    AS BIGINT) AS b FROM sizes
+        |), matched AS (
+        |  SELECT doc_id, count(*) AS n_vocab_tokens, sum(w_micro) AS s
+        |  FROM tok JOIN w USING (token) GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(m.n_vocab_tokens, 0) AS n_vocab_tokens,
+        |  coalesce(m.s, 0) + b AS score_micro,
+        |  (coalesce(m.s, 0) + b) > 0 AS predicted
+        |FROM documents d LEFT JOIN matched m USING (doc_id) CROSS JOIN bias
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x29_asof_join" ->
       """WITH clicks AS (

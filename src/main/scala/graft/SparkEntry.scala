@@ -709,6 +709,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x85_dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling (hashed unigram+bigram md5-bucket
+      // features): target = the lang=='en' slice, raw = the full
+      // corpus. Bucket weights are integer micro-nats over exact gram
+      // counts, so logw_micro is an exact long SUM and the top-200
+      // `selected` flag is pure integer ordering (weight desc, doc_id
+      // asc) — the whole pipeline (features, fit, weights, scores,
+      // selection) replays in SQL (Dsir.scala EXACTNESS DESIGN).
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"),
+        col("lang"))
+      val model = graft.ops.Dsir.fit(d, d.where(col("lang") === "en"),
+        "text", numBuckets = 4096)
+      val top = graft.ops.Dsir.select(d, "text", "doc_id", model, 200)
+        .select(col("doc_id")).withColumn("selected", lit(true))
+      graft.ops.Dsir.score(d, "text", "doc_id", model)
+        .join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("logw_micro"),
+          coalesce(col("selected"), lit(false)).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x59_pq_ann" -> ((s, dir) => {
       // Product-quantization/ADC path on the planted-twin contract: the
       // scaled twin shares its original's direction, so after
@@ -2694,6 +2715,53 @@ object SparkEntry {
         |  (coalesce(m.s, 0) + b) > 0 AS predicted
         |FROM documents d LEFT JOIN matched m USING (doc_id) CROSS JOIN bias
         |ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR full-model replay: hashed unigram+bigram md5 buckets (the
+    // x28/x74 60-bit md5 primitive applied to gram text), Laplace
+    // weights quantized with the floor(x·1e6 + 0.5) spelling, exact
+    // integer document sums, top-200 by pure integer ordering
+    "x85_dsir_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |    t -> len(t) > 0) AS tok
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, lang,
+        |    unnest(tok || [tok[i] || ' ' || tok[i+1]
+        |                   for i in generate_series(1, len(tok) - 1)]) AS g
+        |  FROM tk
+        |), feats AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096 AS BIGINT)
+        |      AS bucket
+        |  FROM grams
+        |), ct AS (
+        |  SELECT bucket, count(*) AS c_t FROM feats WHERE lang = 'en'
+        |  GROUP BY 1
+        |), cr AS (
+        |  SELECT bucket, count(*) AS c_r FROM feats GROUP BY 1
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM feats WHERE lang = 'en') AS n_t,
+        |         (SELECT count(*) FROM feats) AS n_r
+        |), w AS (
+        |  SELECT cr.bucket,
+        |    CAST(floor((ln((coalesce(ct.c_t, 0) + 1) / (n_t + 4096.0)) -
+        |                ln((cr.c_r + 1) / (n_r + 4096.0))) * 1e6 + 0.5)
+        |      AS BIGINT) AS w_micro
+        |  FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot
+        |), sc AS (
+        |  SELECT doc_id, count(*) AS n_grams, sum(w_micro) AS s
+        |  FROM feats JOIN w USING (bucket) GROUP BY 1
+        |), scored AS (
+        |  SELECT d.doc_id, coalesce(sc.n_grams, 0) AS n_grams,
+        |         CAST(coalesce(sc.s, 0) AS BIGINT) AS logw_micro
+        |  FROM documents d LEFT JOIN sc USING (doc_id)
+        |)
+        |SELECT doc_id, n_grams, logw_micro,
+        |  (row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC)) <= 200
+        |    AS selected
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "x29_asof_join" ->
       """WITH clicks AS (

@@ -104,6 +104,8 @@ object Bench {
     "b15_shuffle_600k" -> 2.0, "b16_vocab_600k" -> 3.0,
     "b19_embed_prep_600k" -> 3.0, "b20_media_neardup_600k" -> 8.0,
     "b18_tfidf_600k" -> 12.5, "b18_tfidf_bc_600k" -> 9.0,
+    // b22's bound: ScaleCurve model 1× point 3.3 s min-of-2 + headroom
+    "b22_dsir_600k" -> 6.0,
     // b21's bound 11.0: the r20 idle self-run recorded 9.42 in a
     // zero-flag artifact, so 10.0 left honest jitter within 6% of a flag
     "b21_streaming_pipeline_600k" -> 11.0, "b17_pipeline_600k" -> 23.0)
@@ -756,6 +758,22 @@ object Bench {
         broadcastCounts = bc)
         .write.format("noop").mode("overwrite").save()
 
+    // b22: the DSIR data-selection pass at fact scale — fit hashed
+    // unigram+bigram count models (65536 md5 buckets) on the 600k
+    // corpus and on a deterministic 1/37 target slice, then the
+    // map-only broadcast-weight score over every document. ScaleCurve
+    // `model` (SCALE.md §model): 3.3 s at 600k, 10× ratio 1.58 — both
+    // fit passes reduce the corpus to bucket-sized frames, scoring is
+    // scan-speed.
+    def runB22(docs: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.functions._
+      val m = graft.ops.Dsir.fit(docs,
+        docs.where(pmod(col("doc_id"), lit(37L)) === 0), "text",
+        numBuckets = 65536)
+      graft.ops.Dsir.score(docs, "text", "doc_id", m)
+        .write.format("noop").mode("overwrite").save()
+    }
+
     // same warmup discipline as the headline queries: one untimed pass at
     // the smallest SF pays codegen/classloading/JIT before timing
     Seq(runB2 _, runB3 _, runB4 _, runB5 _, runB6 _, runB7 _).foreach { f =>
@@ -768,6 +786,7 @@ object Bench {
       runB13(warmDocs, b13Budgets)
       runB15(warmDocs); runB16(warmDocs)
       runB18(warmDocs, bc = false); runB18(warmDocs, bc = true)
+      runB22(warmDocs)
       graft.ops.Dedup.writeBandTable(warmDocs, "text", "doc_id",
         "graft_bench_bands_warm", numHashes = 32, bands = 8,
         shingleSize = 3, numBuckets = 8)
@@ -931,6 +950,7 @@ object Bench {
       // stable broadcast row while the row above documents the
       // unbounded-vocabulary default honestly
       timedRow("b18_tfidf_bc_600k")(runB18(lmDocs, bc = true)),
+      timedRow("b22_dsir_600k")(runB22(lmDocs)),
       timedRow("b21_streaming_pipeline_600k")(runB21()),
       timedRow("b17_pipeline_600k") {
         val kept = b17Pipeline(jsonDir, b17Std, "graft_bench_bands_b17",

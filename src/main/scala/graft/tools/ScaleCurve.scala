@@ -277,9 +277,10 @@ object ScaleCurve {
     val runVStream = family == "all" || family == "vstream"
     val runShuffle = family == "all" || family == "shuffle"
     val runPipeline = family == "all" || family == "pipeline"
+    val runModel = family == "all" || family == "model"
     require(runDedup || runAnn || runMix || runBand || runVStream ||
-        runShuffle || runPipeline,
-      s"unknown family '$family' (all | dedup | ann | mix | band | vstream | shuffle | pipeline)")
+        runShuffle || runPipeline || runModel,
+      s"unknown family '$family' (all | dedup | ann | mix | band | vstream | shuffle | pipeline | model)")
 
     var rows1 = 0L
     var rowsN = 0L
@@ -757,6 +758,45 @@ object ScaleCurve {
             hygiene = true)),
           time(pipeline(pJson, cdfNh, bandNh, fpNh, evalDf, pBudgets,
             hygiene = true))))
+    }
+
+    if (runModel) {
+      // the two corpus-model ops (r20): NB classifier train+score and
+      // DSIR fit+score. Both are full-corpus passes — fit/train reduces
+      // the corpus to a model-sized frame (vocab rows / numBuckets
+      // rows, map-side combined), scoring is a map pass against the
+      // broadcast model — so the pass bar is LINEAR (ratio ≈ mult),
+      // like the shuffle family: a driver-side loop, an unbroadcast
+      // model join, or a skewed key would all surface as superlinear.
+      val warmPath = s"$work/mwarm"
+      buildCorpus("/root/testdata/sf0.001", 1, warmPath)
+      def lab(df: DataFrame): DataFrame =
+        df.withColumn("is_pos", pmod(col("doc_id"), lit(3L)) === 0)
+      def scls(path: String): Unit = {
+        val d = lab(corpus(path))
+        val m = graft.ops.Classify.nbTrain(d, "text", "is_pos",
+          vocabSize = 50000)
+        graft.ops.Classify.nbScore(d, "text", "doc_id", m)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def sdsir(path: String): Unit = {
+        val d = corpus(path)
+        val m = graft.ops.Dsir.fit(d,
+          d.where(pmod(col("doc_id"), lit(37L)) === 0), "text",
+          numBuckets = 65536)
+        graft.ops.Dsir.score(d, "text", "doc_id", m)
+          .write.format("noop").mode("overwrite").save()
+      }
+      scls(warmPath); sdsir(warmPath)
+      val p1 = s"$work/model1"
+      val pN = s"$work/model$mult"
+      val r1 = buildCorpus(sfDir, 1, p1)
+      val rN = buildCorpus(sfDir, mult, pN)
+      if (rows1 == 0) { rows1 = r1; rowsN = rN }
+      System.err.println(s"[scale] model corpora ready: $r1 at 1x, $rN at ${mult}x")
+      results ++= Seq(
+        ("classify_train_score", time(scls(p1)), time(scls(pN))),
+        ("dsir_fit_score", time(sdsir(p1)), time(sdsir(pN))))
     }
 
     val items = results.map { case (n, a, b) =>

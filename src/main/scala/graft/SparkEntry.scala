@@ -730,6 +730,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x86_pipeline_classify" -> ((s, dir) => {
+      // The classifier-filter stage THROUGH the public Pipeline.run
+      // entry point (stage 2b, pretrained-model daily-loop shape):
+      // kept = documents the x84 model scores strictly positive. The
+      // oracle replays the x84 model and keeps predicted rows — exact
+      // integer scores, so the kept id set is engine-identical.
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"),
+        (col("lang") === "en").as("is_en"))
+      val model = graft.ops.Classify.nbTrain(d, "text", "is_en",
+        vocabSize = 100)
+      val res = graft.ops.Pipeline.run(d.select("doc_id", "text"),
+        graft.ops.Pipeline.Config(rules = None,
+          classifier = Some(graft.ops.Pipeline.Classifier(
+            model = Some(model)))))
+      res.kept.select("doc_id").orderBy(col("doc_id"))
+    }),
+
     "x59_pq_ann" -> ((s, dir) => {
       // Product-quantization/ADC path on the planted-twin contract: the
       // scaled twin shares its original's direction, so after
@@ -2762,6 +2779,47 @@ object SparkEntry {
         |  (row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC)) <= 200
         |    AS selected
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the x84 model replayed, keeping the strictly-positive scores —
+    // the Pipeline stage-2b contract (score_micro > 0)
+    "x86_pipeline_classify" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, (lang = 'en') AS is_en FROM documents
+        |), tok AS (
+        |  SELECT doc_id, is_en,
+        |    unnest(list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      t -> len(t) > 0))) AS token
+        |  FROM lab
+        |), counts AS (
+        |  SELECT token,
+        |    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS df_pos,
+        |    sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS df_neg
+        |  FROM tok GROUP BY 1
+        |), sizes AS (
+        |  SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_pos,
+        |         sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS n_neg
+        |  FROM lab
+        |), vocab AS (
+        |  SELECT token, df_pos, df_neg
+        |  FROM counts ORDER BY df_pos + df_neg DESC, token ASC LIMIT 100
+        |), w AS (
+        |  SELECT token,
+        |    CAST(floor((ln((df_pos + 1) / (n_pos + 2.0)) -
+        |                ln((df_neg + 1) / (n_neg + 2.0))) * 1e6 + 0.5)
+        |      AS BIGINT) AS w_micro
+        |  FROM vocab CROSS JOIN sizes
+        |), bias AS (
+        |  SELECT CAST(floor(ln(CAST(n_pos AS DOUBLE) / n_neg) * 1e6 + 0.5)
+        |    AS BIGINT) AS b FROM sizes
+        |), matched AS (
+        |  SELECT doc_id, sum(w_micro) AS s
+        |  FROM tok JOIN w USING (token) GROUP BY 1
+        |)
+        |SELECT d.doc_id
+        |FROM documents d LEFT JOIN matched m USING (doc_id) CROSS JOIN bias
+        |WHERE coalesce(m.s, 0) + b > 0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "x29_asof_join" ->
       """WITH clicks AS (

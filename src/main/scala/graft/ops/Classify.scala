@@ -112,15 +112,21 @@ object Classify {
       .withColumn("predicted", col("score_micro") > 0L)
   }
 
+  /** Keep the documents a PRETRAINED model scores above
+    * `minScoreMicro` (default 0 = the `predicted` boundary) — the
+    * daily-loop form: train once, filter every batch against the same
+    * broadcastable model. Original columns survive (id semi-join). */
+  def nbKeep(docs: DataFrame, textCol: String, idCol: String,
+      model: NbModel, minScoreMicro: Long = 0L): DataFrame =
+    docs.join(nbScore(docs, textCol, idCol, model)
+        .where(col("score_micro") > minScoreMicro).select(idCol),
+      Seq(idCol), "left_semi")
+
   /** Train-and-keep form: classify `docs` with a model trained on
     * `labeled`, keeping documents predicted positive — the published
     * "classifier-filtered web corpus" recipe as one call. */
   def nbFilter(docs: DataFrame, textCol: String, idCol: String,
       labeled: DataFrame, labelCol: String,
-      vocabSize: Int = 50000): DataFrame = {
-    val model = nbTrain(labeled, textCol, labelCol, vocabSize)
-    docs.join(nbScore(docs, textCol, idCol, model)
-        .where(col("predicted")).select(idCol),
-      Seq(idCol), "left_semi")
-  }
+      vocabSize: Int = 50000): DataFrame =
+    nbKeep(docs, textCol, idCol, nbTrain(labeled, textCol, labelCol, vocabSize))
 }

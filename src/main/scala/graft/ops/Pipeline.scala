@@ -18,6 +18,9 @@ import org.apache.spark.sql.functions._
   *   2a. line scrub  — optional [[TextFilters.scrubLines]] under `scrub`
   *                     (C4 order: inside-page line heuristics first)
   *   2. quality      — [[TextFilters.apply]] under `rules`
+  *   2b. classify    — optional [[Classify.nbKeep]] under `classifier`
+  *                     (model-based quality filter on the heuristic
+  *                     survivors — the GPT-3/PaLM recipe position)
   *   3. exact dedup  — [[Dedup.dedupIncrementBucketed]] vs the standing
   *                     bucketed fingerprint table (batch-only shuffle)
   *   4. near-dup     — [[Dedup.nearDupIncrementIndexed]] vs the standing
@@ -64,6 +67,19 @@ object Pipeline {
   final case class Scrub(minLineWords: Int = 3,
       banned: Seq[String] = Seq("lorem ipsum", "javascript"))
 
+  /** Stage-2b model-based quality filter ([[Classify]]) — the
+    * GPT-3/PaLM classifier-filter recipe position: AFTER the cheap
+    * heuristic rules, BEFORE the dedup stages (the model scores what
+    * the heuristics admit). Pass a pretrained `model` for the
+    * daily-loop shape (train once, filter every batch); otherwise
+    * `labeled`/`labelCol` train one at run time. Documents scoring
+    * `score_micro > minScoreMicro` are kept (0 = the model's
+    * `predicted` boundary; raise it to trade recall for precision —
+    * the integer micro-nat scale makes the threshold engine-exact). */
+  final case class Classifier(model: Option[Classify.NbModel] = None,
+      labeled: Option[DataFrame] = None, labelCol: String = "label",
+      vocabSize: Int = 50000, minScoreMicro: Long = 0L)
+
   /** Mixture stages. `src` and `toks` are column EXPRESSIONS evaluated
     * against the batch (e.g. a domain column, or a derived
     * `concat(lit("s"), pmod(col("doc_id"), lit(16)))`); budgets/weights
@@ -99,6 +115,10 @@ object Pipeline {
         */
       scrub: Option[Scrub] = None,
       rules: Option[TextFilters.Rules] = Some(TextFilters.Rules()),
+      /** stage 2b — optional model-based quality filter on the
+        * heuristic survivors (see [[Classifier]]); judges the same
+        * text form the dedup stages see (post-scrub, pre-redact). */
+      classifier: Option[Classifier] = None,
       fingerprintTable: Option[String] = None,
       bandTable: Option[String] = None,
       nearDup: NearDup = NearDup(),
@@ -201,6 +221,15 @@ object Pipeline {
     }
     if (upTo >= 2) cfg.rules.foreach { r =>
       df = mat("quality")(TextFilters(df, cfg.textCol, r))
+    }
+    if (upTo >= 2) cfg.classifier.foreach { c =>
+      require(c.model.nonEmpty || c.labeled.nonEmpty,
+        "Pipeline.run: classifier stage needs a pretrained model or a " +
+          "labeled frame to train one from")
+      val m = c.model.getOrElse(Classify.nbTrain(c.labeled.get,
+        cfg.textCol, c.labelCol, c.vocabSize))
+      df = mat("classify")(
+        Classify.nbKeep(df, cfg.textCol, cfg.idCol, m, c.minScoreMicro))
     }
     if (upTo >= 3) cfg.fingerprintTable.foreach { t =>
       df = mat("exact_dedup")(

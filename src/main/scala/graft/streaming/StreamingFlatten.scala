@@ -222,7 +222,18 @@ object StreamingFlatten {
       // collide; redact rewrites ONLY the admitted output stream — the
       // store keeps the unredacted scrubbed text the probes compare to
       scrub: Option[graft.ops.Pipeline.Scrub] = None,
-      redactPii: Boolean = false): StreamingQuery = {
+      redactPii: Boolean = false,
+      // the batch pipeline's stage-2b model filter ([[graft.ops
+      // .Pipeline.Classifier]]), PRETRAINED form only — a stream cannot
+      // train per batch, the same once-per-stream discipline as the
+      // eval Bloom. Judged BEFORE the admission decisions, so rejected
+      // documents never enter the store. Materialize the model's
+      // weights frame (localCheckpoint) before passing it: each
+      // micro-batch re-collects it for the broadcast join, and an
+      // unmaterialized frame would re-run its training aggregations
+      // every batch.
+      classifier: Option[graft.ops.Classify.NbModel] = None,
+      classifierMinScoreMicro: Long = 0L): StreamingQuery = {
     // the eval frame is fixed for the stream's lifetime — build its
     // 13-gram Bloom filter ONCE here, not per micro-batch (the build is
     // distinct + count + bloomFilter aggregate jobs over the benchmark;
@@ -235,7 +246,8 @@ object StreamingFlatten {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         pipelineBatch(batch, batchId, textCol, idCol, corpusDir, outDir,
           rules, eval, threshold, numHashes, bands, shingleSize, maxBucket,
-          decontaminateGramSize, bloom, scrub, redactPii)
+          decontaminateGramSize, bloom, scrub, redactPii, classifier,
+          classifierMinScoreMicro)
       }
       .start()
   }
@@ -251,13 +263,19 @@ object StreamingFlatten {
       // the stream); None — the direct-call replay path — builds per call
       bloom: Option[graft.ops.Decontaminate.BloomState] = None,
       scrub: Option[graft.ops.Pipeline.Scrub] = None,
-      redactPii: Boolean = false): Unit = {
+      redactPii: Boolean = false,
+      classifier: Option[graft.ops.Classify.NbModel] = None,
+      classifierMinScoreMicro: Long = 0L): Unit = {
     val spark = batch.sparkSession
     var df = batch
     scrub.foreach(s => df = df.withColumn(textCol,
       graft.ops.TextFilters.scrubLines(col(textCol), s.minLineWords,
         s.banned)))
     rules.foreach(r => df = graft.ops.TextFilters(df, textCol, r))
+    // stage 2b (batch-pipeline order): the model judges the heuristic
+    // survivors, before any admission decision touches the store
+    classifier.foreach(m => df = graft.ops.Classify.nbKeep(
+      df, textCol, idCol, m, classifierMinScoreMicro))
     eval.foreach { ev =>
       val st = bloom.getOrElse(graft.ops.Decontaminate.buildBloom(
         ev, textCol, decontaminateGramSize))

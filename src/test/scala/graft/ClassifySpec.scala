@@ -84,6 +84,36 @@ class ClassifySpec extends AnyFunSuite {
       Set("shared", "apples"))
   }
 
+  test("pipeline stage 2b: classifier filters the batch through Pipeline.run") {
+    import spark.implicits._
+    import graft.ops.Pipeline
+    val m = Classify.nbTrain(corpus(), "text", "is_pos", vocabSize = 100)
+    val batch = Seq(
+      (30L, "apples oranges fresh"),
+      (31L, "bolts nuts rusty"),
+      (32L, "unseen gibberish zz")
+    ).toDF("doc_id", "text")
+    val res = Pipeline.run(batch, Pipeline.Config(rules = None,
+      classifier = Some(Pipeline.Classifier(model = Some(m)))),
+      countStages = true)
+    val kept = res.kept.select("doc_id").as[Long].collect().toSet
+    // 30 scores positive; 31 negative; 32 is fully OOV -> bare prior
+    // (bias > 0 with 3 pos / 2 neg) -> kept
+    assert(kept == Set(30L, 32L))
+    assert(res.stageCounts == Seq("classify" -> 2L))
+    assert(res.ownsKept) // the stage materialized, so kept is releasable
+    // train-at-run-time form: same labeled frame, same decision
+    val res2 = Pipeline.run(batch, Pipeline.Config(rules = None,
+      classifier = Some(Pipeline.Classifier(labeled = Some(corpus()),
+        labelCol = "is_pos", vocabSize = 100))))
+    assert(res2.kept.select("doc_id").as[Long].collect().toSet == kept)
+    // no model and no labeled frame fails fast
+    intercept[IllegalArgumentException] {
+      Pipeline.run(batch, Pipeline.Config(rules = None,
+        classifier = Some(Pipeline.Classifier())))
+    }
+  }
+
   test("nbFilter keeps the documents the model calls positive") {
     import spark.implicits._
     val fresh = Seq(

@@ -450,6 +450,35 @@ class StreamingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS spipe_grad")
   }
 
+  test("streamingPipeline classifier: model-rejected docs never reach the store or the output") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("spipe_cl").toString
+    val corpus = s"$work/corpus"; val out = s"$work/out"
+    val labeled = Seq(
+      ("helpful prose about parts and suppliers", true),
+      ("clear writing with useful words", true),
+      ("spam casino jackpot", false),
+      ("casino spam offers", false)).toDF("text", "is_pos")
+    val m = graft.ops.Classify.nbTrain(labeled, "text", "is_pos",
+      vocabSize = 100)
+    // materialized weights frame — the streamingPipeline contract (an
+    // unmaterialized one would re-run training every micro-batch)
+    val mm = m.copy(weights = m.weights.localCheckpoint(true))
+    def run(rows: Seq[(Long, String)], id: Long): Unit =
+      StreamingFlatten.pipelineBatch(rows.toDF("doc_id", "text"), id,
+        "text", "doc_id", corpus, out, None, None,
+        0.7, 32, 8, 3, 10000, 13, classifier = Some(mm))
+    run(Seq(
+      (1L, "helpful prose and clear words here"),
+      (2L, "spam casino jackpot spam casino")), 0)
+    assert(spark.read.parquet(s"$out/batch=0").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+    // the rejected doc was judged BEFORE admission: absent from the
+    // store too, so it can never shadow a future legitimate twin
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+  }
+
   test("streamingPipeline scrub + redact: store holds the canonical unredacted form, output redacts, re-junked copies drop") {
     import spark.implicits._
     val work = Files.createTempDirectory("spipe_sr").toString

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *   2b. classify    — optional [[Classify.nbKeep]] under `classifier`
   *                     (model-based quality filter on the heuristic
   *                     survivors — the GPT-3/PaLM recipe position)
+  *   2c. lm filter   — optional [[TextAnalysis.lmScore]] cut under
+  *                     `lmFilter` (CCNet's perplexity filter)
   *   3. exact dedup  — [[Dedup.dedupIncrementBucketed]] vs the standing
   *                     bucketed fingerprint table (batch-only shuffle)
   *   4. near-dup     — [[Dedup.nearDupIncrementIndexed]] vs the standing
@@ -80,6 +82,20 @@ object Pipeline {
       labeled: Option[DataFrame] = None, labelCol: String = "label",
       vocabSize: Int = 50000, minScoreMicro: Long = 0L)
 
+  /** Stage-2c CCNet-style LM perplexity filter: keep documents whose
+    * bigram-LM cross-entropy ([[TextAnalysis.lmScore]]'s
+    * `cross_entropy`, bits per bigram against a model trained on the
+    * trusted corpus — [[TextAnalysis.bigramModel]]) is at most
+    * `maxCrossEntropy`. Pretrained model frames only (train once,
+    * filter every batch — CCNet's shape: the model defines "looks like
+    * the target domain", low entropy = familiar text). The entropy is
+    * a double whose last-ulp value is engine-specific (the x60 oracle
+    * lesson), so this stage is spec-pinned, not SQL-oracled; within
+    * ONE engine the decision is deterministic. Score columns are
+    * dropped after the cut — the kept frame keeps its input columns. */
+  final case class LmFilter(uni: DataFrame, bi: DataFrame,
+      maxCrossEntropy: Double, alpha: Double = 0.1)
+
   /** Mixture stages. `src` and `toks` are column EXPRESSIONS evaluated
     * against the batch (e.g. a domain column, or a derived
     * `concat(lit("s"), pmod(col("doc_id"), lit(16)))`); budgets/weights
@@ -119,6 +135,9 @@ object Pipeline {
         * heuristic survivors (see [[Classifier]]); judges the same
         * text form the dedup stages see (post-scrub, pre-redact). */
       classifier: Option[Classifier] = None,
+      /** stage 2c — optional CCNet-style LM perplexity filter on what
+        * the classifier admits (see [[LmFilter]]). */
+      lmFilter: Option[LmFilter] = None,
       fingerprintTable: Option[String] = None,
       bandTable: Option[String] = None,
       nearDup: NearDup = NearDup(),
@@ -230,6 +249,12 @@ object Pipeline {
         cfg.textCol, c.labelCol, c.vocabSize))
       df = mat("classify")(
         Classify.nbKeep(df, cfg.textCol, cfg.idCol, m, c.minScoreMicro))
+    }
+    if (upTo >= 2) cfg.lmFilter.foreach { lf =>
+      df = mat("lm_filter")(TextAnalysis.lmScore(df, cfg.textCol,
+          cfg.idCol, lf.uni, lf.bi, lf.alpha)
+        .where(col("cross_entropy") <= lf.maxCrossEntropy)
+        .drop("n_tokens", "n_oov", "n_known_bigrams", "cross_entropy"))
     }
     if (upTo >= 3) cfg.fingerprintTable.foreach { t =>
       df = mat("exact_dedup")(

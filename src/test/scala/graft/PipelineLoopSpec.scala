@@ -251,4 +251,33 @@ class PipelineLoopSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_sgl_fp")
     }
   }
+
+  test("stage 2c: LM perplexity filter keeps the low-entropy docs and drops its score columns") {
+    import spark.implicits._
+    // spec-pinned, not SQL-oracled: cross_entropy's last ulp is
+    // engine-specific (the x60 oracle lesson) — the ground truth here
+    // is the PUBLIC scorer itself, so the stage is pinned to apply
+    // exactly lmScore's decision within one engine
+    val trusted = (1 to 40)
+      .map(i => s"the quick brown fox jumps over the lazy dog number $i")
+      .toDF("text")
+    val (uni, bi) = graft.ops.TextAnalysis.bigramModel(trusted, "text",
+      vocabSize = 100, maxBigrams = 500)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "zzq qxj vvk wwy kjq pzx mmv nnb ccd rrf")
+    ).toDF("doc_id", "text")
+    val ce = graft.ops.TextAnalysis.lmScore(batch, "text", "doc_id", uni, bi)
+      .select("doc_id", "cross_entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ce(1L) < ce(2L), s"familiar text must score lower entropy: $ce")
+    val res = Pipeline.run(batch, Pipeline.Config(rules = None,
+      lmFilter = Some(Pipeline.LmFilter(uni, bi,
+        maxCrossEntropy = (ce(1L) + ce(2L)) / 2))), countStages = true)
+    assert(res.kept.columns.toSeq == Seq("doc_id", "text"),
+      "score columns must not leak past the stage")
+    assert(res.kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    assert(res.stageCounts == Seq("lm_filter" -> 1L))
+    assert(res.ownsKept)
+  }
 }

@@ -26,7 +26,8 @@ import org.apache.spark.sql.functions._
   *
   * Run manually (NOT part of the Bench artifact loop):
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.tools.ScaleCurve"
-  * Optional second arg selects a family: all | dedup | ann.
+  * Optional second arg selects a family: all | dedup | ann | mix |
+  * band | vstream | shuffle | pipeline | model.
   */
 object ScaleCurve {
 

@@ -233,7 +233,13 @@ object StreamingFlatten {
       // unmaterialized frame would re-run its training aggregations
       // every batch.
       classifier: Option[graft.ops.Classify.NbModel] = None,
-      classifierMinScoreMicro: Long = 0L): StreamingQuery = {
+      classifierMinScoreMicro: Long = 0L,
+      // the batch pipeline's stage-2c CCNet-style perplexity cut
+      // ([[graft.ops.Pipeline.LmFilter]]) — pretrained frames only,
+      // same once-per-stream discipline; materialize uni/bi
+      // (localCheckpoint) before passing, each micro-batch re-collects
+      // them for the broadcast
+      lmFilter: Option[graft.ops.Pipeline.LmFilter] = None): StreamingQuery = {
     // the eval frame is fixed for the stream's lifetime — build its
     // 13-gram Bloom filter ONCE here, not per micro-batch (the build is
     // distinct + count + bloomFilter aggregate jobs over the benchmark;
@@ -247,7 +253,7 @@ object StreamingFlatten {
         pipelineBatch(batch, batchId, textCol, idCol, corpusDir, outDir,
           rules, eval, threshold, numHashes, bands, shingleSize, maxBucket,
           decontaminateGramSize, bloom, scrub, redactPii, classifier,
-          classifierMinScoreMicro)
+          classifierMinScoreMicro, lmFilter)
       }
       .start()
   }
@@ -265,7 +271,8 @@ object StreamingFlatten {
       scrub: Option[graft.ops.Pipeline.Scrub] = None,
       redactPii: Boolean = false,
       classifier: Option[graft.ops.Classify.NbModel] = None,
-      classifierMinScoreMicro: Long = 0L): Unit = {
+      classifierMinScoreMicro: Long = 0L,
+      lmFilter: Option[graft.ops.Pipeline.LmFilter] = None): Unit = {
     val spark = batch.sparkSession
     var df = batch
     scrub.foreach(s => df = df.withColumn(textCol,
@@ -276,6 +283,11 @@ object StreamingFlatten {
     // survivors, before any admission decision touches the store
     classifier.foreach(m => df = graft.ops.Classify.nbKeep(
       df, textCol, idCol, m, classifierMinScoreMicro))
+    // stage 2c: CCNet perplexity cut on what the classifier admits
+    lmFilter.foreach(lf => df = graft.ops.TextAnalysis.lmScore(
+        df, textCol, idCol, lf.uni, lf.bi, lf.alpha)
+      .where(col("cross_entropy") <= lf.maxCrossEntropy)
+      .drop("n_tokens", "n_oov", "n_known_bigrams", "cross_entropy"))
     eval.foreach { ev =>
       val st = bloom.getOrElse(graft.ops.Decontaminate.buildBloom(
         ev, textCol, decontaminateGramSize))

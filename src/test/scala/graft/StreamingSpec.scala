@@ -479,6 +479,32 @@ class StreamingSpec extends AnyFunSuite {
       .collect().toSet == Set(1L))
   }
 
+  test("streamingPipeline lm filter: high-entropy docs are cut before admission (stage 2c twin)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("spipe_lm").toString
+    val corpus = s"$work/corpus"; val out = s"$work/out"
+    val trusted = (1 to 40)
+      .map(i => s"the quick brown fox jumps over the lazy dog number $i")
+      .toDF("text")
+    val (uni, bi) = graft.ops.TextAnalysis.bigramModel(trusted, "text",
+      vocabSize = 100, maxBigrams = 500)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "zzq qxj vvk wwy kjq pzx mmv nnb ccd rrf")).toDF("doc_id", "text")
+    // cut from the public scorer itself (the PipelineLoopSpec 2c pin)
+    val ce = graft.ops.TextAnalysis.lmScore(batch, "text", "doc_id", uni, bi)
+      .select("doc_id", "cross_entropy").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    StreamingFlatten.pipelineBatch(batch, 0L, "text", "doc_id", corpus, out,
+      None, None, 0.7, 32, 8, 3, 10000, 13,
+      lmFilter = Some(graft.ops.Pipeline.LmFilter(uni, bi,
+        maxCrossEntropy = (ce(1L) + ce(2L)) / 2)))
+    assert(spark.read.parquet(s"$out/batch=0").select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(1L))
+  }
+
   test("streamingPipeline scrub + redact: store holds the canonical unredacted form, output redacts, re-junked copies drop") {
     import spark.implicits._
     val work = Files.createTempDirectory("spipe_sr").toString

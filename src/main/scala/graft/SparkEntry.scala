@@ -730,6 +730,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    "x87_dedup_keep_best" -> ((s, dir) => {
+      // keep-best cluster representatives on REAL duplicate structure:
+      // the pair set is every same-fingerprint pair (x15's
+      // normalized-text groups — sf0.1 has 8 natural ones), the keep
+      // rule is highest n_chars then lowest doc_id
+      // (Dedup.dedupByPairsKeepBest — the published "keep the best
+      // cluster member" nuance). CC labels and the per-component rank
+      // are integer-deterministic, so the kept id set replays in SQL.
+      val d = rd(s, dir, "documents")
+      val fp = d.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val pairs = fp.select(col("fp"), col("doc_id").as("id_a"))
+        .join(fp.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      graft.ops.Dedup.dedupByPairsKeepBest(d, "doc_id", pairs,
+          col("n_chars"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "x86_pipeline_classify" -> ((s, dir) => {
       // The classifier-filter stage THROUGH the public Pipeline.run
       // entry point (stage 2b, pretrained-model daily-loop shape):
@@ -2779,6 +2799,19 @@ object SparkEntry {
         |  (row_number() OVER (ORDER BY logw_micro DESC, doc_id ASC)) <= 200
         |    AS selected
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // keep-best dedup: rank within each normalized-text group by
+    // (n_chars desc, doc_id asc) — a fingerprint group IS one connected
+    // component of the all-pairs set, and unpaired docs are their own
+    // rank-1 singleton, so "rank 1 per group" is exactly the engine's
+    // keep set
+    "x87_dedup_keep_best" ->
+      s"""SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY md5(regexp_replace(lower(trim(text)), '$FpWs', ' ', 'g'))
+        |    ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
 
     // the x84 model replayed, keeping the strictly-positive scores —
     // the Pipeline stage-2b contract (score_micro > 0)

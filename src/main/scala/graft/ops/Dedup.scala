@@ -841,6 +841,34 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupByPairs]] with a QUALITY keep rule: within each connected
+    * component keep the member with the highest `priority` (ties → the
+    * lowest id — fully deterministic), instead of the lowest id
+    * unconditionally. The published dedup recipes' "keep the best
+    * cluster representative" nuance — e.g. priority = document length,
+    * a quality score ([[TextAnalysis.qualityScore]]), or a classifier
+    * score ([[Classify.nbScore]]'s `score_micro`). `priority` is
+    * evaluated against `df`'s columns.
+    *
+    * Scale shape: the per-component argmax is a keyed window over the
+    * COMPONENT MEMBERS only (pairs' ids — candidates, not the corpus),
+    * partitioned by component label, so no global sort and no
+    * corpus-side shuffle; the loser anti-join broadcasts like
+    * [[dedupByPairs]]'s.
+    */
+  def dedupByPairsKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      priority: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = connectedComponents(pairs)
+    val prio = df.select(col(idCol).as("id"), priority.as("__prio"))
+    val losers = members.join(prio, Seq("id"))
+      .withColumn("__rk", row_number().over(Window.partitionBy(col("label"))
+        .orderBy(col("__prio").desc, col("id").asc)))
+      .where(col("__rk") > 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Verify candidate pairs by exact shingle-set Jaccard ≥ `threshold`.
     *
     * Candidate-driven: the corpus is semi-joined down to ids that appear

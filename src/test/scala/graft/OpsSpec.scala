@@ -243,6 +243,25 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 99L))
   }
 
+  test("dedupByPairsKeepBest keeps the highest-priority member per cluster, min id on ties") {
+    import spark.implicits._
+    // component {1,2,3} (chain): 2 has the best priority → keep 2;
+    // component {10,11}: tied priorities → min id 10; 99 unpaired passes
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val corpus = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (99L, 1L)
+    ).toDF("doc_id", "quality")
+    val kept = Dedup.dedupByPairsKeepBest(corpus, "doc_id", pairs,
+      col("quality"))
+    assert(kept.columns.toSeq == Seq("doc_id", "quality"))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 10L, 99L))
+    // min-id priority reproduces dedupByPairs exactly
+    val minIdKept = Dedup.dedupByPairsKeepBest(corpus, "doc_id", pairs,
+      -col("doc_id")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(minIdKept == Seq(1L, 10L, 99L))
+  }
+
   test("connected components converge on deep chains via pointer jumping") {
     import spark.implicits._
     // a 200-hop path with the minimum id at one END — plain one-hop

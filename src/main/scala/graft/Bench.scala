@@ -986,9 +986,14 @@ object Bench {
     // a recorded run.
     val bandsApply = sfDir.stripSuffix("/").endsWith("sf0.1")
     val bandScale = sys.env.getOrElse("SPARK_GRAFT_BAND_SCALE", "1.0").toDouble
+    // ONE spread predicate for both the retry trigger and the artifact's
+    // spread_warn field — two drifting copies would let a row be
+    // reported as retry-survived when it was never retried (or v.v.)
+    def spreadFlagged(ts: Vector[Double]): Boolean =
+      ts.last - ts.head > 2.0 && ts.last / ts.head > 2.5
     def flaggedArms(name: String, ts: Vector[Double]): Seq[String] = {
       val arms = Seq.newBuilder[String]
-      if (ts.last - ts.head > 2.0 && ts.last / ts.head > 2.5) arms += "spread"
+      if (spreadFlagged(ts)) arms += "spread"
       if (bandsApply && bandMax.get(name).exists(median(ts) > _ * bandScale))
         arms += "band"
       arms.result()
@@ -1116,7 +1121,7 @@ object Bench {
     // stays below 2 s of delta or under the ratio (SCALE.md §b4).
     val loadMax = loadSamples.max
     val spreadWarn = okTimes.collect {
-      case (k, ts) if ts.last - ts.head > 2.0 && ts.last / ts.head > 2.5 => k }
+      case (k, ts) if spreadFlagged(ts) => k }
     val bandWarn = okTimes.collect {
       case (k, ts) if bandsApply &&
         bandMax.get(k).exists(median(ts) > _ * bandScale) => k }

@@ -72,9 +72,11 @@ object Classify {
       .groupBy("token")
       .agg(sum(when(col(labelCol), 1L).otherwise(0L)).as("df_pos"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("df_neg"))
+    // coalesce: an empty frame sums to NULL, which would NPE at
+    // getLong before the diagnostic require below can fire
     val sizes = docs.agg(
-      sum(when(col(labelCol), 1L).otherwise(0L)),
-      sum(when(col(labelCol), 0L).otherwise(1L))).head()
+      coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col(labelCol), 0L).otherwise(1L)), lit(0L))).head()
     val (nPos, nNeg) = (sizes.getLong(0), sizes.getLong(1))
     require(nPos > 0 && nNeg > 0,
       s"nbTrain: both classes must be non-empty (pos=$nPos, neg=$nNeg)")

@@ -37,10 +37,10 @@ import graft.functions.DsirHash
 object Dsir {
 
   /** Fitted model: `buckets` = (bucket, c_target, c_raw, w_micro) over
-    * raw-observed buckets; `defaultMicro` the weight of a bucket seen
-    * in neither corpus (same smoothed spelling with zero counts) —
-    * only reachable when scoring documents outside the fitted raw
-    * corpus; totals kept for audit/replay. */
+    * every bucket observed in EITHER corpus; `defaultMicro` the weight
+    * of a bucket seen in neither (same smoothed spelling with zero
+    * counts) — only reachable when scoring documents outside both
+    * fitted corpora; totals kept for audit/replay. */
   final case class DsirModel(buckets: DataFrame, nTargetGrams: Long,
       nRawGrams: Long, numBuckets: Int, defaultMicro: Long)
 
@@ -76,10 +76,18 @@ object Dsir {
     val nR = cR.agg(coalesce(sum("c_raw"), lit(0L))).head().getLong(0)
     require(nT > 0 && nR > 0,
       s"fit: both corpora need at least one token (target=$nT raw=$nR grams)")
-    val buckets = cR.join(cT, Seq("bucket"), "left")
+    // FULL outer: a bucket observed only in the target corpus must keep
+    // its target-informed weight — left-joining on raw would silently
+    // hand exactly the most target-characteristic grams the
+    // neither-corpus defaultMicro when scoring documents OUTSIDE the
+    // fitted raw corpus (the day-2 batch case), underscoring them by
+    // ~ln(c_target+1) micro-nats per occurrence
+    val buckets = cR.join(cT, Seq("bucket"), "full_outer")
       .select(col("bucket"),
-        coalesce(col("c_target"), lit(0L)).as("c_target"), col("c_raw"),
-        wMicro(coalesce(col("c_target"), lit(0L)), col("c_raw"), nT, nR,
+        coalesce(col("c_target"), lit(0L)).as("c_target"),
+        coalesce(col("c_raw"), lit(0L)).as("c_raw"),
+        wMicro(coalesce(col("c_target"), lit(0L)),
+          coalesce(col("c_raw"), lit(0L)), nT, nR,
           numBuckets).as("w_micro"))
     val default = math.floor((math.log(1.0 / (nT + numBuckets.toDouble)) -
       math.log(1.0 / (nR + numBuckets.toDouble))) * 1e6 + 0.5).toLong

@@ -92,9 +92,17 @@ object Pipeline {
     * a double whose last-ulp value is engine-specific (the x60 oracle
     * lesson), so this stage is spec-pinned, not SQL-oracled; within
     * ONE engine the decision is deterministic. Score columns are
-    * dropped after the cut — the kept frame keeps its input columns. */
+    * dropped after the cut — the kept frame keeps its input columns.
+    *
+    * `minTokens`: [[TextAnalysis.lmScore]] hardwires
+    * `cross_entropy = 0.0` for documents with fewer than 2 tokens
+    * (nothing to score), and 0 passes ANY positive cut — so a 1-token
+    * junk doc would ride straight through the filter whose whole job
+    * is cutting unfamiliar text. Documents under `minTokens` are
+    * therefore DROPPED (unscorable ≠ target-like); set `minTokens = 0`
+    * to keep them deliberately. */
   final case class LmFilter(uni: DataFrame, bi: DataFrame,
-      maxCrossEntropy: Double, alpha: Double = 0.1)
+      maxCrossEntropy: Double, alpha: Double = 0.1, minTokens: Int = 2)
 
   /** Mixture stages. `src` and `toks` are column EXPRESSIONS evaluated
     * against the batch (e.g. a domain column, or a derived
@@ -253,7 +261,8 @@ object Pipeline {
     if (upTo >= 2) cfg.lmFilter.foreach { lf =>
       df = mat("lm_filter")(TextAnalysis.lmScore(df, cfg.textCol,
           cfg.idCol, lf.uni, lf.bi, lf.alpha)
-        .where(col("cross_entropy") <= lf.maxCrossEntropy)
+        .where(col("n_tokens") >= lf.minTokens &&
+          col("cross_entropy") <= lf.maxCrossEntropy)
         .drop("n_tokens", "n_oov", "n_known_bigrams", "cross_entropy"))
     }
     if (upTo >= 3) cfg.fingerprintTable.foreach { t =>

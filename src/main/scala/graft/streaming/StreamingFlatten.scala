@@ -284,9 +284,12 @@ object StreamingFlatten {
     classifier.foreach(m => df = graft.ops.Classify.nbKeep(
       df, textCol, idCol, m, classifierMinScoreMicro))
     // stage 2c: CCNet perplexity cut on what the classifier admits
+    // (sub-minTokens docs drop — lmScore's 0.0 for unscorable text
+    // would pass any positive cut; see Pipeline.LmFilter)
     lmFilter.foreach(lf => df = graft.ops.TextAnalysis.lmScore(
         df, textCol, idCol, lf.uni, lf.bi, lf.alpha)
-      .where(col("cross_entropy") <= lf.maxCrossEntropy)
+      .where(col("n_tokens") >= lf.minTokens &&
+        col("cross_entropy") <= lf.maxCrossEntropy)
       .drop("n_tokens", "n_oov", "n_known_bigrams", "cross_entropy"))
     eval.foreach { ev =>
       val st = bloom.getOrElse(graft.ops.Decontaminate.buildBloom(

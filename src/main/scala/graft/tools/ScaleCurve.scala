@@ -679,8 +679,8 @@ object ScaleCurve {
       // public recipe, not a hand-copied respelling that could drift
       def pipeline(jsonDir: String, corpusDf: DataFrame, bandTable: String,
           fpTable: String, eval: DataFrame, budgets: Map[String, Long],
-          hygiene: Boolean = false): Unit =
-        graft.ops.Pipeline.run(pBatch(jsonDir, marked = hygiene),
+          hygiene: Boolean = false): Unit = {
+        val res = graft.ops.Pipeline.run(pBatch(jsonDir, marked = hygiene),
           graft.ops.Pipeline.Config(
             textCol = "text", idCol = "doc_id",
             // the full published recipe: C4-style line scrub before the
@@ -701,7 +701,13 @@ object ScaleCurve {
               weights = Map("s0" -> 2.0), defaultWeight = 1.0,
               maxTokensPerBin = 4096, nShards = 32))),
           corpus = Some(corpusDf), eval = Some(eval))
-          .kept.write.format("noop").mode("overwrite").save()
+        res.kept.write.format("noop").mode("overwrite").save()
+        // daily-loop hygiene (the B17HygieneProbe discipline): this
+        // JVM times many more rows after these runs, and a leaked
+        // final-stage checkpoint per invocation is exactly the
+        // storage-pool contamination §b4 documents
+        if (res.ownsKept) graft.util.Checkpoints.release(res.kept)
+      }
       // fixed batch at both scales (budgets derive from the BATCH mass —
       // unlike Bench's corpus-mass budgets, which at N× would stop
       // biting and change stage-6's work)

@@ -77,6 +77,9 @@ class DsirSpec extends AnyFunSuite {
     assert(rows(DsirHash.bucket("apples", k)) == ((3L, 3L, w(3, 3))))
     assert(rows(DsirHash.bucket("bolts nuts", k)) == ((0L, 2L, w(0, 2))))
     assert(rows(DsirHash.bucket("oranges oranges", k)) == ((0L, 2L, w(0, 2))))
+    // TARGET-ONLY gram ("apples apples" appears in no raw doc): the
+    // model must carry its target-informed weight, not defaultMicro
+    assert(rows(DsirHash.bucket("apples apples", k)) == ((1L, 0L, w(1, 0))))
     rows.foreach { case (b, (ct, cr, wm)) =>
       assert(wm == w(ct, cr), s"weight mismatch in bucket $b")
     }

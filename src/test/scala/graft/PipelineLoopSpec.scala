@@ -265,12 +265,16 @@ class PipelineLoopSpec extends AnyFunSuite {
       vocabSize = 100, maxBigrams = 500)
     val batch = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),
-      (2L, "zzq qxj vvk wwy kjq pzx mmv nnb ccd rrf")
+      (2L, "zzq qxj vvk wwy kjq pzx mmv nnb ccd rrf"),
+      // 1 token: lmScore hardwires cross_entropy = 0.0 (unscorable),
+      // which would pass any positive cut — minTokens must drop it
+      (3L, "zzqx")
     ).toDF("doc_id", "text")
     val ce = graft.ops.TextAnalysis.lmScore(batch, "text", "doc_id", uni, bi)
       .select("doc_id", "cross_entropy").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ce(1L) < ce(2L), s"familiar text must score lower entropy: $ce")
+    assert(ce(3L) == 0.0)
     val res = Pipeline.run(batch, Pipeline.Config(rules = None,
       lmFilter = Some(Pipeline.LmFilter(uni, bi,
         maxCrossEntropy = (ce(1L) + ce(2L)) / 2))), countStages = true)
@@ -279,5 +283,11 @@ class PipelineLoopSpec extends AnyFunSuite {
     assert(res.kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
     assert(res.stageCounts == Seq("lm_filter" -> 1L))
     assert(res.ownsKept)
+    // minTokens = 0 keeps the unscorable doc deliberately
+    val keep0 = Pipeline.run(batch, Pipeline.Config(rules = None,
+      lmFilter = Some(Pipeline.LmFilter(uni, bi,
+        maxCrossEntropy = (ce(1L) + ce(2L)) / 2, minTokens = 0))))
+    assert(keep0.kept.select("doc_id").as[Long].collect().toSeq.sorted ==
+      Seq(1L, 3L))
   }
 }

@@ -490,7 +490,9 @@ class StreamingSpec extends AnyFunSuite {
       vocabSize = 100, maxBigrams = 500)
     val batch = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again"),
-      (2L, "zzq qxj vvk wwy kjq pzx mmv nnb ccd rrf")).toDF("doc_id", "text")
+      (2L, "zzq qxj vvk wwy kjq pzx mmv nnb ccd rrf"),
+      (3L, "zzqx") // unscorable 1-token junk: minTokens must drop it
+    ).toDF("doc_id", "text")
     // cut from the public scorer itself (the PipelineLoopSpec 2c pin)
     val ce = graft.ops.TextAnalysis.lmScore(batch, "text", "doc_id", uni, bi)
       .select("doc_id", "cross_entropy").collect()

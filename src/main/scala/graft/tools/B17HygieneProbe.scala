@@ -128,11 +128,15 @@ object B17HygieneProbe {
       (cdf, s"b17hyg_band$tag", s"b17hyg_fp$tag")
     }
     def config(bandTable: String, fpTable: String, budgets: Map[String, Long],
-        scrub: Boolean, redact: Boolean) =
+        scrub: Boolean, redact: Boolean,
+        classifier: Option[graft.ops.Pipeline.Classifier] = None,
+        lmFilter: Option[graft.ops.Pipeline.LmFilter] = None) =
       graft.ops.Pipeline.Config(
         textCol = "text", idCol = "doc_id",
         scrub = if (scrub) Some(graft.ops.Pipeline.Scrub()) else None,
         rules = Some(rules),
+        classifier = classifier,
+        lmFilter = lmFilter,
         fingerprintTable = Some(fpTable),
         bandTable = Some(bandTable),
         nearDup = graft.ops.Pipeline.NearDup(threshold = 0.7,
@@ -151,11 +155,13 @@ object B17HygieneProbe {
     }
     def run(marked: Boolean, cdf: DataFrame, band: String, fp: String,
         budgets: Map[String, Long], scrub: Boolean, redact: Boolean,
-        upTo: Int = 8): Double = {
+        upTo: Int = 8,
+        classifier: Option[graft.ops.Pipeline.Classifier] = None,
+        lmFilter: Option[graft.ops.Pipeline.LmFilter] = None): Double = {
       System.gc()
       val t0 = System.nanoTime()
       val res = graft.ops.Pipeline.run(batch(marked),
-        config(band, fp, budgets, scrub, redact),
+        config(band, fp, budgets, scrub, redact, classifier, lmFilter),
         corpus = Some(cdf), eval = Some(eval), upTo = upTo)
       res.kept.write.format("noop").mode("overwrite").save()
       if (res.ownsKept) graft.util.Checkpoints.release(res.kept)
@@ -213,6 +219,40 @@ object B17HygieneProbe {
         println(f"[b17hyg] hygiene $name%-13s median ${ts(ts.length / 2)}%6.2f  " +
           f"all ${ts.map(t => f"$t%.2f").mkString(" ")}")
       }
+      // the r20 model stages (2b classify, 2c lm) at KEEP-ALL thresholds:
+      // the stage pays its full per-document scoring cost but admits
+      // everything, so downstream volume — hence the delta vs the
+      // scrub+redact row — isolates the stage's own cost. Models are
+      // trained from the standing corpus UNTIMED (the pretrained
+      // daily-loop shape) and materialized so reps don't retrain.
+      val nbModel = {
+        val lab = cdf.withColumn("is_pos", pmod(col("doc_id"), lit(3L)) === 0)
+        val m = graft.ops.Classify.nbTrain(lab, "text", "is_pos",
+          vocabSize = 50000)
+        m.copy(weights = m.weights.localCheckpoint(true))
+      }
+      val (lmUni, lmBi) = {
+        val (u, b) = graft.ops.TextAnalysis.bigramModel(cdf, "text",
+          vocabSize = 20000, maxBigrams = 200000)
+        (u.localCheckpoint(true), b.localCheckpoint(true))
+      }
+      val keepAllCls = Some(graft.ops.Pipeline.Classifier(
+        model = Some(nbModel), minScoreMicro = Long.MinValue))
+      val keepAllLm = Some(graft.ops.Pipeline.LmFilter(lmUni, lmBi,
+        maxCrossEntropy = Double.MaxValue, minTokens = 0))
+      Seq(("scrub+redact+classify", keepAllCls,
+            Option.empty[graft.ops.Pipeline.LmFilter]),
+          ("scrub+redact+classify+lm", keepAllCls, keepAllLm))
+        .foreach { case (name, cls, lmf) =>
+          run(marked = true, cdf, band, fp, budgets, scrub = true,
+            redact = true, classifier = cls, lmFilter = lmf) // warm
+          val ts = (1 to reps).map(_ =>
+            run(marked = true, cdf, band, fp, budgets, scrub = true,
+              redact = true, classifier = cls, lmFilter = lmf))
+            .toVector.sorted
+          println(f"[b17hyg] hygiene $name%-24s median ${ts(ts.length / 2)}%6.2f  " +
+            f"all ${ts.map(t => f"$t%.2f").mkString(" ")}")
+        }
     }
     spark.stop()
   }

@@ -108,6 +108,26 @@ class DsirSpec extends AnyFunSuite {
     assert(s(1L)._2 > s(2L)._2)
   }
 
+  test("out-of-corpus scoring: target-only grams keep their target weight, unseen grams take defaultMicro") {
+    import spark.implicits._
+    val (raw, target) = corpora()
+    val k = 1 << 16
+    val m = Dsir.fit(raw, target, "text", k)
+    def w(ct: Long, cr: Long): Long =
+      math.floor((math.log((ct + 1) / (m.nTargetGrams + k.toDouble)) -
+        math.log((cr + 1) / (m.nRawGrams + k.toDouble))) * 1e6 + 0.5).toLong
+    // the day-2 batch case the full-outer fit exists for: "apples
+    // apples" occurs in TARGET only (ct=1, cr=0) and "zz" in NEITHER
+    val fresh = Seq((201L, "apples apples"), (202L, "zz")).toDF("doc_id", "text")
+    val s = Dsir.score(fresh, "text", "doc_id", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // grams of doc 201: apples (3,3), apples (3,3), "apples apples" (1,0)
+    assert(s(201L) == ((3L, 2 * w(3, 3) + w(1, 0))),
+      s"target-only gram must score w(1,0)=${w(1, 0)}, not defaultMicro=${m.defaultMicro}")
+    assert(s(202L) == ((1L, m.defaultMicro)))
+    assert(w(1, 0) != m.defaultMicro) // the bug would have conflated them
+  }
+
   test("select takes the k highest weights with the id tie-break; resample is salt-deterministic") {
     val (raw, target) = corpora()
     val m = Dsir.fit(raw, target, "text", 4096)

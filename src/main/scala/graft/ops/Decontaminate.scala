@@ -290,4 +290,28 @@ object Decontaminate {
     Dedup.nearDupIncrement(benchKeyed, docs, textCol, idCol, threshold,
       numHashes, bands, shingleSize, maxBucket)
   }
+
+  /** Embedding-space decontamination — the semantic counterpart of the
+    * n-gram forms above: drop training documents whose EMBEDDING
+    * reaches `threshold` cosine against any held-out benchmark
+    * embedding. Catches the paraphrased/translated eval leakage that
+    * token-gram overlap ([[decontaminate]]/[[decontaminateFuzzy]])
+    * cannot see — the published "semantic decontamination" recipe.
+    *
+    * Delegates to the measured-recall incremental machinery: the eval
+    * set is signed once via [[Similarity.lshIndex]] (benchmarks are
+    * small and fixed — sign at job start, the eval-Bloom discipline),
+    * candidates come from the banded signature probe, and every
+    * candidate is EXACT-cosine verified — so a probe miss can only
+    * KEEP a doc a deeper probe would drop, never drop a clean one
+    * (the [[Similarity.cosineDedupIncrement]] one-sided contract;
+    * x66/x68 are its oracle surface, NearDupRecallSpec its measured
+    * recall). Ids must be distinct across the two frames.
+    */
+  def semanticDecontaminate(docs: DataFrame, evalEmb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double = 0.95,
+      nBits: Int = 16, probeDepth: Int = 2): DataFrame =
+    Similarity.cosineDedupIncrement(
+      Similarity.lshIndex(evalEmb, idCol, vecCol, nBits),
+      docs, idCol, vecCol, threshold, nBits, probeDepth)
 }

@@ -243,6 +243,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 99L))
   }
 
+  test("semanticDecontaminate drops docs whose embedding matches a benchmark embedding") {
+    import spark.implicits._
+    import graft.ops.Decontaminate
+    val evalEmb = Seq(
+      (900L, Array(1f, 0f, 0f, 0f)),
+      (901L, Array(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (1L, Array(2f, 0f, 0f, 0f)),  // scaled copy of eval 900 → drop
+      (2L, Array(0f, 0f, 3f, 0f)),  // orthogonal → keep
+      (3L, Array(0f, -1f, 0f, 0f))  // cosine −1 vs 901 → keep
+    ).toDF("vec_id", "embedding")
+    val kept = Decontaminate.semanticDecontaminate(docs, evalEmb,
+      "vec_id", "embedding").select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("dedupByPairsKeepBest keeps the highest-priority member per cluster, min id on ties") {
     import spark.implicits._
     // component {1,2,3} (chain): 2 has the best priority → keep 2;

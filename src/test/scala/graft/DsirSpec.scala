@@ -128,6 +128,28 @@ class DsirSpec extends AnyFunSuite {
     assert(w(1, 0) != m.defaultMicro) // the bug would have conflated them
   }
 
+  test("fuzz: kernel score ≡ explode-join spelling over random ASCII corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcdefghij0123 .,!-\n\t" // tokens + separators + edge chars
+    def doc(): String =
+      (1 to (1 + rnd.nextInt(30))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val raw = (1L to 60L).map(i => (i, doc())).toDF("doc_id", "text")
+    val target = (101L to 115L).map(i => (i, doc())).toDF("doc_id", "text")
+    val m = Dsir.fit(raw, target, "text", 256) // small k: forced collisions
+    val s = Dsir.score(raw, "text", "doc_id", m).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val grams = udf((t: String) => DsirHash.gramBuckets(t, 256))
+    val joined = raw.select(col("doc_id"), explode(grams(col("text"))).as("bucket"))
+      .join(m.buckets.select("bucket", "w_micro"), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("w_micro").as("s"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    (1L to 60L).foreach { id =>
+      assert(s(id) == joined.getOrElse(id, (0L, 0L)), s"doc $id diverged")
+    }
+  }
+
   test("select takes the k highest weights with the id tie-break; resample is salt-deterministic") {
     val (raw, target) = corpora()
     val m = Dsir.fit(raw, target, "text", 4096)

@@ -18,11 +18,11 @@ import java.security.MessageDigest
   * so the whole feature space — hence the fitted model and every
   * document score — is replayable in DuckDB/Postgres for oracle checks.
   *
-  * Per CLAUDE.md kernel rules this is compiled per-row Scala (one
-  * MessageDigest reused across the document's grams; `digest()` resets
-  * it), not an expression-tree HOF: gram construction + hashing is a
-  * per-row × per-token loop, exactly the shape that must not be
-  * interpreted per element.
+  * Per the project's kernel rule (SCALE.md §kernel-allocation) this is
+  * compiled per-row Scala (one MessageDigest reused across the
+  * document's grams; `digest()` resets it), not an expression-tree
+  * HOF: gram construction + hashing is a per-row × per-token loop,
+  * exactly the shape that must not be interpreted per element.
   *
   * Tokenization is [[TextHash.tokenize]] — the canonical lowercased
   * `[a-z0-9]+` runs every other text operator uses (ASCII contract;

@@ -88,8 +88,13 @@ object Classify {
       .cast("long")
     val biasMicro =
       math.floor(math.log(nPos.toDouble / nNeg) * 1e6 + 0.5).toLong
+    // materialize the vocabulary-sized weight frame ONCE (≤ vocabSize
+    // rows): every nbScore call broadcasts it, and an unmaterialized
+    // frame would re-run the full labeled-corpus postings aggregation
+    // per scoring batch in a train-once/score-daily loop (the Dsir.fit
+    // r21 finding applied to the classifier)
     NbModel(vocab.select(col("token"), col("df_pos"), col("df_neg"),
-      w.as("w_micro")), biasMicro, nPos, nNeg)
+      w.as("w_micro")).localCheckpoint(true), biasMicro, nPos, nNeg)
   }
 
   /** Score documents against a trained model: (idCol, n_vocab_tokens,
@@ -117,7 +122,13 @@ object Classify {
   /** Keep the documents a PRETRAINED model scores above
     * `minScoreMicro` (default 0 = the `predicted` boundary) — the
     * daily-loop form: train once, filter every batch against the same
-    * broadcastable model. Original columns survive (id semi-join). */
+    * broadcastable model. Original columns survive (id semi-join).
+    *
+    * NOTE `docs` is scanned three times (postings, id projection, the
+    * semi-join): inside [[Pipeline.run]] the input is a checkpointed
+    * stage frame so those are block reads, but a standalone caller with
+    * an expensive upstream plan should cache/checkpoint `docs` first —
+    * the same discipline [[TextAnalysis.lmScore]]'s docs spell out. */
   def nbKeep(docs: DataFrame, textCol: String, idCol: String,
       model: NbModel, minScoreMicro: Long = 0L): DataFrame =
     docs.join(nbScore(docs, textCol, idCol, model)

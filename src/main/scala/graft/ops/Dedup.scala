@@ -369,16 +369,21 @@ object Dedup {
     val in = bandFrame(incoming, textCol, idCol, numHashes, bands, shingleSize)
       .select(col("id").as("new_id"), col("band"), col("bandHash"))
       .localCheckpoint(false)
+    // the batch's distinct probe keys, materialized once: the
+    // literal-rung collect below reads them, and on big batches (where
+    // the literal rung declines) the semi-join reuses the SAME blocks —
+    // pre-r21 that branch recomputed the full distinct from `in` at
+    // execution time, a second aggregation over the whole band frame
+    val dist = in.select(col("band"), col("bandHash")).distinct()
+      .localCheckpoint(false)
     val probeHashes: Option[Array[Long]] = {
-      val got = in.select(col("bandHash")).where(col("bandHash").isNotNull)
+      val got = dist.select(col("bandHash")).where(col("bandHash").isNotNull)
         .distinct().limit(NearDupMaxInLiterals + 1).collect().map(_.getLong(0))
       if (got.length > NearDupMaxInLiterals) None else Some(got)
     }
     val cbPruned = probeHashes match {
       case Some(hs) => corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
-      case None => corpusBands.join(
-        in.select(col("band"), col("bandHash")).distinct(),
-        Seq("band", "bandHash"), "left_semi")
+      case None => corpusBands.join(dist, Seq("band", "bandHash"), "left_semi")
     }
     val ex = cbPruned
       .withColumn("__n", count(lit(1)).over(w))
@@ -1028,8 +1033,16 @@ object Dedup {
     val win = df
       .select(col(idCol),
         explode(TextHash.windowKeysUdf(n)(col(textCol))).as("__wh"))
-    val owners = win.groupBy(col("__wh")).agg(min(col(idCol)).as("__owner"))
-    val flags = win.join(owners, Seq("__wh"))
+    // min-owner via a window over the key, not groupBy + self-join: the
+    // join form consumed `win` (the kernel + explode) TWICE — two
+    // identical exchanges whose unification rides the AQE
+    // exchange-reuse lottery (SCALE.md §b18-tfidf documents the class;
+    // b7 rolled a 3.6–5.4 s band on it). One linear pass — exchange on
+    // __wh, in-partition sort, window min — evaluates the kernel once
+    // by construction and produces identical owners (min id per key).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__wh"))
+    val flags = win
+      .withColumn("__owner", min(col(idCol)).over(w))
       .groupBy(col(idCol))
       .agg(sum(when(col("__owner") < col(idCol), 1L).otherwise(0L)).as("__n"))
     df.select(col(idCol)).join(flags, Seq(idCol), "left_outer")

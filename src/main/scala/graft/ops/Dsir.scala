@@ -40,9 +40,37 @@ object Dsir {
     * every bucket observed in EITHER corpus; `defaultMicro` the weight
     * of a bucket seen in neither (same smoothed spelling with zero
     * counts) — only reachable when scoring documents outside both
-    * fitted corpora; totals kept for audit/replay. */
+    * fitted corpora; totals kept for audit/replay.
+    *
+    * The dense weight table and its broadcast are cached ON the model
+    * (computed on first [[score]]): [[fit]] materializes the per-corpus
+    * histograms, so collecting `buckets` is a join of two bucket-sized
+    * frames, and a daily loop that scores many batches against one model
+    * pays the collect and the broadcast exactly once instead of
+    * re-running both corpus aggregations and leaking one broadcast per
+    * `score` call (the r20 ADVICE finding). */
   final case class DsirModel(buckets: DataFrame, nTargetGrams: Long,
-      nRawGrams: Long, numBuckets: Int, defaultMicro: Long)
+      nRawGrams: Long, numBuckets: Int, defaultMicro: Long) {
+    /** Dense executor-side weight table (length numBuckets, unseen →
+      * defaultMicro). Bounded driver collect: ≤ numBuckets ≤ 2^24 rows,
+      * filled from a projected iterator so no Array[Row] of generic rows
+      * is retained. Computed once per model. */
+    private[graft] lazy val weights: Array[Long] = {
+      val arr = Array.fill(numBuckets)(defaultMicro)
+      val it = buckets.select(col("bucket").cast(LongType),
+        col("w_micro").cast(LongType)).toLocalIterator()
+      while (it.hasNext) {
+        val r = it.next()
+        arr(r.getLong(0).toInt) = r.getLong(1)
+      }
+      arr
+    }
+    /** One broadcast of [[weights]] per model, shared by every
+      * [[score]]/[[select]]/[[resample]] call. */
+    private[graft] lazy val weightsBc
+        : org.apache.spark.broadcast.Broadcast[Array[Long]] =
+      buckets.sparkSession.sparkContext.broadcast(weights)
+  }
 
   /** Per-corpus hashed-feature histogram: (bucket, c) with c the total
     * gram count (multiplicity, not presence — DSIR models counts). */
@@ -68,10 +96,16 @@ object Dsir {
       numBuckets: Int = 4096): DsirModel = {
     require(numBuckets > 0 && numBuckets <= (1 << 24),
       s"numBuckets must be in [1, 2^24], got $numBuckets")
+    // materialize each histogram ONCE (≤ numBuckets fixed-width rows —
+    // the streaming-NbModel discipline): the totals aggregation below,
+    // the buckets join, and every later weight collect all read these
+    // blocks instead of re-running the full-corpus explode→groupBy per
+    // consumer (pre-r21 the fit totals + one score paid each corpus
+    // aggregation TWICE — measured ~2× the whole fit+score cost on b22)
     val cT = featureCounts(target, textCol, numBuckets)
-      .withColumnRenamed("c", "c_target")
+      .withColumnRenamed("c", "c_target").localCheckpoint(true)
     val cR = featureCounts(raw, textCol, numBuckets)
-      .withColumnRenamed("c", "c_raw")
+      .withColumnRenamed("c", "c_raw").localCheckpoint(true)
     val nT = cT.agg(coalesce(sum("c_target"), lit(0L))).head().getLong(0)
     val nR = cR.agg(coalesce(sum("c_raw"), lit(0L))).head().getLong(0)
     require(nT > 0 && nR > 0,
@@ -94,24 +128,14 @@ object Dsir {
     DsirModel(buckets, nT, nR, numBuckets, default)
   }
 
-  /** Dense executor-side weight table (length numBuckets, unseen →
-    * defaultMicro). Bounded driver collect: ≤ numBuckets ≤ 2^24 rows. */
-  private def weightArray(model: DsirModel): Array[Long] = {
-    val arr = Array.fill(model.numBuckets)(model.defaultMicro)
-    model.buckets.select("bucket", "w_micro").collect().foreach { r =>
-      arr(r.getLong(0).toInt) = r.getLong(1)
-    }
-    arr
-  }
-
   /** Score documents: (idCol, n_grams, logw_micro) — `logw_micro =
     * Σ w_micro(bucket(gram))` over the document's grams, an exact long
-    * sum; gram-less documents score 0. Map-only (broadcast weights +
-    * compiled kernel); no shuffle beyond whatever the caller does with
-    * the result. */
+    * sum; gram-less documents score 0. Map-only (the model's cached
+    * broadcast weights + compiled kernel); no shuffle beyond whatever
+    * the caller does with the result. */
   def score(docs: DataFrame, textCol: String, idCol: String,
       model: DsirModel): DataFrame = {
-    val bc = docs.sparkSession.sparkContext.broadcast(weightArray(model))
+    val bc = model.weightsBc
     val k = udf((t: String) => {
       val (n, s) = DsirHash.score(t, bc.value)
       (n, s)

@@ -295,22 +295,70 @@ object Pipeline {
         Redact.redact(col(cfg.textCol))))
     }
     cfg.mix.foreach { m =>
-      if (upTo >= 6) {
-        df = mat("budget_mix")(Sampling.tokenBudgetMix(
-          df.withColumn("src", m.src).withColumn("toks", m.toks),
-          cfg.idCol, "toks", "src", m.budgets))
-      }
-      if (upTo >= 7 && m.interleave)
-        df = Sampling.interleaveSources(df, cfg.idCol, "src", m.weights,
-          defaultWeight = m.defaultWeight)
-      // pack keys on the ID column, not interleave's pos: packByTokenBudget
-      // hash-shards on its id (bin layout is order-independent by design)
-      // and pos carries cross-source rank TIES, which would make the
-      // within-shard window order — and so the bins — nondeterministic
-      if (upTo >= 8) {
-        df = Packing.packByTokenBudget(df, cfg.idCol, "toks",
-          maxTokensPerBin = m.maxTokensPerBin, nShards = m.nShards)
-        if (countStages) counts += "pack" -> df.count()
+      // FUSED mix path (guide §8: decide on small rows, move big rows
+      // once). The budget keep-set, interleave positions, and pack bins
+      // are all pure functions of (id, src, toks) — compute every one
+      // of them on a slim frame and attach the results to the payload
+      // with ONE join, instead of the staged spelling's three payload
+      // movements (budget semi-join + checkpoint, position join +
+      // global range sort, pack's shard exchange). Row values and
+      // column order are IDENTICAL to the staged path (FusedMixSpec
+      // pins row-for-row equality); the only deltas are physical — the
+      // payload crosses one exchange instead of three, and the
+      // interleave's range sort is skipped outright because pack's
+      // shard window re-partitions immediately anyway (`pos` carries
+      // the interleave order as data either way). Gated on:
+      //   - the full mix recipe running (upTo >= 8, interleave on) —
+      //     prefix runs keep per-stage outputs for attribution probes;
+      //   - !countStages — stage counting wants the staged boundaries;
+      //   - a prior materialized stage (prevStage nonEmpty) — the slim
+      //     working checkpoints this path creates are then reachable
+      //     from `kept`'s plan and owned/released under the normal
+      //     Result.ownsKept contract (a mix-only Config keeps the
+      //     staged path, whose ownership story is pinned by
+      //     CheckpointsSpec).
+      if (upTo >= 8 && m.interleave && !countStages && prevStage.nonEmpty) {
+        val slim = df.select(col(cfg.idCol), m.src.as("src"), m.toks.as("toks"))
+          .localCheckpoint(false) // 2 consumers: keep-set core + semi-join
+        val kept = slim.join(
+            Sampling.tokenBudgetKeepIds(slim, cfg.idCol, "toks", "src",
+              m.budgets),
+            Seq(cfg.idCol), "left_semi")
+          .localCheckpoint(false) // 2 consumers: position core + pack
+        val pos = Sampling.interleavePositionsFrame(kept, cfg.idCol, "src",
+          m.weights, defaultWeight = m.defaultWeight).drop("__h")
+        val packed = Packing.packByTokenBudget(kept.join(pos, Seq(cfg.idCol)),
+          cfg.idCol, "toks", maxTokensPerBin = m.maxTokensPerBin,
+          nShards = m.nShards)
+        // the ONE payload movement: an inner join on id attaches
+        // src/toks/pos/shard/start_tok/bin and IS the keep filter
+        // (packed holds exactly the kept ids) — same columns, same
+        // order, same rows as the staged path
+        df = df.join(packed, Seq(cfg.idCol))
+      } else {
+        if (upTo >= 6) {
+          df = mat("budget_mix")(Sampling.tokenBudgetMix(
+            df.withColumn("src", m.src).withColumn("toks", m.toks),
+            cfg.idCol, "toks", "src", m.budgets))
+        }
+        // when pack follows (upTo >= 8), its shard repartition destroys
+        // the interleave's physical order immediately — skip the global
+        // range sort (a sampling pass + one full-payload exchange) and
+        // keep only the `pos` column, whose values are identical either
+        // way; with upTo == 7 the interleave IS the output and keeps its
+        // documented ordering
+        if (upTo >= 7 && m.interleave)
+          df = Sampling.interleaveSources(df, cfg.idCol, "src", m.weights,
+            defaultWeight = m.defaultWeight, sorted = upTo < 8)
+        // pack keys on the ID column, not interleave's pos: packByTokenBudget
+        // hash-shards on its id (bin layout is order-independent by design)
+        // and pos carries cross-source rank TIES, which would make the
+        // within-shard window order — and so the bins — nondeterministic
+        if (upTo >= 8) {
+          df = Packing.packByTokenBudget(df, cfg.idCol, "toks",
+            maxTokensPerBin = m.maxTokensPerBin, nShards = m.nShards)
+          if (countStages) counts += "pack" -> df.count()
+        }
       }
     }
     Result(df, counts.result(), ownsKept = prevStage.isDefined)

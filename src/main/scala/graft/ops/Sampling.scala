@@ -316,6 +316,20 @@ object Sampling {
   def tokenBudgetMix(df: DataFrame, idCol: String, tokenCol: String,
       sourceCol: String, budgets: Map[String, Long],
       defaultBudget: Long = Long.MaxValue, salt: String = "graft",
+      prefixBuckets: Int = 256, maxBroadcastOffsets: Long = 4000000L): DataFrame =
+    df.join(tokenBudgetKeepIds(df, idCol, tokenCol, sourceCol, budgets,
+      defaultBudget, salt, prefixBuckets, maxBroadcastOffsets),
+      Seq(idCol), "left_semi")
+
+  /** The decision core of [[tokenBudgetMix]]: the kept ids as a
+    * one-column frame, WITHOUT the payload semi-join — what
+    * [[graft.ops.Pipeline.run]]'s fused mix path composes on slim
+    * (id, src, toks) rows so the payload moves once (guide-§8 shape).
+    * Same rungs, same values; [[tokenBudgetMix]] is exactly
+    * `df semi-join this`. */
+  private[graft] def tokenBudgetKeepIds(df: DataFrame, idCol: String,
+      tokenCol: String, sourceCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue, salt: String = "graft",
       prefixBuckets: Int = 256, maxBroadcastOffsets: Long = 4000000L): DataFrame = {
     require(budgets.values.forall(_ >= 0) && defaultBudget >= 0,
       "token budgets must be >= 0")
@@ -374,10 +388,9 @@ object Sampling {
         when(col("__offc") + count(col("__tok")).over(cumW) > 0,
           col("__off") + coalesce(sum(col("__tok")).over(cumW), lit(0L))))
     val (framed, budget) = lookup(withOff, "__src", budgets, defaultBudget)
-    val keep = framed
+    framed
       .where(col("__cum") <= budget)
       .select(col("__id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Weighted deterministic interleave — the ORDERING member of the
@@ -415,12 +428,8 @@ object Sampling {
   def interleaveSources(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double], defaultWeight: Double = 1.0,
       salt: String = "graft", posCol: String = "pos",
-      prefixBuckets: Int = 256, maxBroadcastOffsets: Long = 4000000L): DataFrame = {
-    require(weights.values.forall(_ > 0) && defaultWeight > 0,
-      "interleave weights must be positive")
-    require(prefixBuckets >= 1 && (prefixBuckets & (prefixBuckets - 1)) == 0 &&
-      prefixBuckets <= (1 << 20),
-      s"prefixBuckets must be a power of two in [1, 2^20], got $prefixBuckets")
+      prefixBuckets: Int = 256, maxBroadcastOffsets: Long = 4000000L,
+      sorted: Boolean = true): DataFrame = {
     require(!df.columns.contains(posCol),
       s"interleaveSources: output column $posCol already exists on the input")
     // the final join brings __h back onto the outer frame (and lookup's
@@ -429,6 +438,37 @@ object Sampling {
     // ambiguous-reference error
     Seq("__h", "__lk", "__kv").foreach(c => require(!df.columns.contains(c),
       s"interleaveSources: column name $c is reserved"))
+    val posFrame = interleavePositionsFrame(df, idCol, sourceCol, weights,
+      defaultWeight, salt, posCol, prefixBuckets, maxBroadcastOffsets)
+    val attached = df.join(posFrame, Seq(idCol))
+    // `sorted = false` skips the physical range sort (sampling pass +
+    // one full-payload exchange) for callers that immediately
+    // re-partition the output anyway — [[graft.ops.Pipeline.run]]'s
+    // pack stage hash-shards it — where the sort buys nothing: `posCol`
+    // carries the interleave order as DATA either way, and every value
+    // is identical on both settings.
+    (if (sorted) attached.orderBy(col(posCol), col("__h"), col(idCol))
+     else attached)
+      .drop("__h")
+  }
+
+  /** The rank core of [[interleaveSources]]: the (idCol, posCol, __h)
+    * position frame WITHOUT the payload join or the physical sort —
+    * what [[graft.ops.Pipeline.run]]'s fused mix path composes on slim
+    * rows (guide-§8 shape: the payload attaches once, at the end).
+    * Callers drop `__h` unless they sort on it. Same rungs, same
+    * values; [[interleaveSources]] is exactly `df join this` (+ sort).
+    */
+  private[graft] def interleavePositionsFrame(df: DataFrame, idCol: String,
+      sourceCol: String, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, salt: String = "graft",
+      posCol: String = "pos", prefixBuckets: Int = 256,
+      maxBroadcastOffsets: Long = 4000000L): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      "interleave weights must be positive")
+    require(prefixBuckets >= 1 && (prefixBuckets & (prefixBuckets - 1)) == 0 &&
+      prefixBuckets <= (1 << 20),
+      s"prefixBuckets must be a power of two in [1, 2^20], got $prefixBuckets")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(prefixBuckets)
     import org.apache.spark.sql.expressions.Window
     val slim = df.select(col(sourceCol).as("__src"), col(idCol).as("__id"))
@@ -448,11 +488,8 @@ object Sampling {
       .drop("__osrc", "__ob")
       .withColumn("__rk", col("__off") + row_number().over(rkW))
     val (framed, w) = lookup(ranked, "__src", weights, defaultWeight)
-    val posFrame = framed.select(col("__id").as(idCol),
+    framed.select(col("__id").as(idCol),
       (col("__rk").cast(DoubleType) / w).as(posCol), col("__h"))
-    df.join(posFrame, Seq(idCol))
-      .orderBy(col(posCol), col("__h"), col(idCol))
-      .drop("__h")
   }
 
   /** The scale form of [[tokenBudgetMix]]: instead of an exact

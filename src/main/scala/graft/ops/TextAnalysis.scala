@@ -413,11 +413,20 @@ object TextAnalysis {
     require(vocabSize >= 1, s"need vocabSize >= 1, got $vocabSize")
     require(maxBigrams >= 1, s"need maxBigrams >= 1, got $maxBigrams")
     val toks = df.select(tokens(col(textCol)).as("__toks"))
-    val vocab = toks.select(explode(col("__toks")).as("token"))
+    // ONE corpus tokenize/explode pass builds the full (token, n)
+    // histogram; vocab (sort-limit) and the corpus token total (sum of
+    // all counts — identical to summing per-doc sizes, since explode
+    // emits one row per token occurrence) both derive from its
+    // materialized blocks. Pre-r21 the total was a SECOND full corpus
+    // tokenize pass. The histogram is vocabulary-sized (distinct
+    // tokens), orders of magnitude under corpus-sized at any scale.
+    val counts = toks.select(explode(col("__toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val vocab = counts
       .orderBy(col("n").desc, col("token")).limit(vocabSize)
       .localCheckpoint(true) // vocab-sized; reused by three consumers below
-    val totalToks = toks.agg(coalesce(sum(size(col("__toks")).cast(LongType)), lit(0L)))
+    val totalToks = counts.agg(coalesce(sum(col("n")), lit(0L)))
       .first().getLong(0)
     val vocabToks = vocab.agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
     val spark = df.sparkSession

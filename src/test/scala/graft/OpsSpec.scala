@@ -13,6 +13,11 @@ class OpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import org.apache.spark.sql.DataFrame
 
+  /** Non-overlapping occurrence count of `needle` in `hay` (plan-shape
+    * assertions that pin HOW MANY times a subtree appears). */
+  private def occurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
   private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
@@ -584,18 +589,31 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(102L, 103L))
   }
 
-  test("x43/x44 plan shape: map-side partial aggregation, no window, no cartesian") {
+  test("x43/x44 plan shape: one kernel pass, keyed window, no cartesian") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toLong, s"tok$i " * 12)).toDF("doc_id", "text")
     def planOf(d: org.apache.spark.sql.DataFrame): String = {
       d.collect(); d.queryExecution.executedPlan.toString
     }
     val p43 = planOf(graft.ops.Dedup.sharedWindowFlags(df, "text", "doc_id", n = 10))
-    // both shuffles aggregate partially on the map side; nothing plans a
-    // window or a cartesian product
-    assert(p43.contains("partial_min"), s"window-owner agg not partial:\n$p43")
+    // r21 shape: the min-owner comes from a window over the high-
+    // cardinality window-key — ONE evaluation of the windowKeys kernel
+    // and one exchange of the key rows by construction (the former
+    // groupBy + self-join spelling consumed the kernel+explode subtree
+    // twice, and unifying its two identical exchanges rode the AQE
+    // reuse lottery — SCALE.md §b18-tfidf's class, measured on b7).
+    // The window is KEYED (partitioned by __wh), never a serial
+    // single-partition window; the per-doc re-agg stays map-side
+    // partial; nothing plans a cartesian product.
+    // count in the FINAL plan section only (AdaptiveSparkPlan.toString
+    // appends the initial plan too, which would double-count the node)
+    assert(occurrences(p43.split("== Initial Plan ==").head,
+        "Generate explode") == 1,
+      s"windowKeys kernel must be evaluated exactly once:\n$p43")
+    assert(p43.contains("windowspecdefinition(__wh"),
+      s"min-owner window must be partitioned by the window key:\n$p43")
     assert(p43.contains("partial_sum"), s"per-doc agg not partial:\n$p43")
-    assert(!p43.contains("Window") && !p43.contains("CartesianProduct"), p43)
+    assert(!p43.contains("CartesianProduct"), p43)
     val p44 = planOf(TextAnalysis.rareTokenRatio(df, "text", "doc_id", 5))
     assert(p44.contains("partial_count"), s"vocab count not partial:\n$p44")
     assert(!p44.contains("Window") && !p44.contains("CartesianProduct"), p44)

@@ -316,6 +316,24 @@ object Dedup {
     */
   private val NearDupMaxInLiterals = 2048
 
+  /** Cap on the broadcast-Bloom rung of the probe ladder (r21, guide
+    * §3.2): above [[NearDupMaxInLiterals]] distinct probe keys, the
+    * corpus band frame is pruned by a broadcast Bloom filter over the
+    * batch's (band, bandHash) keys instead of a LEFT SEMI join — the
+    * semi-join shuffled the batch's whole distinct-key frame (4.8M rows
+    * for the b17 batch) into the corpus bucketing and merge-joined it,
+    * per probe call, where the filter is one aggregation over the
+    * already-checkpointed keys plus a scan-speed predicate on the
+    * bucketed corpus scan. False positives only admit extra corpus band
+    * rows that die in the exact candidate equi-join (superset prefilter
+    * — the same exactness argument as every other rung); false
+    * negatives are impossible, so the output is unchanged. At 1% fpp
+    * the filter costs ~1.2 MB per million keys; the cap bounds the
+    * broadcast at ~80 MB, past which the semi-join (which needs no
+    * driver-side structure) takes over.
+    */
+  private val NearDupMaxBloomItems: Long = 1L << 26
+
   /** The shared candidate + exact-verify tail of the incremental
     * near-dup family: `corpusBands` is (id, band, bandHash) — computed
     * per call by [[nearDupIncrement]], read from a standing table by
@@ -332,15 +350,19 @@ object Dedup {
     *      are unchanged for every surviving group (a group has one key,
     *      so groups are kept or dropped whole), and dropped groups
     *      cannot equi-join the batch anyway. Small probe sets (≤
-    *      [[NearDupMaxProbeFilter]] distinct hashes) push a literal
+    *      [[NearDupMaxInLiterals]] distinct hashes) push a literal
     *      `bandHash IN (...)` — on a [[writeBandTable]] store the
     *      sorted-within-bucket layout turns that into row-group
-    *      skipping; larger batches fall back to a LEFT SEMI join on the
-    *      band keys, which needs no driver-side list and stays
-    *      corpus-side exchange-free on the bucketed table. Either way
-    *      the cap window sorts only the probed slice, and the drop
-    *      accumulator counts oversized PROBED buckets — exactly the
-    *      ones whose loss can affect this batch.
+    *      skipping; larger batches prune with a broadcast BLOOM filter
+    *      over the combined keys (r21 — see [[NearDupMaxBloomItems]]:
+    *      no shuffle of either side, false positives die in the exact
+    *      candidate equi-join), and only past the Bloom cap does the
+    *      LEFT SEMI join take over (no driver-side structure, still
+    *      corpus-side exchange-free on the bucketed table). In every
+    *      rung the cap window sorts only the pruned slice, and the drop
+    *      accumulator counts oversized buckets that SURVIVED the
+    *      prefilter — a superset of the probed ones under the Bloom
+    *      rung (false-positive groups can be counted; they cannot join).
     *   2. the candidate old-id set filters `existing` before the
     *      verification semi-join, so the text scan can skip row groups
     *      on an id-sorted corpus instead of reading every document
@@ -383,7 +405,25 @@ object Dedup {
     }
     val cbPruned = probeHashes match {
       case Some(hs) => corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
-      case None => corpusBands.join(dist, Seq("band", "bandHash"), "left_semi")
+      case None =>
+        // Bloom rung (see [[NearDupMaxBloomItems]]): prune the bucketed
+        // corpus scan with a broadcast filter over the batch's combined
+        // probe keys — no shuffle of either side; the maxBucket window
+        // below still needs no exchange (the scan stays bucketed by the
+        // window keys). Key = xxhash64(band, bandHash) on BOTH sides,
+        // so the filter is a pure function of the join key and prunes
+        // whole groups. Exactness rides the candidate equi-join either
+        // way, so the rungs may only differ in how much provably
+        // non-matching corpus they fail to skip.
+        val nKeys = dist.count()
+        if (nKeys <= NearDupMaxBloomItems) {
+          val bf = dist
+            .select(xxhash64(col("band"), col("bandHash")).as("__pk"))
+            .stat.bloomFilter("__pk", math.max(nKeys, 1L), 0.01)
+          val bfB = existing.sparkSession.sparkContext.broadcast(bf)
+          val mightHit = udf { (k: Long) => bfB.value.mightContainLong(k) }
+          corpusBands.where(mightHit(xxhash64(col("band"), col("bandHash"))))
+        } else corpusBands.join(dist, Seq("band", "bandHash"), "left_semi")
     }
     val ex = cbPruned
       .withColumn("__n", count(lit(1)).over(w))

@@ -157,15 +157,43 @@ object B17HygieneProbe {
         budgets: Map[String, Long], scrub: Boolean, redact: Boolean,
         upTo: Int = 8,
         classifier: Option[graft.ops.Pipeline.Classifier] = None,
-        lmFilter: Option[graft.ops.Pipeline.LmFilter] = None): Double = {
+        lmFilter: Option[graft.ops.Pipeline.LmFilter] = None,
+        countStages: Boolean = false): Double = {
       System.gc()
       val t0 = System.nanoTime()
       val res = graft.ops.Pipeline.run(batch(marked),
         config(band, fp, budgets, scrub, redact, classifier, lmFilter),
-        corpus = Some(cdf), eval = Some(eval), upTo = upTo)
+        corpus = Some(cdf), eval = Some(eval), upTo = upTo,
+        countStages = countStages)
       res.kept.write.format("noop").mode("overwrite").save()
       if (res.ownsKept) graft.util.Checkpoints.release(res.kept)
       (System.nanoTime() - t0) / 1e9
+    }
+
+    // A/B of the r21 fused mix tail vs the staged spelling, reps
+    // interleaved so box drift hits both arms equally. The staged arm is
+    // forced via countStages = true, whose extra per-stage count jobs
+    // are block reads of already-checkpointed frames (~0.2-0.5 s of
+    // overhead AGAINST the staged arm — read the comparison with that
+    // bias in mind).
+    if (mode == "mixab") {
+      val (cdf, band, fp) = standUp(marked = false, "m")
+      val budgets = budgetsOf(cdf)
+      run(marked = false, cdf, band, fp, budgets, scrub = false,
+        redact = false) // warm
+      run(marked = false, cdf, band, fp, budgets, scrub = false,
+        redact = false, countStages = true) // warm staged
+      val fused = Vector.newBuilder[Double]
+      val staged = Vector.newBuilder[Double]
+      (1 to reps).foreach { _ =>
+        fused += run(marked = false, cdf, band, fp, budgets,
+          scrub = false, redact = false)
+        staged += run(marked = false, cdf, band, fp, budgets,
+          scrub = false, redact = false, countStages = true)
+      }
+      def fmt(ts: Vector[Double]) = ts.map(t => f"$t%6.2f").mkString(" ")
+      println(s"[b17hyg] mixab fused  ${fmt(fused.result())}")
+      println(s"[b17hyg] mixab staged ${fmt(staged.result())} (+count jobs)")
     }
 
     if (mode == "attrib" || mode == "both") {

@@ -316,21 +316,21 @@ object Dedup {
     */
   private val NearDupMaxInLiterals = 2048
 
-  /** Cap on the broadcast-Bloom rung of the probe ladder (r21, guide
-    * §3.2): above [[NearDupMaxInLiterals]] distinct probe keys, the
-    * corpus band frame is pruned by a broadcast Bloom filter over the
-    * batch's (band, bandHash) keys instead of a LEFT SEMI join — the
-    * semi-join shuffled the batch's whole distinct-key frame (4.8M rows
-    * for the b17 batch) into the corpus bucketing and merge-joined it,
-    * per probe call, where the filter is one aggregation over the
-    * already-checkpointed keys plus a scan-speed predicate on the
-    * bucketed corpus scan. False positives only admit extra corpus band
-    * rows that die in the exact candidate equi-join (superset prefilter
-    * — the same exactness argument as every other rung); false
-    * negatives are impossible, so the output is unchanged. At 1% fpp
-    * the filter costs ~1.2 MB per million keys; the cap bounds the
-    * broadcast at ~80 MB, past which the semi-join (which needs no
-    * driver-side structure) takes over.
+  /** Cap on the OPTIONAL broadcast-Bloom rung of the probe ladder
+    * (r21, guide §3.2, selected by `graft.neardup.prune = bloom`):
+    * above [[NearDupMaxInLiterals]] distinct probe keys the corpus band
+    * frame can be pruned by a broadcast Bloom filter over the batch's
+    * (band, bandHash) keys instead of the default LEFT SEMI join —
+    * no shuffle of the distinct-key frame at all. False positives only
+    * admit extra corpus band rows that die in the exact candidate
+    * equi-join (superset prefilter — the same exactness argument as
+    * every other rung); false negatives are impossible, so the output
+    * is unchanged. At 1% fpp the filter costs ~1.2 MB per million keys;
+    * this cap bounds the broadcast at ~80 MB, past which the semi-join
+    * (no driver-side structure) applies regardless of the dial. The
+    * dial DEFAULTS to the semi-join because the measured A/B went the
+    * other way on this hardware — see the rung comment in
+    * [[nearDupVerify]].
     */
   private val NearDupMaxBloomItems: Long = 1L << 26
 
@@ -353,15 +353,19 @@ object Dedup {
     *      [[NearDupMaxInLiterals]] distinct hashes) push a literal
     *      `bandHash IN (...)` — on a [[writeBandTable]] store the
     *      sorted-within-bucket layout turns that into row-group
-    *      skipping; larger batches prune with a broadcast BLOOM filter
-    *      over the combined keys (r21 — see [[NearDupMaxBloomItems]]:
-    *      no shuffle of either side, false positives die in the exact
-    *      candidate equi-join), and only past the Bloom cap does the
-    *      LEFT SEMI join take over (no driver-side structure, still
-    *      corpus-side exchange-free on the bucketed table). In every
-    *      rung the cap window sorts only the pruned slice, and the drop
-    *      accumulator counts oversized buckets that SURVIVED the
-    *      prefilter — a superset of the probed ones under the Bloom
+    *      skipping; larger batches LEFT SEMI join on the band keys (no
+    *      driver-side list, corpus-side exchange-free on the bucketed
+    *      table — and since r21 the distinct key frame is checkpointed
+    *      once and shared with the literal-rung collect). An optional
+    *      broadcast-BLOOM rung (`graft.neardup.prune = bloom`, see
+    *      [[NearDupMaxBloomItems]]) prunes the same scan with no key
+    *      shuffle at all — measured SLOWER here (the filter build's
+    *      jobs outweigh the fixed-width shuffle), kept as the dial for
+    *      shuffle-bound deployments; false positives die in the exact
+    *      candidate equi-join, so every rung returns identical rows.
+    *      In every rung the cap window sorts only the pruned slice, and
+    *      the drop accumulator counts oversized buckets that SURVIVED
+    *      the prefilter — a superset of the probed ones under the Bloom
     *      rung (false-positive groups can be counted; they cannot join).
     *   2. the candidate old-id set filters `existing` before the
     *      verification semi-join, so the text scan can skip row groups
@@ -415,8 +419,22 @@ object Dedup {
         // whole groups. Exactness rides the candidate equi-join either
         // way, so the rungs may only differ in how much provably
         // non-matching corpus they fail to skip.
-        val nKeys = dist.count()
-        if (nKeys <= NearDupMaxBloomItems) {
+        // DEFAULT = semi-join, by measurement (B17HygieneProbe `prune`
+        // mode, interleaved A/B at the 4.8M-key b17 batch: bloom
+        // 14.4–16.7 s vs semi 12.9–14.9 s for the 1..4 prefix) — the
+        // filter build (an RDD aggregate allocating a full-size bitset
+        // per partition, a driver tree-merge, a broadcast) plus its two
+        // extra driver-blocking jobs cost more than the fixed-width key
+        // shuffle it avoids, at every size this sandbox can measure.
+        // `graft.neardup.prune = bloom` (JVM property / env) selects the
+        // broadcast-Bloom rung for deployments where the probe-key
+        // shuffle, not the build, dominates (slow networks, very large
+        // batches against a fast shared filesystem).
+        val useBloom = "bloom".equalsIgnoreCase(
+          System.getProperty("graft.neardup.prune",
+            sys.env.getOrElse("SPARK_GRAFT_NEARDUP_PRUNE", "semi")))
+        lazy val nKeys = dist.count()
+        if (useBloom && nKeys <= NearDupMaxBloomItems) {
           val bf = dist
             .select(xxhash64(col("band"), col("bandHash")).as("__pk"))
             .stat.bloomFilter("__pk", math.max(nKeys, 1L), 0.01)

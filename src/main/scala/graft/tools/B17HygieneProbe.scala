@@ -196,6 +196,30 @@ object B17HygieneProbe {
       println(s"[b17hyg] mixab staged ${fmt(staged.result())} (+count jobs)")
     }
 
+    // A/B of the stage-4 big-batch prune rung (r21 Bloom vs the semi
+    // join), interleaved, timing the 1..4 prefix so only the probe
+    // stage's cost varies between arms.
+    if (mode == "prune") {
+      val (cdf, band, fp) = standUp(marked = false, "p")
+      val budgets = budgetsOf(cdf)
+      run(marked = false, cdf, band, fp, budgets, scrub = false,
+        redact = false, upTo = 4) // warm
+      val bloom = Vector.newBuilder[Double]
+      val semi = Vector.newBuilder[Double]
+      (1 to reps).foreach { _ =>
+        System.setProperty("graft.neardup.prune", "bloom")
+        bloom += run(marked = false, cdf, band, fp, budgets,
+          scrub = false, redact = false, upTo = 4)
+        System.setProperty("graft.neardup.prune", "semi")
+        semi += run(marked = false, cdf, band, fp, budgets,
+          scrub = false, redact = false, upTo = 4)
+      }
+      System.clearProperty("graft.neardup.prune")
+      def fmt(ts: Vector[Double]) = ts.map(t => f"$t%6.2f").mkString(" ")
+      println(s"[b17hyg] prune bloom ${fmt(bloom.result())}")
+      println(s"[b17hyg] prune semi  ${fmt(semi.result())}")
+    }
+
     if (mode == "attrib" || mode == "both") {
       val (cdf, band, fp) = standUp(marked = false, "a")
       val budgets = budgetsOf(cdf)

@@ -578,12 +578,12 @@ class OpsSpec extends AnyFunSuite {
     import spark.implicits._
     // 400 distinct random-vocab docs → batch band frame carries
     // ~400 × 8 = ~3200 distinct (band, bandHash) keys, past the
-    // 2048-literal rung — the prune takes the r21 broadcast-Bloom path
-    // (dist.count > NearDupMaxInLiterals, far under the Bloom cap).
-    // Verdicts must be identical to the small-batch contract: exact
-    // copies and near-variants of corpus docs drop, fresh docs survive
-    // — Bloom false positives may only add corpus rows that die in the
-    // exact candidate equi-join, never change the kept set.
+    // 2048-literal rung. Run BOTH big-batch prune rungs — the default
+    // semi-join and the dial-selected broadcast Bloom (far under the
+    // Bloom cap) — and pin identical verdicts: exact copies and
+    // near-variants of corpus docs drop, fresh docs survive. Bloom
+    // false positives may only add corpus rows that die in the exact
+    // candidate equi-join, never change the kept set.
     def doc(seed: Int): String = {
       val rnd = new scala.util.Random(seed)
       (1 to 40).map(_ => s"w${rnd.nextInt(2000)}").mkString(" ")
@@ -595,12 +595,19 @@ class OpsSpec extends AnyFunSuite {
       Seq((2001L, doc(5)),                                    // exact copy → drop
           (2002L, doc(7) + " tail"))                          // near-var → drop
     ).toDF("doc_id", "text")
-    val kept = graft.ops.Dedup.nearDupIncrement(existing, incoming, "text",
-      "doc_id", threshold = 0.7, numHashes = 32, bands = 8)
-      .select($"doc_id").as[Long].collect().toSet
-    assert(kept == freshIds.toSet,
-      s"Bloom-rung verdicts diverged: missing=${(freshIds.toSet -- kept).take(5)} " +
-        s"extra=${(kept -- freshIds.toSet).take(5)}")
+    def keptUnder(rung: String): Set[Long] = {
+      System.setProperty("graft.neardup.prune", rung)
+      try graft.ops.Dedup.nearDupIncrement(existing, incoming, "text",
+          "doc_id", threshold = 0.7, numHashes = 32, bands = 8)
+        .select($"doc_id").as[Long].collect().toSet
+      finally System.clearProperty("graft.neardup.prune")
+    }
+    Seq("semi", "bloom").foreach { rung =>
+      val kept = keptUnder(rung)
+      assert(kept == freshIds.toSet,
+        s"$rung-rung verdicts diverged: missing=${(freshIds.toSet -- kept).take(5)} " +
+          s"extra=${(kept -- freshIds.toSet).take(5)}")
+    }
   }
 
   test("sharedWindowIncrement: one verbatim window drops, short and disjoint pass") {

@@ -346,6 +346,9 @@ object Bench {
     // writer; b6 adds the K+1-pass index machinery on top.
     val b6Db = java.nio.file.Files.createTempDirectory("graft_bench_sqlite_idx")
       .toString + "/bench_idx.db"
+    // per-rep b6 writer attribution, recorded into the diag JSON (see
+    // the note inside runB6)
+    val b6Attrib = Vector.newBuilder[String]
     def runB6(dir: String): Unit = {
       import org.apache.spark.sql.functions._
       val docs = bCorpus(dir).select(
@@ -367,14 +370,17 @@ object Bench {
       // I/O self-diagnosis arm (SCALE.md §b6-mode): BENCH_r19's b6 ran
       // 19-29 s on ALL reps at normal per-row CPU load (band 5.7-7.7 s;
       // judge idle re-run 6.19) — the b4 pattern but I/O-shaped, and a
-      // plan dump is useless for a driver-side writer. On a rep >1.5x
-      // the band ceiling, print where the wall time went (raf.write vs
-      // Spark fetch waits vs index-sort wait vs driver CPU) so the next
-      // slow artifact convicts disk/writeback state — or a real writer
-      // regression — without a reproduction hunt.
+      // plan dump is useless for a driver-side writer. EVERY rep's
+      // attribution line (raf.write vs Spark fetch waits vs index-sort
+      // wait vs driver CPU) is recorded into the diag file (r20 item 5 /
+      // r21 item 8: the 8-11 s drift zone was unattributable because the
+      // line only printed past a 1.5x incident threshold); a rep >1.5x
+      // the band ceiling additionally shouts on stderr.
       val rep = (System.nanoTime() - t0) / 1e9
-      if (rep > 1.5 * 7.7) graft.sinks.SqliteSink.lastStats.foreach { st =>
-        System.err.println(f"[bench] b6 slow rep ($rep%.2f s) attribution: ${st.line}")
+      graft.sinks.SqliteSink.lastStats.foreach { st =>
+        b6Attrib += f"rep $rep%.2f s: ${st.line}"
+        if (rep > 1.5 * 7.7)
+          System.err.println(f"[bench] b6 slow rep ($rep%.2f s) attribution: ${st.line}")
       }
     }
 
@@ -1165,12 +1171,17 @@ object Bench {
     val retriedJson = retries.map { case (k, (m1, m2, kept)) =>
       "\"" + k + f"""\":[$m1%.3f,$m2%.3f,"$kept"]""" }.mkString("{", ",", "}")
     val bandWarnJson = bandWarn.map(graft.util.Json.js).mkString("[", ",", "]")
+    // r20 item 5 / r21 item 8: every b6 rep's writer attribution line, so
+    // the 8-11 s drift zone is attributable from the artifact alone
+    val b6AttribJson =
+      b6Attrib.result().map(graft.util.Json.js).mkString("[", ",", "]")
     val diagJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
       f""""runs":$Runs,"spread":$spread,"errors":$errJson,"load_by_query":$loadQ,"load_warn":$loadWarn,""" +
       f""""retried":$retriedJson,"band_warn":$bandWarnJson,"retry_gate_waited_sec":$retryWaitedSec%.0f,""" +
       f""""load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f,"load_avg_max":$loadMax%.2f,""" +
       f""""load_gate_waited_sec":$gateWaitSec%.0f,""" +
+      s""""b6_attrib":$b6AttribJson,""" +
       s""""available_processors":$cores,"sf":"$sfDir"}"""
     val diagOk =
       try {
@@ -1196,6 +1207,19 @@ object Bench {
     if (line.length > 1900) System.err.println(
       s"[bench] WARNING: final line ${line.length} chars — may overflow the archive tail")
     println(line)
+    // Driver-parse contract (VERDICT r21 item 2): under sbt the line above
+    // reaches the archive as `[info] {...}` followed by sbt's `[success]`
+    // trailer, and the driver's extractor failed to parse it in BOTH r20
+    // and r21 (PERF per-query/scaling blocks came back empty). Also write
+    // the IDENTICAL line to a stable file the driver (or anyone) can read
+    // without scraping sbt output — additions only, after all timing.
+    val lineOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_LINE.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(lineOut), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench-line write to $lineOut failed: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${errors.keys.mkString(", ")}")

@@ -2748,7 +2748,7 @@ object SparkEntry {
         |)
         |SELECT d.doc_id,
         |  coalesce(m.n_vocab_tokens, 0) AS n_vocab_tokens,
-        |  coalesce(m.s, 0) + b AS score_micro,
+        |  CAST(coalesce(m.s, 0) + b AS BIGINT) AS score_micro,
         |  (coalesce(m.s, 0) + b) > 0 AS predicted
         |FROM documents d LEFT JOIN matched m USING (doc_id) CROSS JOIN bias
         |ORDER BY d.doc_id""".stripMargin,

@@ -407,6 +407,13 @@ object Dedup {
         .distinct().limit(NearDupMaxInLiterals + 1).collect().map(_.getLong(0))
       if (got.length > NearDupMaxInLiterals) None else Some(got)
     }
+    // set by the Bloom rung below; the filter broadcast (up to ~80 MB at
+    // the cap) is only referenced by `cands`'s pre-checkpoint lineage,
+    // so it is destroyed as soon as `cands` materializes (pre-r22 it
+    // leaked one broadcast per probe call while the dial was on — the
+    // same class as the r20 Dsir.score finding)
+    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
     val cbPruned = probeHashes match {
       case Some(hs) => corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
       case None =>
@@ -439,6 +446,7 @@ object Dedup {
             .select(xxhash64(col("band"), col("bandHash")).as("__pk"))
             .stat.bloomFilter("__pk", math.max(nKeys, 1L), 0.01)
           val bfB = existing.sparkSession.sparkContext.broadcast(bf)
+          bloomBc = Some(bfB) // destroyed after `cands` materializes below
           val mightHit = udf { (k: Long) => bfB.value.mightContainLong(k) }
           corpusBands.where(mightHit(xxhash64(col("band"), col("bandHash"))))
         } else corpusBands.join(dist, Seq("band", "bandHash"), "left_semi")
@@ -466,6 +474,12 @@ object Dedup {
     val shNew = sh(incoming, cands.select(col("new_id").as("id")).distinct())
     val oldKeys = cands.select(col("old_id")).where(col("old_id").isNotNull)
       .distinct().limit(NearDupMaxProbeFilter + 1).collect().map(_.get(0))
+    // the collect above materialized `cands` (lazy localCheckpoint:
+    // doCheckpoint persists every partition and truncates lineage when
+    // the first action on it completes), so the pruned corpus scan —
+    // the only consumer of the Bloom rung's filter — can never re-run:
+    // drop the broadcast now instead of leaking one per probe call
+    bloomBc.foreach(_.destroy())
     // No candidate pairs at all → the verify tail is provably empty
     // (null old_ids can never equi-join back), so skip it entirely
     // instead of building a full-corpus frame the join then empties.
@@ -1073,9 +1087,13 @@ object Dedup {
     * ([[graft.functions.TextHash.windowKeys]] md5-updates over token
     * byte ranges), keys are distinct per doc, and the explode ships
     * keys, never n-token strings (~n× narrower intermediates than
-    * hashing after the explode). Two shuffles total (window min-owner
-    * groupBy, per-doc re-agg), both fixed-width keys with map-side
-    * partial aggregation. Tokenization uses the same engine-portable
+    * hashing after the explode). Two shuffles total, both of fixed-width
+    * key rows: a keyed-window exchange on `__wh` (per-key `min(id)`
+    * owner — partitioned by the high-cardinality window key, so no
+    * map-side partial aggregation on that leg, but the kernel + explode
+    * run ONCE by construction; see the r21 rewrite note in the body) and
+    * the per-doc re-aggregation, which does partial-aggregate map-side.
+    * Tokenization uses the same engine-portable
     * whitespace class as chunkDocuments, and the window key is md5
     * (identical in every engine), so the oracle reproduces the exact
     * pipeline — [[windowKeysExpr]] is that oracle spelling as a Column,

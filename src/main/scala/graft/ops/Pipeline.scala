@@ -53,6 +53,18 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Default arm of the `graft.pipeline.mix` dial (see [[run]]'s mix
+    * block): `fused` computes the budget/interleave/pack decisions on a
+    * slim (id, src, toks) frame and attaches them to the payload with
+    * one join — the guide-§8 shape that keeps exactly one payload
+    * exchange at any scale; `staged` keeps the per-stage spelling
+    * (fewer driver-blocking gate jobs per call — the better shape when
+    * the decision frames all broadcast anyway, i.e. at bench scale).
+    * Values are bit-identical either way (FusedMixSpec). Default chosen
+    * by the r22 interleaved A/B (OPTIMIZATION_r22.md §b17).
+    */
+  private[graft] val MixPathDefault = "fused"
+
   /** Near-dup dials — must match the standing band table's write-time
     * config ([[Dedup.writeBandTable]]); the probe guards this and
     * throws on mismatch rather than silently missing collisions.
@@ -311,29 +323,55 @@ object Pipeline {
       //   - the full mix recipe running (upTo >= 8, interleave on) —
       //     prefix runs keep per-stage outputs for attribution probes;
       //   - !countStages — stage counting wants the staged boundaries;
-      //   - a prior materialized stage (prevStage nonEmpty) — the slim
-      //     working checkpoints this path creates are then reachable
-      //     from `kept`'s plan and owned/released under the normal
-      //     Result.ownsKept contract (a mix-only Config keeps the
-      //     staged path, whose ownership story is pinned by
-      //     CheckpointsSpec).
-      if (upTo >= 8 && m.interleave && !countStages && prevStage.nonEmpty) {
+      //   - a prior materialized stage (prevStage nonEmpty) — the fused
+      //     tail's own working checkpoints are created AND released
+      //     inside this block (see below), and `kept` stays releasable
+      //     under the normal Result.ownsKept contract (a mix-only
+      //     Config keeps the staged path, whose ownership story is
+      //     pinned by CheckpointsSpec);
+      //   - the `graft.pipeline.mix` dial (JVM property /
+      //     SPARK_GRAFT_PIPELINE_MIX env; values `fused` | `staged`,
+      //     default [[MixPathDefault]]) — both spellings produce
+      //     bit-identical rows (FusedMixSpec), they differ only in
+      //     physical shape: fused keeps exactly ONE payload exchange at
+      //     any scale (the 100 TB shape), staged degrades to three once
+      //     the decision frames outgrow AQE's broadcast threshold but
+      //     has fewer driver-blocking gate jobs per call. The default is
+      //     set by measurement (OPTIMIZATION_r22.md §b17).
+      if (upTo >= 8 && m.interleave && !countStages && prevStage.nonEmpty &&
+          "fused".equalsIgnoreCase(System.getProperty("graft.pipeline.mix",
+            sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MIX", MixPathDefault)))) {
         val slim = df.select(col(cfg.idCol), m.src.as("src"), m.toks.as("toks"))
           .localCheckpoint(false) // 2 consumers: keep-set core + semi-join
-        val kept = slim.join(
+        val keptSlim = slim.join(
             Sampling.tokenBudgetKeepIds(slim, cfg.idCol, "toks", "src",
               m.budgets),
             Seq(cfg.idCol), "left_semi")
           .localCheckpoint(false) // 2 consumers: position core + pack
-        val pos = Sampling.interleavePositionsFrame(kept, cfg.idCol, "src",
+        val pos = Sampling.interleavePositionsFrame(keptSlim, cfg.idCol, "src",
           m.weights, defaultWeight = m.defaultWeight).drop("__h")
-        val packed = Packing.packByTokenBudget(kept.join(pos, Seq(cfg.idCol)),
-          cfg.idCol, "toks", maxTokensPerBin = m.maxTokensPerBin,
-          nShards = m.nShards)
+        // materialize the finished decision frame EAGERLY (slim-sized:
+        // id/src/toks/pos/shard/start_tok/bin rows for the kept set) so
+        // the two slim working checkpoints above are dead right here and
+        // can be released NOW — their LogicalRDDs are hidden behind this
+        // checkpoint's lineage truncation, so the caller's
+        // Checkpoints.release(kept) could never free them and a
+        // long-lived daily loop would leak one pair per batch until GC
+        // (the r21 ADVICE finding; the old comment claiming they were
+        // reachable from kept's plan was wrong).
+        val packed = Packing.packByTokenBudget(
+            keptSlim.join(pos, Seq(cfg.idCol)),
+            cfg.idCol, "toks", maxTokensPerBin = m.maxTokensPerBin,
+            nShards = m.nShards)
+          .localCheckpoint(true)
+        graft.util.Checkpoints.release(keptSlim)
+        graft.util.Checkpoints.release(slim)
         // the ONE payload movement: an inner join on id attaches
         // src/toks/pos/shard/start_tok/bin and IS the keep filter
         // (packed holds exactly the kept ids) — same columns, same
-        // order, same rows as the staged path
+        // order, same rows as the staged path. `packed`'s checkpoint
+        // IS reachable from kept's plan, so the normal Result.ownsKept
+        // release covers it.
         df = df.join(packed, Seq(cfg.idCol))
       } else {
         if (upTo >= 6) {

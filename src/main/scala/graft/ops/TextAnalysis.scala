@@ -418,8 +418,10 @@ object TextAnalysis {
     // all counts — identical to summing per-doc sizes, since explode
     // emits one row per token occurrence) both derive from its
     // materialized blocks. Pre-r21 the total was a SECOND full corpus
-    // tokenize pass. The histogram is vocabulary-sized (distinct
-    // tokens), orders of magnitude under corpus-sized at any scale.
+    // tokenize pass. NOTE the histogram is DISTINCT-TOKEN-sized — far
+    // under corpus-sized but, unlike the vocabSize-capped `vocab`
+    // checkpoint, unbounded (it grows with the corpus, Heaps' law) — so
+    // it is released as soon as its two consumers below have run.
     val counts = toks.select(explode(col("__toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .localCheckpoint(true)
@@ -428,6 +430,10 @@ object TextAnalysis {
       .localCheckpoint(true) // vocab-sized; reused by three consumers below
     val totalToks = counts.agg(coalesce(sum(col("n")), lit(0L)))
       .first().getLong(0)
+    // vocab (its own checkpoint) and totalToks are the histogram's only
+    // consumers — drop its blocks now instead of holding a
+    // distinct-token-sized persist until GC (r21 ADVICE)
+    graft.util.Checkpoints.release(counts)
     val vocabToks = vocab.agg(coalesce(sum(col("n")), lit(0L))).first().getLong(0)
     val spark = df.sparkSession
     import spark.implicits._

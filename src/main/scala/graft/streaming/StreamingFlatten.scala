@@ -326,8 +326,16 @@ object StreamingFlatten {
         batchKeys.join(seen, Seq("__k"), "left_anti")
       case None => batchKeys
     }
+    // materialize the kept-id set (batch-sized, ids only): `exactKept`
+    // below is consumed THREE times inside the near-dup probe (its band
+    // kernel, the verify semi-join, the final anti-join), and each lazy
+    // recomputation re-ran the anti-join's full store fingerprint scan —
+    // with the ids checkpointed the store's fp column is read ONCE per
+    // batch and the re-evaluations are broadcast semi-joins over the
+    // already-checkpointed batch blocks (guide §1.2: don't recompute)
     val keepIds = freshKeys.groupBy("__k")
       .agg(min(col(idCol)).as(idCol)).select(idCol)
+      .localCheckpoint(true)
     val exactKept = df.join(keepIds, Seq(idCol), "left_semi")
     val fresh = existing match {
       case Some(ex) =>
@@ -345,20 +353,34 @@ object StreamingFlatten {
       .withColumn("bands", lit(bands))
       .withColumn("shinglesize", lit(shingleSize))
       .localCheckpoint(true) // two writes below — compute admissions once
-    admitted.write.mode("overwrite").parquet(s"$corpusDir/batch=$batchId")
-    // the store above keeps the (scrubbed) UNREDACTED text — the form
-    // future batches' exact-verify compares against; only the admitted
-    // OUTPUT stream redacts
+    // the two writes read the SAME checkpointed `admitted` blocks into
+    // two independent directories — submit them concurrently (guide
+    // §2.6: actions are only sequential because the driver calls them
+    // sequentially) so the second write's tasks back-fill the first
+    // write's straggler tail instead of waiting behind a full barrier.
+    // The store keeps the (scrubbed) UNREDACTED text — the form future
+    // batches' exact-verify compares against; only the admitted OUTPUT
+    // stream redacts.
     val outText =
       if (redactPii) graft.ops.Redact.redact(col(textCol)).as(textCol)
       else col(textCol)
-    admitted.select(col(idCol), outText)
-      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    // both frames are dead after the writes — drop their checkpoint
-    // blocks NOW rather than letting a long-lived stream accumulate one
-    // pair per micro-batch until GC (Dataset.unpersist() would be a
-    // no-op here: graft.util.Checkpoints Scaladoc)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val writes = Seq(
+        scala.concurrent.Future(admitted.write.mode("overwrite")
+          .parquet(s"$corpusDir/batch=$batchId"))(ec),
+        scala.concurrent.Future(admitted.select(col(idCol), outText)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId"))(ec))
+      writes.foreach(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+    // the working frames are dead after the writes — drop their
+    // checkpoint blocks NOW rather than letting a long-lived stream
+    // accumulate them per micro-batch until GC (Dataset.unpersist()
+    // would be a no-op here: graft.util.Checkpoints Scaladoc)
     graft.util.Checkpoints.release(df)
+    graft.util.Checkpoints.release(keepIds)
     graft.util.Checkpoints.release(admitted)
   }
 

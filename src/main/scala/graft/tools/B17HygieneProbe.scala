@@ -171,29 +171,75 @@ object B17HygieneProbe {
     }
 
     // A/B of the r21 fused mix tail vs the staged spelling, reps
-    // interleaved so box drift hits both arms equally. The staged arm is
-    // forced via countStages = true, whose extra per-stage count jobs
-    // are block reads of already-checkpointed frames (~0.2-0.5 s of
-    // overhead AGAINST the staged arm — read the comparison with that
-    // bias in mind).
+    // interleaved so box drift hits both arms equally. Since r22 the
+    // staged arm is forced via the `graft.pipeline.mix` dial — the SAME
+    // recipe the bench times, with no stage-count jobs on either arm
+    // (the r21 probe biased the staged arm with countStages = true).
     if (mode == "mixab") {
       val (cdf, band, fp) = standUp(marked = false, "m")
       val budgets = budgetsOf(cdf)
-      run(marked = false, cdf, band, fp, budgets, scrub = false,
-        redact = false) // warm
-      run(marked = false, cdf, band, fp, budgets, scrub = false,
-        redact = false, countStages = true) // warm staged
+      def arm(path: String): Double = {
+        System.setProperty("graft.pipeline.mix", path)
+        try run(marked = false, cdf, band, fp, budgets, scrub = false,
+          redact = false)
+        finally System.clearProperty("graft.pipeline.mix")
+      }
+      arm("fused"); arm("staged") // warm both
       val fused = Vector.newBuilder[Double]
       val staged = Vector.newBuilder[Double]
       (1 to reps).foreach { _ =>
-        fused += run(marked = false, cdf, band, fp, budgets,
-          scrub = false, redact = false)
-        staged += run(marked = false, cdf, band, fp, budgets,
-          scrub = false, redact = false, countStages = true)
+        fused += arm("fused")
+        staged += arm("staged")
       }
       def fmt(ts: Vector[Double]) = ts.map(t => f"$t%6.2f").mkString(" ")
       println(s"[b17hyg] mixab fused  ${fmt(fused.result())}")
-      println(s"[b17hyg] mixab staged ${fmt(staged.result())} (+count jobs)")
+      println(s"[b17hyg] mixab staged ${fmt(staged.result())}")
+    }
+
+    // Per-step wall-clock attribution of the FUSED mix tail (VERDICT
+    // r21 item 1): stages 1..5 run once through Pipeline.run, then each
+    // fused-tail step is materialized eagerly and timed — slim
+    // checkpoint, the keep-ids core (whose offset-gate count job runs
+    // at CALL time), the kept slim frame, the positions core, the
+    // eager packed frame, and the final payload join + noop write.
+    if (mode == "mixtail") {
+      val (cdf, band, fp) = standUp(marked = false, "t")
+      val budgets = budgetsOf(cdf)
+      val pre = graft.ops.Pipeline.run(batch(marked = false),
+        config(band, fp, budgets, scrub = false, redact = false),
+        corpus = Some(cdf), eval = Some(eval), upTo = 5)
+      val df5 = pre.kept
+      val mixCfg = graft.ops.Pipeline.Mix(
+        budgets = budgets,
+        src = concat(lit("s"), pmod(col("doc_id"), lit(16L))),
+        toks = length(col("text")).cast("long"),
+        weights = Map("s0" -> 2.0), defaultWeight = 1.0,
+        maxTokensPerBin = 4096, nShards = 32)
+      (1 to reps).foreach { rep =>
+        def t[A](name: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val a = f
+          println(f"[b17hyg] mixtail rep $rep $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          a
+        }
+        val slim = t("slim_ckpt")(df5.select(col("doc_id"),
+          mixCfg.src.as("src"), mixCfg.toks.as("toks")).localCheckpoint(true))
+        val keepIds = t("keep_gates")(graft.ops.Sampling.tokenBudgetKeepIds(
+          slim, "doc_id", "toks", "src", mixCfg.budgets))
+        val keptSlim = t("kept_ckpt")(slim.join(keepIds, Seq("doc_id"),
+          "left_semi").localCheckpoint(true))
+        val pos = t("pos_gates")(graft.ops.Sampling.interleavePositionsFrame(
+          keptSlim, "doc_id", "src", mixCfg.weights,
+          defaultWeight = mixCfg.defaultWeight).drop("__h"))
+        val packed = t("pack_ckpt")(graft.ops.Packing.packByTokenBudget(
+            keptSlim.join(pos, Seq("doc_id")), "doc_id", "toks",
+            maxTokensPerBin = mixCfg.maxTokensPerBin,
+            nShards = mixCfg.nShards).localCheckpoint(true))
+        t("payload_join")(df5.join(packed, Seq("doc_id"))
+          .write.format("noop").mode("overwrite").save())
+        Seq(slim, keptSlim, packed).foreach(graft.util.Checkpoints.release)
+      }
+      graft.util.Checkpoints.release(df5)
     }
 
     // A/B of the stage-4 big-batch prune rung (r21 Bloom vs the semi

@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * keep-set + interleave positions + pack bins computed on slim
   * (id, src, toks) rows, ONE payload join) against the staged spelling
   * (per-stage payload semi-join / join / shard exchange): identical
-  * rows, identical column order, for the full upTo = 8 recipe. The
-  * staged path is forced with countStages = true — the same switch the
-  * attribution probes rely on — so both physical forms stay exercised.
+  * rows, identical column order, for the full upTo = 8 recipe. Since
+  * r22 each arm is FORCED through the `graft.pipeline.mix` dial — not
+  * inferred from the default — so both physical forms stay exercised
+  * whatever [[graft.ops.Pipeline.MixPathDefault]] is set to; the
+  * countStages = true spelling (the attribution probes' switch, always
+  * staged) is pinned as a third arm.
   */
 class FusedMixSpec extends AnyFunSuite {
 
   lazy val spark = TestSpark.spark
 
-  private def runPipeline(countStages: Boolean) = {
+  private def runPipeline(path: String, countStages: Boolean = false) = {
     import spark.implicits._
     import graft.ops.{Pipeline, TextFilters}
     // 200 docs over 4 sources; budgets bite (~half of each source's
@@ -44,7 +47,10 @@ class FusedMixSpec extends AnyFunSuite {
         toks = length(col("text")).cast("long"),
         weights = Map("s0" -> 2.0, "s1" -> 0.5), defaultWeight = 1.0,
         maxTokensPerBin = 512, nShards = 4)))
-    val res = Pipeline.run(batch, cfg, countStages = countStages)
+    System.setProperty("graft.pipeline.mix", path)
+    val res =
+      try Pipeline.run(batch, cfg, countStages = countStages)
+      finally System.clearProperty("graft.pipeline.mix")
     val cols = res.kept.columns.toSeq
     val rows = res.kept.collect().map(_.toSeq).toSet
     graft.util.Checkpoints.release(res.kept)
@@ -52,14 +58,19 @@ class FusedMixSpec extends AnyFunSuite {
   }
 
   test("fused mix path: identical rows and column order to the staged path") {
-    val (stagedCols, stagedRows) = runPipeline(countStages = true)
-    val (fusedCols, fusedRows) = runPipeline(countStages = false)
+    val (stagedCols, stagedRows) = runPipeline("staged")
+    val (countedCols, countedRows) = runPipeline("fused", countStages = true)
+    val (fusedCols, fusedRows) = runPipeline("fused")
     assert(fusedCols == stagedCols,
       s"column order diverged: fused=$fusedCols staged=$stagedCols")
+    assert(countedCols == stagedCols,
+      s"column order diverged: counted=$countedCols staged=$stagedCols")
     assert(fusedRows.nonEmpty && fusedRows.size < 200,
       s"vacuous pin: kept ${fusedRows.size} of 200 — budgets/rules must bite")
     assert(fusedRows == stagedRows,
       s"row sets diverged; fused-only=${(fusedRows -- stagedRows).take(3)} " +
         s"staged-only=${(stagedRows -- fusedRows).take(3)}")
+    assert(countedRows == stagedRows,
+      "countStages spelling diverged from the staged dial arm")
   }
 }

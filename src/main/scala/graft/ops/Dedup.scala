@@ -226,6 +226,21 @@ object Dedup {
     * the corpus side never moves. `append = true` folds a kept batch's
     * bands in through the same bucketed writer, so the table tracks the
     * corpus across daily runs.
+    *
+    * Since r22 the table also carries `bandn` — each row's (band,
+    * bandHash) GROUP SIZE, computed at write time (guide §6: pay once at
+    * write, skip per probe): with it the probe's maxBucket guard is a
+    * plain column filter instead of a per-batch window sort, and the
+    * big-batch rung drops its distinct-key semi-join outright (measured
+    * on the b17 shape: candidate job 1.8–7.6 s → 1.0–2.4 s, plus the
+    * dist checkpoint retired — B17HygieneProbe `stage4`). APPENDED rows
+    * write `bandn = NULL`: a fold cannot know the merged group sizes
+    * without re-reading the table, so instead of maintaining them the
+    * null POISONS the shortcut — the probe trusts `bandn` only when the
+    * table has no null (one row-group-stats-only job; see
+    * [[nearDupVerify]]) and falls back to the exact window otherwise.
+    * Rebuild (overwrite) the table to restore the fast path after
+    * appends; results are identical either way.
     */
   def writeBandTable(df: DataFrame, textCol: String, idCol: String,
       table: String, numHashes: Int = 64, bands: Int = 16,
@@ -250,8 +265,18 @@ object Dedup {
               "colliding; rebuild the table or match its config")
       }
     }
-    graft.sinks.Sinks.parquetBucketed(
-      bandIndex(df, textCol, idCol, numHashes, bands, shingleSize),
+    val idx = bandIndex(df, textCol, idCol, numHashes, bands, shingleSize)
+    // write-time group sizes (see the bandn paragraph above). The window
+    // adds one (band, bandHash) exchange to the UNTIMED table build —
+    // once per corpus release — and retires a window + semi-join from
+    // every probe batch. Appends can't know merged group sizes, so they
+    // write NULL, which disables the probe shortcut until a rebuild.
+    val withN =
+      if (append) idx.withColumn("bandn", lit(null).cast("long"))
+      else idx.withColumn("bandn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandHash"))))
+    graft.sinks.Sinks.parquetBucketed(withN,
       table, Seq("band", "bandHash"), numBuckets,
       mode = if (append) "append" else "overwrite")
   }
@@ -293,7 +318,11 @@ object Dedup {
               "match its config")
       }
     }
-    nearDupVerify(bandIdx.select(col("id"), col("band"), col("bandHash")),
+    // carry the write-time group-size column through when the standing
+    // table has it — nearDupVerify's fast maxBucket path rides on it
+    val cols = Seq("id", "band", "bandHash") ++
+      (if (bandIdx.columns.contains("bandn")) Seq("bandn") else Nil)
+    nearDupVerify(bandIdx.select(cols.map(col): _*),
       existing, incoming, textCol, idCol, threshold, numHashes, bands,
       shingleSize, maxBucket)
   }
@@ -375,6 +404,21 @@ object Dedup {
     *
     * The collects ride the localCheckpointed frames (deterministic by
     * construction).
+    *
+    * FAST maxBucket PATH (r22, guide §6): when `corpusBands` carries the
+    * [[writeBandTable]] write-time `bandn` group-size column AND the
+    * table has no null `bandn` (never appended since its overwrite —
+    * checked with one job that parquet null-count statistics answer from
+    * row-group footers alone), the guard is a plain `bandn <= maxBucket`
+    * filter: no per-batch window sort, and the big-batch rung needs no
+    * distinct-key frame at all — the exact candidate equi-join IS the
+    * probe-set restriction (rows of non-probed groups die there), so the
+    * semi-join prune bought nothing but the window's input reduction.
+    * Candidate sets are IDENTICAL (stored size == window count for every
+    * group: pruning keeps or drops groups whole, so counts never change;
+    * OpsSpec pins fast == fallback == per-call). Appends write null
+    * `bandn`, which flips the probe back to the window path — exact at
+    * every point in the table's life.
     */
   private def nearDupVerify(corpusBands: DataFrame, existing: DataFrame,
       incoming: DataFrame, textCol: String, idCol: String,
@@ -395,6 +439,38 @@ object Dedup {
     val in = bandFrame(incoming, textCol, idCol, numHashes, bands, shingleSize)
       .select(col("id").as("new_id"), col("band"), col("bandHash"))
       .localCheckpoint(false)
+    // set by the Bloom rung below; the filter broadcast (up to ~80 MB at
+    // the cap) is only referenced by `cands`'s pre-checkpoint lineage,
+    // so it is destroyed as soon as `cands` materializes (pre-r22 it
+    // leaked one broadcast per probe call while the dial was on — the
+    // same class as the r20 Dsir.score finding)
+    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]] = None
+    // fast maxBucket path (Scaladoc above): stored write-time group
+    // sizes, trusted only when no append has poisoned them with a null —
+    // the isEmpty job answers from parquet row-group null counts alone
+    // on an overwrite-only table
+    val bandnExact = corpusBands.columns.contains("bandn") &&
+      corpusBands.where(col("bandn").isNull).isEmpty
+    val ex = if (bandnExact) {
+      // the literal-rung decision straight off the batch band frame (no
+      // (band, bandHash) distinct frame needed — its only other consumer
+      // was the semi-join this path retires); the collect is also the
+      // action that materializes `in`'s checkpoint
+      val hs = in.select(col("bandHash")).where(col("bandHash").isNotNull)
+        .distinct().limit(NearDupMaxInLiterals + 1).collect().map(_.getLong(0))
+      val base =
+        if (hs.length <= NearDupMaxInLiterals)
+          // small probe sets still push the literal IN — row-group
+          // skipping on the sorted-within-bucket store
+          corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
+        else corpusBands
+      // the accumulator counts every oversized-group row the SCAN sees —
+      // on the big-batch rung that is the whole table (a superset of the
+      // probed groups, same contract as the Bloom rung note below)
+      base.where(keepMark(col("bandn") <= maxBucket))
+        .select(col("id").as("old_id"), col("band"), col("bandHash"))
+    } else {
     // the batch's distinct probe keys, materialized once: the
     // literal-rung collect below reads them, and on big batches (where
     // the literal rung declines) the semi-join reuses the SAME blocks —
@@ -407,13 +483,6 @@ object Dedup {
         .distinct().limit(NearDupMaxInLiterals + 1).collect().map(_.getLong(0))
       if (got.length > NearDupMaxInLiterals) None else Some(got)
     }
-    // set by the Bloom rung below; the filter broadcast (up to ~80 MB at
-    // the cap) is only referenced by `cands`'s pre-checkpoint lineage,
-    // so it is destroyed as soon as `cands` materializes (pre-r22 it
-    // leaked one broadcast per probe call while the dial was on — the
-    // same class as the r20 Dsir.score finding)
-    var bloomBc: Option[org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.BloomFilter]] = None
     val cbPruned = probeHashes match {
       case Some(hs) => corpusBands.where(col("bandHash").isin(hs.toIndexedSeq.map(Long.box): _*))
       case None =>
@@ -451,10 +520,11 @@ object Dedup {
           corpusBands.where(mightHit(xxhash64(col("band"), col("bandHash"))))
         } else corpusBands.join(dist, Seq("band", "bandHash"), "left_semi")
     }
-    val ex = cbPruned
+    cbPruned
       .withColumn("__n", count(lit(1)).over(w))
       .where(keepMark(col("__n") <= maxBucket))
       .select(col("id").as("old_id"), col("band"), col("bandHash"))
+    }
     val cands = in.join(ex, Seq("band", "bandHash"))
       .select(col("new_id"), col("old_id")).distinct()
       .localCheckpoint(false)

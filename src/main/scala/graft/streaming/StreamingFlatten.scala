@@ -584,8 +584,16 @@ object StreamingFlatten {
     val legacy = graft.ops.Dedup.bandIndex(
       store.where(col("bh").isNull).select(col(idCol), col(textCol)),
       textCol, idCol, nh, bd, ss)
-    graft.sinks.Sinks.parquetBucketed(stored.unionByName(legacy), table,
-      Seq("band", "bandHash"), numBuckets, mode = "overwrite")
+    // graduation rewrites the WHOLE standing representation, so the
+    // write-time group sizes are exact over the union — same `bandn`
+    // contract as writeBandTable's overwrite (probe-side fast maxBucket
+    // path; later folds append null bandn, which disables it until a
+    // rebuild)
+    graft.sinks.Sinks.parquetBucketed(
+      stored.unionByName(legacy).withColumn("bandn",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bandHash")))),
+      table, Seq("band", "bandHash"), numBuckets, mode = "overwrite")
     (nh, bd, ss)
   }
 

@@ -242,6 +242,85 @@ object B17HygieneProbe {
       graft.util.Checkpoints.release(df5)
     }
 
+    // Decision experiment for the r22 stage-4 table-layout candidate
+    // (VERDICT r21 item 5): at the exact b17 stage-4 shape (600k-doc
+    // batch band frame probing the 600k-doc standing table), time each
+    // sub-step of the big-batch probe rung — the batch band kernel, the
+    // distinct-key frame, and THREE spellings of the candidate join:
+    //   semi+window — today's plan (semi-join prune, maxBucket window);
+    //   semi only   — isolates the window's share;
+    //   bandn join  — the proposed plan: no dist semi-join, no window,
+    //                 the corpus side filtered by a WRITE-TIME per-group
+    //                 count column (stood up untimed on a second table).
+    // Candidate-set counts are printed so the arms prove equivalence.
+    if (mode == "stage4") {
+      val (cdf, band, fp) = standUp(marked = false, "s4")
+      // the proposed table: bandIndex + write-time group count, same
+      // bucketing — what writeBandTable would produce after the change
+      val wN = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("bandHash"))
+      spark.sql("DROP TABLE IF EXISTS b17hyg_bandn_s4")
+      graft.sinks.Sinks.parquetBucketed(
+        graft.ops.Dedup.bandIndex(cdf, "text", "doc_id", numHashes = 32,
+            bands = 8, shingleSize = 3)
+          .withColumn("bandn", count(lit(1)).over(wN)),
+        "b17hyg_bandn_s4", Seq("band", "bandHash"), 32)
+      val budgets = budgetsOf(cdf)
+      val pre = graft.ops.Pipeline.run(batch(marked = false),
+        config(band, fp, budgets, scrub = false, redact = false),
+        corpus = Some(cdf), eval = Some(eval), upTo = 3)
+      val df3 = pre.kept
+      (1 to reps).foreach { rep =>
+        def t[A](name: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val a = f
+          println(f"[b17hyg] stage4 rep $rep $name%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          a
+        }
+        val in = t("in_kernel_ckpt")(graft.ops.Dedup.bandIndex(df3, "text",
+            "doc_id", numHashes = 32, bands = 8, shingleSize = 3)
+          .select(col("id").as("new_id"), col("band"), col("bandHash"))
+          .localCheckpoint(true))
+        val dist = t("dist_ckpt")(
+          in.select(col("band"), col("bandHash")).distinct()
+            .localCheckpoint(true))
+        t("rung_collect")(dist.select(col("bandHash"))
+          .where(col("bandHash").isNotNull).distinct().limit(2049).collect())
+        // the hash-only rung decision the proposed path would use
+        // (no (band,bandHash) distinct checkpoint behind it)
+        t("rung_direct")(in.select(col("bandHash"))
+          .where(col("bandHash").isNotNull).distinct().limit(2049).collect())
+        val scan = spark.table(band)
+          .select(col("id"), col("band"), col("bandHash"))
+        val nSemiWin = t("semi_window_join") {
+          val ex = scan.join(dist, Seq("band", "bandHash"), "left_semi")
+            .withColumn("__n", count(lit(1)).over(wN))
+            .where(col("__n") <= 1000)
+            .select(col("id").as("old_id"), col("band"), col("bandHash"))
+          in.join(ex, Seq("band", "bandHash"))
+            .select(col("new_id"), col("old_id")).distinct().count()
+        }
+        val nSemi = t("semi_join_only") {
+          val ex = scan.join(dist, Seq("band", "bandHash"), "left_semi")
+            .select(col("id").as("old_id"), col("band"), col("bandHash"))
+          in.join(ex, Seq("band", "bandHash"))
+            .select(col("new_id"), col("old_id")).distinct().count()
+        }
+        val nBandn = t("bandn_join") {
+          val ex = spark.table("b17hyg_bandn_s4")
+            .where(col("bandn") <= 1000)
+            .select(col("id").as("old_id"), col("band"), col("bandHash"))
+          in.join(ex, Seq("band", "bandHash"))
+            .select(col("new_id"), col("old_id")).distinct().count()
+        }
+        println(s"[b17hyg] stage4 rep $rep cands: semi+window=$nSemiWin " +
+          s"semiOnly=$nSemi bandn=$nBandn" +
+          (if (nSemiWin != nBandn) "  MISMATCH" else ""))
+        Seq(in, dist).foreach(graft.util.Checkpoints.release)
+      }
+      graft.util.Checkpoints.release(df3)
+    }
+
     // A/B of the stage-4 big-batch prune rung (r21 Bloom vs the semi
     // join), interleaved, timing the 1..4 prefix so only the probe
     // stage's cost varies between arms.

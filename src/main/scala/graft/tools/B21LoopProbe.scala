@@ -43,8 +43,13 @@ import org.apache.spark.sql.functions._
 object B21LoopProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // honors SPARK_GRAFT_CPUS so the probe doubles as the b21 family's
+    // low-core/high-core scaling point (r22: the driver's cpus leg is
+    // vacuous at sf0.1 bench rows — this probe's legs are the heaviest
+    // b21-shaped work on the box)
+    val nCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$nCpus]")
+      .config("spark.sql.shuffle.partitions", nCpus)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("b21loop_wh").toString)
       .config("spark.ui.enabled", "false").getOrCreate()

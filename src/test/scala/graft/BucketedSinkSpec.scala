@@ -155,4 +155,55 @@ class BucketedSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_bands")
     }
   }
+
+  test("write-time bandn: maxBucket guard exact on fresh tables AND after appends poison the stored counts") {
+    import spark.implicits._
+    // three identical docs → every band's (band, bandHash) group has
+    // size exactly 3; the incoming doc is a fourth identical copy, so
+    // whether it survives is decided ENTIRELY by the maxBucket guard:
+    // groups kept → exact-verify drops it; groups dropped → it passes.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq((1L, t), (2L, t), (3L, t),
+      (10L, "totally unrelated filler words one two three four five six"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((100L, t)).toDF("doc_id", "text")
+    def probe(existing: org.apache.spark.sql.DataFrame, mb: Int): Long =
+      graft.ops.Dedup.nearDupIncrementIndexed(
+        spark.table("graft_bandn_t"), existing, incoming, "text", "doc_id",
+        threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3,
+        maxBucket = mb).count()
+    def perCall(existing: org.apache.spark.sql.DataFrame, mb: Int): Long =
+      graft.ops.Dedup.nearDupIncrement(existing, incoming, "text", "doc_id",
+        threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3,
+        maxBucket = mb).count()
+    graft.ops.Dedup.writeBandTable(corpus, "text", "doc_id", "graft_bandn_t",
+      numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 2)
+    try {
+      // fresh table: the stored bandn column is populated and null-free,
+      // so the probe takes the fast filter path — results must match the
+      // per-call (windowed) spelling at the guard boundary on BOTH sides
+      val stored = spark.table("graft_bandn_t")
+      assert(stored.columns.contains("bandn"), "write-time count column missing")
+      assert(stored.where(col("bandn").isNull).isEmpty, "fresh table has null bandn")
+      assert(probe(corpus, 3) == 0L, "group size 3 <= maxBucket 3: copy must drop")
+      assert(probe(corpus, 2) == 1L, "group size 3 > maxBucket 2: copy must pass")
+      assert(perCall(corpus, 3) == 0L && perCall(corpus, 2) == 1L,
+        "per-call path disagrees — fixture drifted")
+      // append a FOURTH identical doc: true group size becomes 4, but the
+      // stored bandn still says 3 — the appended null rows must poison
+      // the shortcut so the probe re-counts and sees 4 > 3
+      graft.ops.Dedup.writeBandTable(Seq((4L, t)).toDF("doc_id", "text"),
+        "text", "doc_id", "graft_bandn_t", numHashes = 32, bands = 8,
+        shingleSize = 3, numBuckets = 2, append = true)
+      val grown = corpus.unionAll(Seq((4L, t)).toDF("doc_id", "text"))
+      assert(probe(grown, 3) == 1L,
+        "appended group size 4 > maxBucket 3: copy must pass — the probe " +
+          "trusted a stale write-time count")
+      assert(perCall(grown, 3) == 1L, "per-call path disagrees after append")
+      // and the guard still admits at the new boundary
+      assert(probe(grown, 4) == 0L, "group size 4 <= maxBucket 4: copy must drop")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bandn_t")
+    }
+  }
 }

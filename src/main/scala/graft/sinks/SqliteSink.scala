@@ -270,13 +270,36 @@ object SqliteSink {
     } finally pf.close()
   }
 
-  /** Ordered local iterator with ONE-partition-ahead prefetch: while the
-    * driver packs partition i into b-tree pages, the job fetching
-    * partition i+1 already runs. `RDD.toLocalIterator` materializes one
-    * partition array at a time with dead time between partitions; this
-    * keeps the same O(partition) driver-memory class (at most two
-    * partition arrays in flight) and hides the fetch latency behind the
-    * driver-side page building.
+  /** Prefetch depth of [[prefetchedLocalIterator]] — how many
+    * single-partition fetch jobs may be in flight while the driver packs
+    * pages. Dial: `graft.sqlite.prefetch` (JVM property) /
+    * `SPARK_GRAFT_SQLITE_PREFETCH` (env). Driver memory is O(depth + 1
+    * partition arrays) — still the O(partition) class, scaled by a small
+    * constant the deployment controls via its partition sizing.
+    *
+    * DEFAULT = 4, by measurement (r22, `SqliteIdxProbe ab` interleaved
+    * A/B at the 600k-row b6 shape): the r22 per-rep attribution showed
+    * the one-ahead pipeline PRODUCER-limited — table fetch-wait ~3.3 s
+    * vs ~3.0 s of driver encode it was supposed to hide behind — because
+    * each single-partition fetch job (cache read + task-result transfer)
+    * takes longer than the driver's encode of the previous partition.
+    * With depth 4 the independent partition jobs overlap each other as
+    * well as the encode; see OPTIMIZATION_r22.md §b6 for the arm table.
+    */
+  private[sinks] def prefetchDepth: Int = math.max(1,
+    System.getProperty("graft.sqlite.prefetch",
+      sys.env.getOrElse("SPARK_GRAFT_SQLITE_PREFETCH", "4")).toInt)
+
+  /** Ordered local iterator with `depth`-partition-ahead prefetch: while
+    * the driver packs partition i into b-tree pages, the jobs fetching
+    * partitions i+1 .. i+depth already run (each is one independent
+    * single-partition job, so production parallelizes across executor
+    * cores instead of serializing behind the encode). Order is preserved
+    * by awaiting futures in submission order. `RDD.toLocalIterator`
+    * materializes one partition at a time with dead time between
+    * partitions; this keeps O(partition)-class driver memory (at most
+    * depth + 1 partition arrays in flight) and hides the fetch latency
+    * behind the driver-side page building.
     */
   private[sinks] def prefetchedLocalIterator[T: scala.reflect.ClassTag](
       rdd: org.apache.spark.rdd.RDD[T],
@@ -285,22 +308,26 @@ object SqliteSink {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     val sc = rdd.sparkContext
+    val depth = prefetchDepth
     val order = rdd.partitions.indices.iterator
     def submit(p: Int): Future[Array[T]] =
       Future(sc.runJob(rdd, (it: Iterator[T]) => it.toArray, Seq(p)).head)
     new Iterator[T] {
-      private var fut: Option[Future[Array[T]]] =
-        if (order.hasNext) Some(submit(order.next())) else None
+      private val inFlight = scala.collection.mutable.Queue.empty[Future[Array[T]]]
+      private def fill(): Unit =
+        while (inFlight.size < depth && order.hasNext)
+          inFlight.enqueue(submit(order.next()))
+      fill()
       private var cur: Array[T] = Array.empty[T]
       private var i = 0
       private def advance(): Unit =
-        while (i >= cur.length && fut.isDefined) {
+        while (i >= cur.length && inFlight.nonEmpty) {
           val t0 = System.nanoTime()
-          cur = Await.result(fut.get, Duration.Inf)
+          cur = Await.result(inFlight.dequeue(), Duration.Inf)
           if (fetchWaitAcc != null)
             fetchWaitAcc.addAndGet(System.nanoTime() - t0)
           i = 0
-          fut = if (order.hasNext) Some(submit(order.next())) else None
+          fill()
         }
       def hasNext: Boolean = { advance(); i < cur.length }
       def next(): T = {

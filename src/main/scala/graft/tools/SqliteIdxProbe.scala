@@ -43,6 +43,39 @@ object SqliteIdxProbe {
       r
     }
 
+    // `ab` mode (r22): interleaved A/B of the prefetch depth over the
+    // FULL b6-shaped writeSpecs export (table + unique _link index +
+    // _link_parent index), one JVM, alternating arms so box drift hits
+    // both. Decides the graft.sqlite.prefetch default — the r22 per-rep
+    // attribution showed the one-ahead pipeline producer-limited.
+    if (args.contains("ab")) {
+      val reps = 3
+      val dir = java.nio.file.Files.createTempDirectory("graft_idxab").toString
+      def spec() = Seq(SqliteSink.TableSpec(
+        "docs", docs,
+        """CREATE TABLE "docs"("_link" TEXT, "_link_parent" TEXT, "text" TEXT)""",
+        indexes = Seq(
+          SqliteSink.IndexSpec("idx_docs__link", "_link", unique = true,
+            Some("""CREATE UNIQUE INDEX "idx_docs__link" ON "docs"("_link")""")),
+          SqliteSink.IndexSpec("idx_docs__link_parent", "_link_parent",
+            unique = false,
+            Some("""CREATE INDEX "idx_docs__link_parent" ON "docs"("_link_parent")""")))))
+      def arm(depth: Int, tag: String): Double = {
+        System.setProperty("graft.sqlite.prefetch", depth.toString)
+        val t0 = System.nanoTime()
+        try SqliteSink.writeSpecs(spec(), s"$dir/$tag.db")
+        finally System.clearProperty("graft.sqlite.prefetch")
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[idxprobe] ab depth=$depth%-2d $w%6.2f s  " +
+          SqliteSink.lastStats.map(_.line).getOrElse(""))
+        w
+      }
+      arm(1, "w1"); arm(4, "w4") // warm both
+      (1 to reps).foreach { r => arm(1, s"d1r$r"); arm(4, s"d4r$r"); arm(8, s"d8r$r") }
+      spark.stop()
+      return
+    }
+
     // one untimed warmup of the whole pipeline at tiny scale is skipped on
     // purpose: phase splits, not absolute numbers, are the point here
     val db = java.nio.file.Files.createTempDirectory("graft_idxprobe").toString + "/p.db"

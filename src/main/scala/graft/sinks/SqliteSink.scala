@@ -286,9 +286,18 @@ object SqliteSink {
     * With depth 4 the independent partition jobs overlap each other as
     * well as the encode; see OPTIMIZATION_r22.md §b6 for the arm table.
     */
-  private[sinks] def prefetchDepth: Int = math.max(1,
-    System.getProperty("graft.sqlite.prefetch",
-      sys.env.getOrElse("SPARK_GRAFT_SQLITE_PREFETCH", "4")).toInt)
+  private[sinks] def prefetchDepth: Int = {
+    val raw = System.getProperty("graft.sqlite.prefetch",
+      sys.env.getOrElse("SPARK_GRAFT_SQLITE_PREFETCH", "4"))
+    // a malformed dial value must not kill an export mid-pipeline —
+    // fall back to the measured default and say so once
+    try math.max(1, raw.trim.toInt)
+    catch { case _: NumberFormatException =>
+      System.err.println(
+        s"[sqlite-sink] ignoring malformed prefetch depth '$raw' — using 4")
+      4
+    }
+  }
 
   /** Ordered local iterator with `depth`-partition-ahead prefetch: while
     * the driver packs partition i into b-tree pages, the jobs fetching

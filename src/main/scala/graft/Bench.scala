@@ -378,7 +378,9 @@ object Bench {
       // the band ceiling additionally shouts on stderr.
       val rep = (System.nanoTime() - t0) / 1e9
       graft.sinks.SqliteSink.lastStats.foreach { st =>
-        b6Attrib += f"rep $rep%.2f s: ${st.line}"
+        // dir-labeled so the sf0.001 warmup invocation can't be mistaken
+        // for a timed rep when correlating b6_attrib[i] with rep i
+        b6Attrib += f"[${dir.split('/').last}] rep $rep%.2f s: ${st.line}"
         if (rep > 1.5 * 7.7)
           System.err.println(f"[bench] b6 slow rep ($rep%.2f s) attribution: ${st.line}")
       }
@@ -1214,7 +1216,7 @@ object Bench {
     // the IDENTICAL line to a stable file the driver (or anyone) can read
     // without scraping sbt output — additions only, after all timing.
     val lineOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_LINE.json")
+      s"${System.getProperty("user.dir")}/BENCH_LINE.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(lineOut), line + "\n")
     catch { case e: Throwable =>

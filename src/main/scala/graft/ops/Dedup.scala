@@ -270,9 +270,17 @@ object Dedup {
     // adds one (band, bandHash) exchange to the UNTIMED table build —
     // once per corpus release — and retires a window + semi-join from
     // every probe batch. Appends can't know merged group sizes, so they
-    // write NULL, which disables the probe shortcut until a rebuild.
+    // write NULL, which disables the probe shortcut until a rebuild —
+    // UNLESS the standing table predates the bandn column (written by
+    // pre-r22 code): saveAsTable append rejects a column-count mismatch,
+    // so match the old layout instead of crashing the daily fold (the
+    // probe already runs the window path on such tables).
+    val appendToLegacy = append &&
+      df.sparkSession.catalog.tableExists(table) &&
+      !df.sparkSession.table(table).columns.contains("bandn")
     val withN =
-      if (append) idx.withColumn("bandn", lit(null).cast("long"))
+      if (appendToLegacy) idx
+      else if (append) idx.withColumn("bandn", lit(null).cast("long"))
       else idx.withColumn("bandn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("band"), col("bandHash"))))
@@ -416,7 +424,9 @@ object Dedup {
     * semi-join prune bought nothing but the window's input reduction.
     * Candidate sets are IDENTICAL (stored size == window count for every
     * group: pruning keeps or drops groups whole, so counts never change;
-    * OpsSpec pins fast == fallback == per-call). Appends write null
+    * BucketedSinkSpec pins fast == per-call on BOTH rungs — the literal
+    * IN and the >2048-distinct-key unfiltered scan — plus the
+    * append-poisoning boundary). Appends write null
     * `bandn`, which flips the probe back to the window path — exact at
     * every point in the table's life.
     */

@@ -338,9 +338,21 @@ object Pipeline {
       //     the decision frames outgrow AQE's broadcast threshold but
       //     has fewer driver-blocking gate jobs per call. The default is
       //     set by measurement (OPTIMIZATION_r22.md §b17).
+      val mixPath = {
+        val raw = System.getProperty("graft.pipeline.mix",
+          sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MIX", MixPathDefault))
+        val v = raw.trim.toLowerCase
+        if (v == "fused" || v == "staged") v
+        else {
+          // a silent fall-through on a typo would quietly select the
+          // three-payload-exchange staged shape at scale — say so
+          System.err.println(s"[pipeline] ignoring unrecognized " +
+            s"graft.pipeline.mix value '$raw' — using '$MixPathDefault'")
+          MixPathDefault
+        }
+      }
       if (upTo >= 8 && m.interleave && !countStages && prevStage.nonEmpty &&
-          "fused".equalsIgnoreCase(System.getProperty("graft.pipeline.mix",
-            sys.env.getOrElse("SPARK_GRAFT_PIPELINE_MIX", MixPathDefault)))) {
+          mixPath == "fused") {
         val slim = df.select(col(cfg.idCol), m.src.as("src"), m.toks.as("toks"))
           .localCheckpoint(false) // 2 consumers: keep-set core + semi-join
         val keptSlim = slim.join(

@@ -206,4 +206,44 @@ class BucketedSinkSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS graft_bandn_t")
     }
   }
+
+  test("write-time bandn: the BIG-batch rung (>2048 distinct probe keys, unfiltered scan) equals the per-call path") {
+    import spark.implicits._
+    // 1000 distinct corpus texts x 8 bands (minus cross-band hash overlap) —
+    // comfortably past NearDupMaxInLiterals (2048), so the fast path takes its
+    // unfiltered-scan rung (no literal IN, no semi-join, no window): the
+    // rung BucketedSinkSpec's boundary test above cannot reach
+    def body(i: Long) = s"omega phi chi psi sigma tau upsilon rho pi omicron xi nu $i"
+    val corpus = (1L to 1000L).map(i => (i, body(i))).toDF("doc_id", "text")
+    // the batch probes EVERY corpus text (near-copies) plus fresh docs —
+    // its distinct band keys are a superset of the corpus's
+    val incoming = ((1L to 1000L).map(i => (5000L + i, body(i) + " tail")) ++
+      (1L to 50L).map(i => (9000L + i, s"fresh unseen daily report words number $i entirely new")))
+      .toDF("doc_id", "text")
+    graft.ops.Dedup.writeBandTable(corpus, "text", "doc_id", "graft_bandn_big",
+      numHashes = 32, bands = 8, shingleSize = 3, numBuckets = 4)
+    try {
+      val distinctKeys = graft.ops.Dedup.bandIndex(incoming, "text", "doc_id",
+          numHashes = 32, bands = 8, shingleSize = 3)
+        .select("bandHash").distinct().count()
+      assert(distinctKeys > 2048,
+        s"fixture drifted: $distinctKeys distinct probe hashes — the big-batch rung needs >2048")
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select($"doc_id").as[Long].collect().toSet
+      val fast = ids(graft.ops.Dedup.nearDupIncrementIndexed(
+        spark.table("graft_bandn_big"), corpus, incoming, "text", "doc_id",
+        threshold = 0.7, numHashes = 32, bands = 8, shingleSize = 3))
+      val perCall = ids(graft.ops.Dedup.nearDupIncrement(corpus, incoming,
+        "text", "doc_id", threshold = 0.7, numHashes = 32, bands = 8,
+        shingleSize = 3))
+      assert(fast == perCall, s"big-batch fast rung diverged: " +
+        s"fast-only=${(fast -- perCall).take(5)} percall-only=${(perCall -- fast).take(5)}")
+      assert((9001L to 9050L).toSet.subsetOf(fast),
+        "fixture drifted: fresh docs must survive")
+      assert(fast.count(_ < 9000L) < 100,
+        s"fixture drifted: most near-copies must drop, ${fast.count(_ < 9000L)} survived")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bandn_big")
+    }
+  }
 }
